@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode here, but every knob is chosen for the 1000-executor case:
+AQE (runtime re-plan + skew splitting + partition coalescing), Arrow for
+the pandas-UDF channel, shuffle partitions sized to the parallelism level,
+UTC timezone pinned for oracle comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "pdf_extraction_and_query_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; on a real cluster this
+        # would be ~2-3x total executor cores (AQE coalesces the excess)
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    from .packaging import attach_package
+
+    attach_package(spark)
+    return spark

@@ -1,0 +1,9 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pdf_extraction_and_query_spark.sources.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
