@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship staged extraction pipeline (interleaved
+text+media span corpus derived from sf0.001 documents). ``queries`` /
+``oracle_sql`` expose every implemented operator with its DuckDB twin (see
+pdf_extraction_and_query_spark/plans/registry.py; span-pipeline fold
+operators are rows-only by design — their parity gate is the pytest
+span-equality suite against the eager Python oracle).
 """
 
 from __future__ import annotations
@@ -13,26 +14,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_extraction_and_query_spark.plans.registry import ORACLE_SQL, QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: staged span-extraction pipeline over the interleaved
+    corpus derived from sf0.001 documents.parquet."""
+    from pdf_extraction_and_query_spark.plans.extract import extract_spans
+    from pdf_extraction_and_query_spark.sources.corpus import (
+        spans_table_from_documents,
+    )
+
+    return extract_spans(spans_table_from_documents(spark, SMOKE_SF_DIR))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

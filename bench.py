@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {name: sec},
+   "sf": ..., ...extras}
+
+Headline = the staged span-extraction pipeline (derive interleaved span
+corpus from documents.parquet -> explode/boilerplate/reconstruct/chunk/
+interleave). Extras report docs/sec and the fused-mode comparison; the
+N-vs-4N scaling-efficiency evidence lives in scripts/scaling_bench.py
+(results recorded in BASELINE.md / BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pdf_extraction_and_query_spark.sources.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdf_extraction_and_query_spark.plans.extract import extract_spans
+    from pdf_extraction_and_query_spark.plans.registry import QUERIES
+    from pdf_extraction_and_query_spark.sources.corpus import (
+        spans_table_from_documents,
+    )
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    def timed(fn) -> tuple[float, int]:
+        t0 = time.monotonic()
+        n = fn()
+        return time.monotonic() - t0, n
+
+    # warm the JVM/Arrow path once so the headline measures steady state
+    spans = spans_table_from_documents(spark, SF_DIR)
+    extract_spans(spans, mode="staged").count()
+
+    staged_sec, staged_rows = timed(
+        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="staged").count()
+    )
+    fused_sec, fused_rows = timed(
+        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="fused").count()
+    )
+
+    query_times: dict[str, float] = {
+        "extract_staged": round(staged_sec, 3),
+        "extract_fused": round(fused_sec, 3),
+    }
+    for name in (
+        "clean_text",
+        "token_counts",
+        "text_quality",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "ngram_jaccard",
+        "minhash_lsh_pairs",
+        "simhash",
+        "stub_embed",
+        "vector_topk",
+        "vector_topk_multi",
+        "topk_enriched",
+        "similarity_buckets",
+        "doc_stats",
+        "events_rollup",
+    ):
+        sec, _ = timed(lambda n=name: QUERIES[n](spark, SF_DIR).count())
+        query_times[name] = round(sec, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    print(
+        json.dumps(
+            {
+                "metric": "staged span-extraction wall time (derive+extract, span-equality-verified pipeline)",
+                "value": round(staged_sec, 3),
+                "unit": "sec",
+                "queries": query_times,
+                "sf": sf_val,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / staged_sec, 1),
+                "docs_per_sec_fused": round(n_docs / fused_sec, 1),
+                "out_rows_staged": staged_rows,
+                "out_rows_fused": fused_rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Shared constants for the paired Spark-query / DuckDB-oracle contract.
+
+Every operator exposed through ``__spark_entry__.queries()`` has an ANSI-SQL
+twin in ``oracle_sql()``; both sides interpolate the SAME pattern/threshold
+constants from this module so the contract can never drift silently.
+
+Cross-engine notes (verified in-sandbox, PySpark 4.1.2 vs DuckDB):
+  * regexes: Java util.regex vs RE2 — patterns below restrict themselves to
+    the common subset (``\\s \\d \\b`` char classes, ``(?i)``, no backrefs);
+  * ``round(x, n)``: both round half-away-from-zero for doubles;
+  * ``ascii``: both return the full unicode codepoint;
+  * ``split(s, '')`` / ``string_split(s, '')``: both yield per-character;
+  * ``trim``: both strip ASCII space only (Python ``str.strip`` strips all
+    whitespace — a documented divergence of the SQL surface; the Arrow-UDF
+    kernels keep exact Python semantics);
+  * int/int division yields double in both; bigint arithmetic is exact, so
+    every ranking key is integer-ized (``*_e6`` fixed-point) before compare.
+"""
+
+from __future__ import annotations
+
+# --- text cleaning (reference: src/preprocessing/text_cleaner.py:63-75,
+#     pattern src/config/constants.py:21) ---
+PAGE_MARKER_RE = r"(?i)-+\s*Page\s+\d+\s*-+\s*\n"
+SPACE_RUN_RE = r" +"
+BLANK_RUN_RE = r"\n{3,}"
+
+# --- tokenization / text analysis ---
+WS_SPLIT_RE = r"\s+"
+# BPE-ish: alnum runs or single non-alnum-non-space marks
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+SENT_END_RE = r"[.!?]"
+
+# language-ID stopword regexes (n-gram heuristic over function words);
+# deterministic tie-break order = LANG_ORDER
+LANG_STOPWORD_RE = {
+    "en": r"(?i)\b(the|and|of|to|in|is|for|with)\b",
+    "de": r"(?i)\b(der|die|das|und|nicht|ein|zu|mit)\b",
+    "fr": r"(?i)\b(le|la|les|et|des|une|que|pour)\b",
+    "es": r"(?i)\b(el|los|las|y|una|que|por|para)\b",
+}
+CJK_RE = r"[一-鿿]"
+LANG_ORDER = ("en", "de", "fr", "es")
+
+QUALITY_STOPWORD_RE = LANG_STOPWORD_RE["en"]
+
+# --- hashing (polynomial rolling hash over codepoints, exact in int64) ---
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+# --- MinHash + LSH ---
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+SHINGLE_N = 3  # word n-grams
+# fixed odd multipliers / offsets for the k universal hash functions
+MINHASH_A = [2 * i * 1_048_583 + 1 for i in range(1, MINHASH_K + 1)]
+MINHASH_B = [i * 97_911_197 % HASH_MOD for i in range(1, MINHASH_K + 1)]
+
+# --- SimHash ---
+# 24 bits: the poly hash (mod 1e9+7) carries ~30 useful bits, so bits 0..23
+# are all well-mixed; 16 was too coarse on small-vocab corpora
+SIMHASH_BITS = 24
+SIMHASH_MAX_HAMMING = 2
+
+# --- near-dup thresholds ---
+JACCARD_THRESHOLD = 0.20
+
+# --- embedding / search ---
+EMBED_DIM = 64
+TOPK = 10
+MULTI_QUERY_N = 5
+MULTI_TOPK = 5
+FIXED_POINT = 1_000_000  # float -> *_e6 bigint fixed point
+SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
+
+# --- pagination (reference: pgvector_client.py:350-377) ---
+PAGE_LIMIT = 20
+PAGE_OFFSET = 10

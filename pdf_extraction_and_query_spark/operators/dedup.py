@@ -1,0 +1,169 @@
+"""Deduplication operators over a documents table — the training-data
+pipeline surface: exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH
+banding, SimHash with hamming pairs.
+
+Scale notes (100 TB design):
+  * exact/minhash/simhash are single-shuffle groupBys with map-side partial
+    aggregation; signatures are 16 ints per doc (not the shingle sets);
+  * the LSH band self-join shuffles on (band, band_val) — candidate pairs
+    only, never the full cross product;
+  * the brute Jaccard join is quadratic-in-collisions and exists as the
+    small-scale oracle twin for MinHash recall; at scale you run
+    minhash_pairs and verify candidates only.
+
+All arithmetic is exact int64 (polynomial codepoint hash mod 1e9+7) so the
+DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import contract as C
+from .textstats import poly_hash
+
+
+def _norm(t: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(t), C.WS_SPLIT_RE, " "))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one hash-aggregate shuffle;
+    keeper = min(doc_id) per group (deterministic)."""
+    return (
+        docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("grp_hash"))
+        .groupBy("grp_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def shingles_expr(t: Column) -> Column:
+    """Word n-gram shingles (SHINGLE_N) of the normalized text; empty array
+    for docs shorter than n words (sequence() guard — Spark's sequence(1,0)
+    counts DOWN, so the branch is load-bearing)."""
+    toks = F.split(_norm(t), C.WS_SPLIT_RE)
+    n = F.size(toks)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (C.SHINGLE_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, C.SHINGLE_N)),
+    )
+    return F.when(n >= C.SHINGLE_N, make).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Exploded DISTINCT shingles per doc: (doc_id, sh)."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_expr(F.col("text")))).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """All-pairs word-shingle Jaccard >= threshold, via shingle equi-join
+    (shuffle on shingle, then on the pair key)."""
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= C.JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """K-wide MinHash signature per doc: min over shingles of
+    (a_i * h(sh) + b_i) mod p for each of the K universal hash fns.
+    One groupBy shuffle; partial mins combine map-side."""
+    sh = doc_shingles(docs).withColumn("x", poly_hash(F.col("sh")))
+    mins = [
+        F.min((F.lit(C.MINHASH_A[i]) * F.col("x") + F.lit(C.MINHASH_B[i])) % C.HASH_MOD).alias(f"m{i}")
+        for i in range(C.MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_band_pairs(docs: DataFrame) -> DataFrame:
+    """LSH banding: K mins -> BANDS bands of ROWS; docs sharing any band
+    value become a candidate pair. Shuffles: signature groupBy, then the
+    (band, val) equi-join — never a cross product."""
+    sig = minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    ",", *[f"m{j * C.LSH_ROWS + r}" for r in range(C.LSH_ROWS)]
+                ).alias("val"),
+            )
+            for j in range(C.LSH_BANDS)
+        ]
+    )
+    bv = sig.select("doc_id", F.explode(bands).alias("bv")).select(
+        "doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bv.alias("a"), bv.alias("b")
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash over all (frequency-weighted) tokens:
+    per-bit signed vote -> sign bit. One groupBy; the B per-bit sums are
+    map-side combinable."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), C.WS_SPLIT_RE)).alias("tok")
+    ).withColumn("x", poly_hash(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(C.SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    word = None
+    for b in range(C.SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        word = bit if word is None else word + bit
+    return agg.select("doc_id", word.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup candidates: pairs with hamming(simhash_a, simhash_b) <= d.
+    Quadratic self-join — the small-scale oracle; at scale, block on bit
+    bands first (same trick as minhash_band_pairs)."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,178 @@
+"""Vector similarity search + query-side operators.
+
+Reference parity:
+  * brute-force cosine top-k  == pgvector `ORDER BY embedding <=> q LIMIT k`
+    (src/vector_store/pgvector_client.py:193-218);
+  * enrichment join           == the N+1 per-result document lookups
+    (src/api/services/rag_service.py:166-181) -> one broadcast hash join;
+  * similarity buckets        == scripts/query_documents.py:134-141;
+  * pagination                == pgvector_client.py:350-377.
+
+Determinism: scores are fixed-point int64 (`round(x * 1e6)` per component,
+exact integer dot product) so ranking and the DuckDB oracle are bit-stable;
+cosine uses the same integers through IEEE-deterministic sqrt/divide.
+
+Scale notes: the query side is broadcast (queries are tiny); candidates
+stream map-side — top-k is a per-partition partial top-k then a final merge
+(Spark's TakeOrderedAndProject for single-query; window row_number over the
+per-query partition for multi-query, which shuffles once on q_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def _e6(x: Column) -> Column:
+    return F.round(x.cast("double") * C.FIXED_POINT).cast("long")
+
+
+def fixed_point_vec(v: Column, dim: int = C.EMBED_DIM) -> Column:
+    return F.transform(F.slice(v, 1, dim), _e6)
+
+
+def _dot(a: Column, b: Column, dim: int = C.EMBED_DIM) -> Column:
+    """Exact integer dot product of two fixed-point vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def with_query(embeddings: DataFrame, query_vec_id: int = 0) -> DataFrame:
+    """Attach the query vector (fixed-point) to every candidate row via a
+    broadcast cross join — one tiny build side, no shuffle of candidates."""
+    q = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select(fixed_point_vec(F.col("embedding")).alias("qv"))
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    return cand.crossJoin(F.broadcast(q))
+
+
+def vector_topk(embeddings: DataFrame, k: int = C.TOPK, query_vec_id: int = 0) -> DataFrame:
+    """Brute-force exact top-k by integer dot product (cosine order for
+    L2-normalized embeddings). orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition partial top-k, driver merge of k*P
+    rows — no full sort, no shuffle of the corpus."""
+    scored = with_query(embeddings, query_vec_id).select(
+        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def vector_topk_multi(
+    embeddings: DataFrame, n_queries: int = C.MULTI_QUERY_N, k: int = C.MULTI_TOPK
+) -> DataFrame:
+    """Batch search: broadcast the query set, score all (query, candidate)
+    pairs map-side, per-query top-k via one row_number window (single
+    shuffle on q_id)."""
+    qs = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            fixed_point_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    scored = cand.join(F.broadcast(qs)).select(
+        "q_id", "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "dot_e12")
+    )
+
+
+def topk_enriched(embeddings: DataFrame, documents: DataFrame, k: int = C.TOPK) -> DataFrame:
+    """Result enrichment: top-k hits joined to their parent documents —
+    the reference's N+1 loop as ONE broadcast hash join (build side = the k
+    hits, probe = documents ... broadcast the tiny top-k)."""
+    hits = vector_topk(embeddings, k)
+    return (
+        documents.join(
+            F.broadcast(hits), documents["doc_id"] == hits["vec_id"]
+        )
+        .select("rank", "vec_id", "dot_e12", "lang", "source", "n_chars")
+    )
+
+
+def similarity_buckets(embeddings: DataFrame, query_vec_id: int = 0) -> DataFrame:
+    """Histogram of cosine similarity vs the query: >0.8 / 0.6-0.8 /
+    0.4-0.6 / <0.4 (scripts/query_documents.py:134-141). Cosine from exact
+    integer dot + IEEE sqrt (bit-stable across engines)."""
+    scored = with_query(embeddings, query_vec_id).select(
+        "vec_id",
+        (
+            _dot(F.col("ev"), F.col("qv"))
+            / (F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv"))))
+        ).alias("cos"),
+    )
+    bucket = F.lit("minimal")
+    for thr, name in reversed(C.SIM_BUCKETS):
+        bucket = F.when(F.col("cos") > thr, F.lit(name)).otherwise(bucket)
+    return (
+        scored.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def paginate_documents(
+    documents: DataFrame, limit: int = C.PAGE_LIMIT, offset: int = C.PAGE_OFFSET
+) -> DataFrame:
+    """ORDER BY ... LIMIT l OFFSET o as a deterministic window slice
+    (n_chars desc, doc_id tie-break)."""
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        documents.select(
+            "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+    )
+
+
+def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
+    """Deterministic stub embedder (the sentence-transformers operator
+    interface, src/embeddings/sentence_transformer_embedder.py:85-164,
+    with a hash-derived unit vector instead of a model — model weights are
+    out of sandbox scope). L2-normalized like the reference (normalize=True)
+    so cosine == dot."""
+    from .textstats import poly_hash
+
+    norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), C.WS_SPLIT_RE, " "))
+    fp = poly_hash(norm_text)
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: ((fp * 31 + i) % 1009 - 504).cast("double"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(comps, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.transform(comps, lambda x: F.round(x / nrm, 6))
+    return docs.select("doc_id", unit.alias("embedding"))

@@ -1,0 +1,138 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+All pure JVM column expressions (whole-stage-codegen friendly — no Python in
+the hot path); each has a DuckDB oracle twin in ``plans/registry.py`` built
+from the same ``contract`` constants.
+
+Reference parity: cleaning composition mirrors
+``src/preprocessing/text_cleaner.py:30-105`` (see core/textclean.py for the
+exact-Python kernel); quality/token/langid/fingerprint are the
+training-data-pipeline extensions the north rule asks for beyond the
+reference's own surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def marked_raw(doc_id: Column, text: Column) -> Column:
+    """Deterministically inject page markers / blank-line runs / padding into
+    a plain-text doc so the cleaning operators have structure to remove.
+    Same recipe as the oracle's ``MARKED_RAW_SQL``."""
+    nl = F.lit("\n")
+    page_no = (doc_id % 90 + 1).cast("string")
+    body = F.expr("replace(text, ' table ', concat('  table', char(10), char(10), char(10), char(10), ' ')) ")
+    return F.concat(
+        F.lit("--- Page "), page_no, F.lit(" ---"), nl,
+        F.lit("  "), body, nl, nl, nl, nl,
+        F.lit("----  page 7  ----"), nl,
+        F.lit("  tail  text  "),
+    )
+
+
+def clean_expr(raw: Column) -> Column:
+    """Reference cleaning composition as one vectorized expression chain:
+    page markers -> collapse space runs -> cap blank lines -> trim lines."""
+    c = F.regexp_replace(raw, C.PAGE_MARKER_RE, "")
+    c = F.regexp_replace(c, C.SPACE_RUN_RE, " ")
+    c = F.regexp_replace(c, C.BLANK_RUN_RE, "\n\n")
+    # NB: `lambda x: F.trim(x)` — passing F.trim directly would make
+    # transform() call the 2-arg (element, index) form, i.e. trim-by-chars
+    return F.array_join(F.transform(F.split(c, "\n"), lambda x: F.trim(x)), "\n")
+
+
+def clean_text(docs: DataFrame) -> DataFrame:
+    raw = marked_raw(F.col("doc_id"), F.col("text"))
+    return docs.select(
+        "doc_id",
+        clean_expr(raw).alias("cleaned"),
+    )
+
+
+def content_loss(docs: DataFrame) -> DataFrame:
+    """Content-loss validation (text_cleaner.py:77-105): pct of
+    non-whitespace chars removed by cleaning, + the >10% warning flag."""
+    raw = marked_raw(F.col("doc_id"), F.col("text"))
+    nonspace = lambda c: F.length(F.regexp_replace(c, r"\s", ""))
+    orig_len = nonspace(raw)
+    clean_len = nonspace(clean_expr(raw))
+    loss = F.round((F.lit(1.0) - clean_len / orig_len) * 100, 4)
+    return docs.select(
+        "doc_id",
+        orig_len.cast("long").alias("orig_nonspace"),
+        clean_len.cast("long").alias("clean_nonspace"),
+        loss.alias("loss_pct"),
+        (loss > 10.0).alias("loss_warning"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + sentence count per doc."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), C.WS_SPLIT_RE)).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(C.TOKEN_RE)).cast("long").alias("re_tokens"),
+        F.regexp_count(t, F.lit(C.SENT_END_RE)).cast("long").alias("sentences"),
+        F.length(t).cast("long").alias("n_chars_calc"),
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, punctuation density, stopword ratio,
+    mean word length — the standard pre-training corpus filters."""
+    t = F.col("text")
+    n_chars = F.length(t)
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        stops.cast("long").alias("n_stopwords"),
+        F.round(stops / words, 6).alias("stopword_ratio"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(alpha / words, 4).alias("mean_word_len"),
+        ((words >= 10) & (stops / words <= 0.5)).alias("passes_filter"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/function-word language ID. Deterministic argmax with
+    LANG_ORDER tie-break; any CJK char short-circuits to 'zh'."""
+    t = F.col("text")
+    hits = {lang: F.regexp_count(t, F.lit(rx)) for lang, rx in C.LANG_STOPWORD_RE.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(F.regexp_count(t, F.lit(C.CJK_RE)) > 0, F.lit("zh"))
+    for lang in C.LANG_ORDER:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    cols = [hits[lang].cast("long").alias(f"hits_{lang}") for lang in C.LANG_ORDER]
+    return docs.select("doc_id", *cols, pred.otherwise(F.lit("und")).alias("pred_lang"))
+
+
+def poly_hash(col: Column) -> Column:
+    """Polynomial rolling hash over unicode codepoints, mod HASH_MOD —
+    exact int64 arithmetic, byte-identical across engines. A '#' sentinel is
+    prepended so empty strings hash like any other value (split('', '')
+    edge cases differ across engines)."""
+    return F.aggregate(
+        F.transform(F.split(F.concat(F.lit("#"), col), ""), F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * C.HASH_BASE + x.cast("long")) % C.HASH_MOD,
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 + polynomial rolling hash of the
+    whitespace-normalized lowercased text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), C.WS_SPLIT_RE, " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        poly_hash(norm).alias("fp_poly"),
+    )

@@ -1,0 +1,388 @@
+"""Query registry: every operator exposed to the driver, paired with its
+DuckDB oracle SQL.
+
+Layout per entry: ``QUERIES[name] -> (spark, sf_dir) -> DataFrame`` and
+``ORACLE_SQL[name] -> str`` (omitted for non-SQL-expressible span-pipeline
+operators — the driver then records a rows-only check; their correctness is
+covered by the pytest span-equality suite against the eager Python oracle).
+
+Both sides interpolate the SAME constants from ``..contract`` so the pair
+cannot drift. Cross-engine determinism rules (see contract module): integer
+fixed-point ranking keys, no order-dependent float sums, explicit casts so
+Spark long == DuckDB BIGINT in every output schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import contract as C
+from ..operators import dedup as D
+from ..operators import search as S
+from ..operators import stats as ST
+from ..operators import textstats as TX
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus import spans_table_from_documents
+
+    return spans_table_from_documents(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+def _extract(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .extract import extract_spans
+
+        return extract_spans(_span_corpus(spark, sf_dir), mode=mode)
+
+    return run
+
+
+def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extraction import (
+        chunk_blocks,
+        explode_spans,
+        flag_boilerplate,
+        reconstruct_blocks,
+    )
+
+    lines = flag_boilerplate(explode_spans(_span_corpus(spark, sf_dir)))
+    return chunk_blocks(reconstruct_blocks(lines))
+
+
+def _boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.extraction import explode_spans, flag_boilerplate
+
+    lines = flag_boilerplate(explode_spans(_span_corpus(spark, sf_dir)))
+    return lines.where(F.col("is_boiler")).select("doc_id", "offset", "page", "text")
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- text analysis (SQL-verified) ---
+    "clean_text": lambda s, d: TX.clean_text(_docs(s, d)),
+    "content_loss": lambda s, d: TX.content_loss(_docs(s, d)),
+    "token_counts": lambda s, d: TX.token_counts(_docs(s, d)),
+    "text_quality": lambda s, d: TX.text_quality(_docs(s, d)),
+    "lang_id": lambda s, d: TX.lang_id(_docs(s, d)),
+    "fingerprint": lambda s, d: TX.fingerprint(_docs(s, d)),
+    # --- dedup (SQL-verified) ---
+    "exact_dedup": lambda s, d: D.exact_dup_groups(_docs(s, d)),
+    "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+    "minhash_lsh_pairs": lambda s, d: D.minhash_band_pairs(_docs(s, d)),
+    "simhash": lambda s, d: D.simhash(_docs(s, d)),
+    "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
+    # --- embedding + search (SQL-verified) ---
+    "stub_embed": lambda s, d: S.stub_embed(_docs(s, d)),
+    "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
+    "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
+    "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
+    "similarity_buckets": lambda s, d: S.similarity_buckets(_emb(s, d)),
+    "paginate": lambda s, d: S.paginate_documents(_docs(s, d)),
+    # --- stats (SQL-verified) ---
+    "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
+    "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
+    # --- span extraction pipeline (rows-only: fold semantics not
+    #     SQL-expressible; parity enforced by tests/ vs the Python oracle) ---
+    "extract_staged": _extract("staged"),
+    "extract_fused": _extract("fused"),
+    "chunk_table": _chunk_table,
+    "boilerplate_flags": _boilerplate_flags,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle side — same constants, DuckDB dialect
+# --------------------------------------------------------------------------
+
+_NL = "chr(10)"
+
+# deterministic marker-laden raw text (twin of textstats.marked_raw)
+_RAW = (
+    "'--- Page ' || cast(doc_id % 90 + 1 as varchar) || ' ---' || chr(10) || '  ' || "
+    "replace(text, ' table ', '  table' || chr(10) || chr(10) || chr(10) || chr(10) || ' ') || "
+    "chr(10) || chr(10) || chr(10) || chr(10) || '----  page 7  ----' || chr(10) || '  tail  text  '"
+)
+
+
+def _clean(expr: str) -> str:
+    """Twin of textstats.clean_expr."""
+    c = f"regexp_replace({expr}, '{C.PAGE_MARKER_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '{C.SPACE_RUN_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{C.BLANK_RUN_RE}', chr(10)||chr(10), 'g')"
+    return (
+        f"array_to_string(list_transform(string_split({c}, chr(10)), "
+        f"x -> trim(x)), chr(10))"
+    )
+
+
+def _poly(expr: str) -> str:
+    """Twin of textstats.poly_hash ('#' sentinel + codepoint fold)."""
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(string_split('#' || {expr}, ''), "
+        f"c -> cast(ascii(c) as bigint))), "
+        f"(a, x) -> (a * {C.HASH_BASE} + x) % {C.HASH_MOD})"
+    )
+
+
+_NORM = f"trim(regexp_replace(lower(text), '{C.WS_SPLIT_RE}', ' ', 'g'))"
+
+# shingle CTEs shared by ngram_jaccard / minhash (twin of dedup.doc_shingles)
+_SH_CTE = f"""
+  toks AS (
+    SELECT doc_id,
+           regexp_split_to_array({_NORM}, '{C.WS_SPLIT_RE}') AS t
+    FROM documents),
+  sh0 AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {C.SHINGLE_N}
+                THEN list_transform(generate_series(1, len(t) - {C.SHINGLE_N - 1}),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END AS shs
+    FROM toks),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0)
+"""
+
+_FP_VEC = (
+    f"list_transform(generate_series(1, {C.EMBED_DIM}), "
+    f"i -> cast(round(cast(embedding[i] as double) * {C.FIXED_POINT}) as bigint))"
+)
+
+_DOT = (
+    f"cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+    f"i -> ev[i] * qv[i])) as bigint)"
+)
+
+_SQNORM_EV = "cast(list_sum(list_transform(ev, x -> x * x)) as double)"
+_SQNORM_QV = "cast(list_sum(list_transform(qv, x -> x * x)) as double)"
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(({C.MINHASH_A[i]} * x + {C.MINHASH_B[i]}) % {C.HASH_MOD}) AS m{i}"
+        for i in range(C.MINHASH_K)
+    )
+    return f"""
+  hx AS (SELECT doc_id, {_poly('sh')} AS x FROM sh),
+  sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)"""
+
+
+def _band_union_sql() -> str:
+    parts = []
+    for j in range(C.LSH_BANDS):
+        val = " || ',' || ".join(
+            f"cast(m{j * C.LSH_ROWS + r} as varchar)" for r in range(C.LSH_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {j} AS band, {val} AS val FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(C.SIMHASH_BITS)
+    )
+    word = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(C.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM}, '{C.WS_SPLIT_RE}')) AS tok
+  FROM documents),
+hx AS (SELECT doc_id, {_poly('tok')} AS x FROM toks),
+v AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id)
+SELECT doc_id, cast({word} as bigint) AS simhash FROM v"""
+
+
+_LANG_HITS = ", ".join(
+    f"cast(len(regexp_extract_all(text, '{rx}')) as bigint) AS hits_{lang}"
+    for lang, rx in C.LANG_STOPWORD_RE.items()
+)
+_LANG_CASE = " ".join(
+    f"WHEN hits_{lang} = best THEN '{lang}'" for lang in C.LANG_ORDER
+)
+
+_BUCKET_CASE = (
+    f"CASE WHEN cos > {C.SIM_BUCKETS[0][0]} THEN '{C.SIM_BUCKETS[0][1]}' "
+    f"WHEN cos > {C.SIM_BUCKETS[1][0]} THEN '{C.SIM_BUCKETS[1][1]}' "
+    f"WHEN cos > {C.SIM_BUCKETS[2][0]} THEN '{C.SIM_BUCKETS[2][1]}' "
+    f"ELSE 'minimal' END"
+)
+
+_STUB_COMPS = (
+    f"list_transform(generate_series(0, {C.EMBED_DIM - 1}), "
+    f"i -> cast((fp * {C.HASH_BASE} + i) % 1009 - 504 as double))"
+)
+
+ORACLE_SQL: Dict[str, str] = {
+    "clean_text": f"""
+WITH r AS (SELECT doc_id, {_RAW} AS raw FROM documents)
+SELECT doc_id, {_clean('raw')} AS cleaned FROM r""",
+    "content_loss": f"""
+WITH r AS (SELECT doc_id, {_RAW} AS raw FROM documents),
+c AS (SELECT doc_id,
+             length(regexp_replace(raw, '\\s', '', 'g')) AS orig_nonspace,
+             length(regexp_replace({_clean('raw')}, '\\s', '', 'g')) AS clean_nonspace
+      FROM r)
+SELECT doc_id,
+       cast(orig_nonspace as bigint) AS orig_nonspace,
+       cast(clean_nonspace as bigint) AS clean_nonspace,
+       round((1.0 - clean_nonspace / orig_nonspace) * 100, 4) AS loss_pct,
+       round((1.0 - clean_nonspace / orig_nonspace) * 100, 4) > 10.0 AS loss_warning
+FROM c""",
+    "token_counts": f"""
+SELECT doc_id,
+       cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) as bigint) AS ws_tokens,
+       cast(len(regexp_extract_all(text, '{C.TOKEN_RE}')) as bigint) AS re_tokens,
+       cast(len(regexp_extract_all(text, '{C.SENT_END_RE}')) as bigint) AS sentences,
+       cast(length(text) as bigint) AS n_chars_calc
+FROM documents""",
+    "text_quality": f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS words,
+         len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}')) AS stops,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents)
+SELECT doc_id,
+       cast(words as bigint) AS n_words,
+       cast(stops as bigint) AS n_stopwords,
+       round(stops / words, 6) AS stopword_ratio,
+       round(punct / n_chars, 6) AS punct_ratio,
+       round(alpha / words, 4) AS mean_word_len,
+       (words >= 10 AND stops / words <= 0.5) AS passes_filter
+FROM b""",
+    "lang_id": f"""
+WITH h AS (
+  SELECT doc_id, text, {_LANG_HITS},
+         len(regexp_extract_all(text, '{C.CJK_RE}')) AS cjk
+  FROM documents),
+g AS (SELECT *, greatest({', '.join('hits_' + l for l in C.LANG_ORDER)}) AS best FROM h)
+SELECT doc_id, {', '.join('hits_' + l for l in C.LANG_ORDER)},
+       CASE WHEN cjk > 0 THEN 'zh' {_LANG_CASE} ELSE 'und' END AS pred_lang
+FROM g""",
+    "fingerprint": f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp_md5, {_poly('norm')} AS fp_poly FROM n""",
+    "exact_dedup": f"""
+SELECT md5({_NORM}) AS grp_hash,
+       cast(count(*) as bigint) AS n_docs,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1""",
+    "ngram_jaccard": f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cast(inter as bigint) AS inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {C.JACCARD_THRESHOLD}""",
+    "minhash_lsh_pairs": f"""
+WITH {_SH_CTE},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band, val)
+WHERE a.doc_id < b.doc_id""",
+    "simhash": _simhash_sql(),
+    "simhash_near_pairs": f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {C.SIMHASH_MAX_HAMMING}""",
+    "stub_embed": f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+f AS (SELECT doc_id, {_poly('norm')} AS fp FROM n),
+c AS (SELECT doc_id, {_STUB_COMPS} AS comps FROM f)
+SELECT doc_id,
+       list_transform(comps,
+         x -> round(x / sqrt(cast(list_sum(list_transform(comps, y -> y * y)) as double)), 6)
+       ) AS embedding
+FROM c""",
+    "vector_topk": f"""
+WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT vec_id, {_DOT} AS dot_e12 FROM c, q)
+SELECT vec_id, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "vector_topk_multi": f"""
+WITH q AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+           WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT q_id, vec_id, {_DOT} AS dot_e12 FROM c, q),
+r AS (SELECT q_id, vec_id, dot_e12,
+             cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+      FROM s)
+SELECT q_id, vec_id, rank, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
+    "topk_enriched": f"""
+WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT vec_id, {_DOT} AS dot_e12 FROM c, q),
+topk AS (
+  SELECT vec_id, dot_e12,
+         cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+  FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK})
+SELECT rank, vec_id, dot_e12, lang, source, n_chars
+FROM documents d JOIN topk t ON d.doc_id = t.vec_id""",
+    "similarity_buckets": f"""
+WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT vec_id,
+             cast({_DOT} as double) / (sqrt({_SQNORM_EV}) * sqrt({_SQNORM_QV})) AS cos
+      FROM c, q)
+SELECT {_BUCKET_CASE} AS bucket, cast(count(*) as bigint) AS n_vecs
+FROM s GROUP BY 1""",
+    "paginate": f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         cast(row_number() OVER (ORDER BY n_chars DESC, doc_id) as bigint) AS rn
+  FROM documents)
+SELECT doc_id, n_chars, rn FROM r
+WHERE rn > {C.PAGE_OFFSET} AND rn <= {C.PAGE_OFFSET + C.PAGE_LIMIT}""",
+    "doc_stats": """
+SELECT lang, source,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_chars) as bigint) AS sum_chars,
+       round(sum(n_chars) / count(*), 4) AS avg_chars
+FROM documents GROUP BY 1, 2""",
+    "events_rollup": """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       cast(count(*) as bigint) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       cast(count(DISTINCT user_id) as bigint) AS n_users
+FROM events GROUP BY 1, 2""",
+}
