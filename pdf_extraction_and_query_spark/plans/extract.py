@@ -31,14 +31,34 @@ from ..operators.extraction import (
 )
 
 
+# docs at or below this span count take the fused (zero-shuffle) path in
+# hybrid mode; bigger docs go through the page-parallel staged path. ~3000
+# spans ~= a few hundred KB of text per Arrow batch row — small enough that
+# a batch of them never stalls an executor thread.
+HYBRID_SPAN_THRESHOLD = 3000
+
+
 def extract_spans(
     spans_df: DataFrame,
     cfg: ExtractConfig = ExtractConfig(),
     mode: str = "staged",
+    hybrid_threshold: int = HYBRID_SPAN_THRESHOLD,
 ) -> DataFrame:
-    """Ordered output spans (doc_id, order, kind, text, media_ref)."""
+    """Ordered output spans (doc_id, order, kind, text, media_ref).
+
+    Modes: ``staged`` (shuffled, page-parallel — survives 1000-page
+    stragglers), ``fused`` (zero-shuffle mapInPandas — fastest on uniform
+    small docs), ``hybrid`` (size-aware routing: the skew treatment the
+    north rule asks for — the long tail of small docs streams through the
+    narrow path while oversized docs get intra-document page parallelism;
+    per-doc outputs are identical on every path, so the union is safe)."""
     if mode == "fused":
         return fused_extract(spans_df, cfg)
+    if mode == "hybrid":
+        n = F.size("spans")
+        small = fused_extract(spans_df.where(n <= hybrid_threshold), cfg)
+        big = extract_spans(spans_df.where(n > hybrid_threshold), cfg, mode="staged")
+        return small.unionByName(big)
     if mode != "staged":
         raise ValueError(f"unknown mode: {mode}")
     lines = explode_spans(spans_df)

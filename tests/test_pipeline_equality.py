@@ -52,10 +52,12 @@ def _assert_equal(spark_out, oracle_out):
         )
 
 
-@pytest.mark.parametrize("mode", ["staged", "fused"])
+@pytest.mark.parametrize("mode", ["staged", "fused", "hybrid"])
 def test_pipeline_matches_oracle(spark, corpus, oracle_out, mode):
     df = docs_to_df(spark, corpus)
-    got = _collect(extract_spans(df, CFG, mode=mode))
+    # low threshold so the hybrid run genuinely routes docs down BOTH paths
+    kw = {"hybrid_threshold": 60} if mode == "hybrid" else {}
+    got = _collect(extract_spans(df, CFG, mode=mode, **kw))
     _assert_equal(got, oracle_out)
 
 
