@@ -46,8 +46,11 @@ def main() -> None:
 
     # warm the JVM/Arrow path once so the headline measures steady state
     spans = spans_table_from_documents(spark, SF_DIR)
-    extract_spans(spans, mode="staged").count()
+    extract_spans(spans, mode="hybrid").count()
 
+    hybrid_sec, hybrid_rows = timed(
+        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="hybrid").count()
+    )
     staged_sec, staged_rows = timed(
         lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="staged").count()
     )
@@ -56,6 +59,7 @@ def main() -> None:
     )
 
     query_times: dict[str, float] = {
+        "extract_hybrid": round(hybrid_sec, 3),
         "extract_staged": round(staged_sec, 3),
         "extract_fused": round(fused_sec, 3),
     }
@@ -89,16 +93,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "staged span-extraction wall time (derive+extract, span-equality-verified pipeline)",
-                "value": round(staged_sec, 3),
+                "metric": "hybrid span-extraction wall time (derive+extract, span-equality-verified pipeline)",
+                "value": round(hybrid_sec, 3),
                 "unit": "sec",
                 "queries": query_times,
                 "sf": sf_val,
                 "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / staged_sec, 1),
+                "docs_per_sec": round(n_docs / hybrid_sec, 1),
                 "docs_per_sec_fused": round(n_docs / fused_sec, 1),
-                "out_rows_staged": staged_rows,
-                "out_rows_fused": fused_rows,
+                "docs_per_sec_staged": round(n_docs / staged_sec, 1),
+                "out_rows": hybrid_rows,
+                "modes_agree": hybrid_rows == staged_rows == fused_rows,
                 "cpus": CPUS,
             }
         )

@@ -72,6 +72,8 @@ TOPK = 10
 MULTI_QUERY_N = 5
 MULTI_TOPK = 5
 FIXED_POINT = 1_000_000  # float -> *_e6 bigint fixed point
+IVF_CENTROIDS = 8
+IVF_PROBE = 3
 SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
 
 # --- pagination (reference: pgvector_client.py:350-377) ---

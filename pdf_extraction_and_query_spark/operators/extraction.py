@@ -137,34 +137,67 @@ def flag_boilerplate(lines_df: DataFrame, min_pages: int = bp.DEFAULT_MIN_PAGES)
     return df.withColumn("is_boiler", F.coalesce(is_boiler, F.lit(False))).drop("norm")
 
 
-def reconstruct_blocks(lines_df: DataFrame) -> DataFrame:
-    """Stage 3: grouped-map fold per (doc_id, page) — the exact reference
-    reconstruction semantics (formatting_extractor.py:192-329) via the core
-    kernel; page font mode computed in-group over ALL text lines of the page
-    (including whitespace-only ones, matching formatting_extractor.py:74-86)
-    before the empty-line filter."""
-    text_lines = lines_df.filter(F.col("kind") == "text")
+# pages per grouped-map task: the line-merge fold never crosses a page
+# boundary (formatting_extractor.py:247-249), so ANY page-granular grouping
+# is semantics-preserving. 16 pages/group keeps a 1000-page report spread
+# over ~63 parallel tasks while cutting the per-group Arrow/pandas overhead
+# ~16x vs one-group-per-page (which made the staged path 25x slower than
+# fused on small-doc corpora).
+PAGES_PER_GROUP = 16
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("offset")
-        sizes = [float(s) for s in pdf["font_size"] if pd.notna(s)]
+
+def _fold_lines(rows: list) -> list:
+    """Reference reconstruction for a run of (page, offset, text, font_size,
+    bold, is_boiler, seg) tuples, grouped page-by-page (plain-list hot path
+    — pandas row access was ~3x slower than the kernel itself)."""
+    from itertools import groupby
+    from math import isnan
+
+    blocks = []
+    for _, page_rows in groupby(rows, key=lambda r: r[0]):
+        page_rows = list(page_rows)
+        sizes = [
+            float(s)
+            for (_, _, _, s, _, _, _) in page_rows
+            if s is not None and not isnan(s)
+        ]
         normal = page_font_mode(sizes) if sizes else DEFAULT_FONT_SIZE
         feats = []
-        for row in pdf.itertuples(index=False):
-            text = (row.text or "").strip()
-            if not text or row.is_boiler:
+        for page, offset, text, font_size, bold, is_boiler, seg in page_rows:
+            text = (text or "").strip()
+            if not text or is_boiler:
                 continue
-            rec = line_features(
-                text,
-                int(row.page),
-                None if pd.isna(row.font_size) else float(row.font_size),
-                None if row.bold is None or pd.isna(row.bold) else bool(row.bold),
-                normal,
-            )
-            rec["seg"] = int(row.seg)
-            rec["offset"] = int(row.offset)
+            fs = None if font_size is None or isnan(font_size) else float(font_size)
+            rec = line_features(text, int(page), fs, bold, normal)
+            rec["seg"] = int(seg)
+            rec["offset"] = int(offset)
             feats.append(rec)
-        blocks = reconstruct_wrapped_lines(feats)
+        blocks.extend(reconstruct_wrapped_lines(feats))
+    return blocks
+
+
+def reconstruct_blocks(lines_df: DataFrame) -> DataFrame:
+    """Stage 3: grouped-map fold per (doc_id, page-group) — the exact
+    reference reconstruction semantics (formatting_extractor.py:192-329) via
+    the core kernel, applied page-by-page inside each group."""
+    text_lines = lines_df.filter(F.col("kind") == "text").withColumn(
+        "pgrp", F.floor(F.col("page") / PAGES_PER_GROUP).cast("int")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(
+                pdf["page"].tolist(),
+                pdf["offset"].tolist(),
+                pdf["text"].tolist(),
+                [None if pd.isna(v) else float(v) for v in pdf["font_size"]],
+                [None if pd.isna(v) else bool(v) for v in pdf["bold"]],
+                pdf["is_boiler"].tolist(),
+                pdf["seg"].tolist(),
+            ),
+            key=lambda r: (r[0], r[1]),
+        )
+        blocks = _fold_lines(rows)
         if not blocks:
             return pd.DataFrame(
                 columns=[
@@ -188,13 +221,16 @@ def reconstruct_blocks(lines_df: DataFrame) -> DataFrame:
             }
         )
 
-    return text_lines.groupBy("doc_id", "page").applyInPandas(fold, BLOCKS_SCHEMA)
+    return text_lines.groupBy("doc_id", "pgrp").applyInPandas(fold, BLOCKS_SCHEMA)
 
 
 def chunk_blocks(blocks_df: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
-    """Stage 4: grouped-map per (doc_id, seg): header markup -> clean ->
-    section-aware chunking (core kernels; reference rag_service.py:73-86
-    lifecycle)."""
+    """Stage 4: grouped-map per doc_id, looping segments inside: header
+    markup -> clean -> section-aware chunking (core kernels; reference
+    rag_service.py:73-86 lifecycle). Doc granularity is safe here — the
+    chunker is one linear pass over the segment's text (no per-page cost
+    blowup), and grouping by doc instead of (doc, seg) avoids one tiny
+    Arrow group per media span."""
     chunker = SectionChunker(
         max_chunk_size=cfg.max_chunk_size,
         chunk_overlap=cfg.chunk_overlap,
@@ -203,33 +239,34 @@ def chunk_blocks(blocks_df: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> 
 
     def do_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset")
-        blocks = [
-            {"text": t, "is_likely_header": bool(h)}
-            for t, h in zip(pdf["text"], pdf["is_likely_header"])
-        ]
-        marked = blocks_to_marked_text(blocks)
-        cleaned, _ = clean(marked, validate=False)
-        chunks = chunker.chunk(cleaned)
         doc_id = pdf["doc_id"].iloc[0]
-        seg = int(pdf["seg"].iloc[0])
-        meta = [c["metadata"] for c in chunks]
-        return pd.DataFrame(
-            {
-                "doc_id": [doc_id] * len(chunks),
-                "seg": [seg] * len(chunks),
-                "chunk_seq": list(range(len(chunks))),
-                "text": [c["text"] for c in chunks],
-                "chunk_size": [c["chunk_size"] for c in chunks],
-                "section": [m.get("section") for m in meta],
-                "subsection": [m.get("subsection") for m in meta],
-                "subsubsection": [m.get("subsubsection") for m in meta],
-                "section_hierarchy": [m.get("section_hierarchy") for m in meta],
-                "chunk_part": [m.get("chunk_part") for m in meta],
-                "is_split_chunk": [bool(m.get("is_split_chunk", False)) for m in meta],
-            }
-        )
+        out = {k: [] for k in (
+            "seg", "chunk_seq", "text", "chunk_size", "section", "subsection",
+            "subsubsection", "section_hierarchy", "chunk_part", "is_split_chunk",
+        )}
+        for seg, sub in pdf.groupby("seg", sort=True):
+            blocks = [
+                {"text": t, "is_likely_header": bool(h)}
+                for t, h in zip(sub["text"], sub["is_likely_header"])
+            ]
+            marked = blocks_to_marked_text(blocks)
+            cleaned, _ = clean(marked, validate=False)
+            for i, c in enumerate(chunker.chunk(cleaned)):
+                m = c["metadata"]
+                out["seg"].append(int(seg))
+                out["chunk_seq"].append(i)
+                out["text"].append(c["text"])
+                out["chunk_size"].append(c["chunk_size"])
+                out["section"].append(m.get("section"))
+                out["subsection"].append(m.get("subsection"))
+                out["subsubsection"].append(m.get("subsubsection"))
+                out["section_hierarchy"].append(m.get("section_hierarchy"))
+                out["chunk_part"].append(m.get("chunk_part"))
+                out["is_split_chunk"].append(bool(m.get("is_split_chunk", False)))
+        out["doc_id"] = [doc_id] * len(out["seg"])
+        return pd.DataFrame(out)
 
-    return blocks_df.groupBy("doc_id", "seg").applyInPandas(do_chunk, CHUNKS_SCHEMA)
+    return blocks_df.groupBy("doc_id").applyInPandas(do_chunk, CHUNKS_SCHEMA)
 
 
 def interleave(chunks_df: DataFrame, lines_df: DataFrame) -> DataFrame:

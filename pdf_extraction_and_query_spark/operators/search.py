@@ -153,6 +153,64 @@ def paginate_documents(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k — the scale path for similarity search:
+    assign every vector to its nearest centroid (broadcast the tiny centroid
+    set, one narrow scoring pass + one row_number shuffle), then search only
+    the ``n_probe`` clusters nearest the query. At 10^12 scale the
+    assignment is precomputed and the probe prunes ~(1 - n_probe/n_lists)
+    of the corpus from the scan; here centroids are the first
+    ``n_centroids`` vectors (deterministic stand-in for trained k-means).
+    Integer fixed-point scoring keeps it oracle-exact."""
+    cents = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            fixed_point_vec(F.col("embedding")).alias("cv"),
+        )
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    scored = cand.join(F.broadcast(cents)).select(
+        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "cent_id")
+    )
+    # probe list: clusters nearest the query vector
+    q = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select(fixed_point_vec(F.col("embedding")).alias("qv"))
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    pruned = assigned.join(F.broadcast(probes), "cent_id")
+    hits = pruned.crossJoin(F.broadcast(q)).select(
+        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        hits.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
     """Deterministic stub embedder (the sentence-transformers operator
     interface, src/embeddings/sentence_transformer_embedder.py:85-164,

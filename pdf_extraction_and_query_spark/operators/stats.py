@@ -27,6 +27,33 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user event stream split at inactivity gaps >
+    ``gap_minutes`` — lag window + running sum of session starts (the
+    standard pattern; one shuffle on user_id). Timestamps exported as epoch
+    seconds (exact integers) for the cross-engine oracle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_minutes * 60)
+    ).cast("long")
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+        )
+    )
+
+
 def events_rollup(events: DataFrame) -> DataFrame:
     """Hourly per-type rollup over the events table: count + min/max value
     (exact aggregates only; no order-dependent float sums)."""

@@ -32,10 +32,14 @@ from ..operators.extraction import (
 
 
 # docs at or below this span count take the fused (zero-shuffle) path in
-# hybrid mode; bigger docs go through the page-parallel staged path. ~3000
-# spans ~= a few hundred KB of text per Arrow batch row — small enough that
-# a batch of them never stalls an executor thread.
-HYBRID_SPAN_THRESHOLD = 3000
+# hybrid mode; bigger docs go through the page-parallel staged path.
+# Measured: down to ~500 docs/corpus, inter-document parallelism over fine
+# input splits beats the staged path even for 400-page reports (fused
+# 14.9s vs staged 24.7s on the big-doc subset at 8 cores) — so the staged
+# route is reserved for true whales (~2000+ pages), where a single task
+# would hold a multi-MB doc string (memory) and pin an executor thread for
+# minutes (latency). 20k spans ~= 2MB of text per Arrow row.
+HYBRID_SPAN_THRESHOLD = 20000
 
 
 def extract_spans(

@@ -95,6 +95,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
+    "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
     "similarity_buckets": lambda s, d: S.similarity_buckets(_emb(s, d)),
@@ -102,6 +103,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stats (SQL-verified) ---
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
+    "sessionize": lambda s, d: ST.sessionize(_events(s, d)),
     # --- span extraction pipeline (rows-only: fold semantics not
     #     SQL-expressible; parity enforced by tests/ vs the Python oracle) ---
     "extract_staged": _extract("staged"),
@@ -356,6 +358,55 @@ topk AS (
   FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK})
 SELECT rank, vec_id, dot_e12, lang, source, n_chars
 FROM documents d JOIN topk t ON d.doc_id = t.vec_id""",
+    "ivf_topk": f"""
+WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, ev, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT cent_id,
+           cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                i -> cv[i] * qv[i])) as bigint) AS qdot
+    FROM cents, q)
+  ORDER BY qdot DESC, cent_id LIMIT {C.IVF_PROBE}),
+hits AS (
+  SELECT vec_id, {_DOT} AS dot_e12
+  FROM assigned JOIN probes USING (cent_id) CROSS JOIN q)
+SELECT vec_id, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "sessionize": """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+y AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM y)
+SELECT user_id, cast(session_id as bigint) AS session_id,
+       cast(count(*) as bigint) AS n_events,
+       cast(floor(epoch(min(ts))) as bigint) AS start_epoch,
+       cast(floor(epoch(max(ts))) as bigint) AS end_epoch
+FROM z GROUP BY 1, 2""",
     "similarity_buckets": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),

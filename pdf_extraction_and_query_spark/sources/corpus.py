@@ -230,6 +230,29 @@ def spans_from_text(doc_id: str, text: str, wrap: int = 72, lines_per_page: int 
     return b.spans
 
 
+def synth_docs_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed synthetic corpus: doc ids fan out via spark.range and each
+    executor synthesizes its documents (synth_doc is a pure function of
+    (seed, doc_id)) — no driver-side generation loop, scales to any n_docs."""
+    import pandas as pd
+
+    partitions = partitions or max(32, n_docs // 100)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [f"doc{int(i):07d}" for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "spans": [synth_doc(d, seed) for d in ids]}
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=SPANS_SCHEMA)
+    )
+
+
 def docs_to_df(
     spark: SparkSession, docs: List[Tuple[str, List[Dict[str, Any]]]]
 ) -> DataFrame:

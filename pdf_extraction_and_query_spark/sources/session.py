@@ -38,10 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 512 nested docs/batch: streams pandas-UDF input, bounds worker RSS
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 32m splits: measured sweet spot for the span corpus — 128m gave a
+        # single task wave at 32 cores (stragglers pinned the wall), 8m paid
+        # ~200ms/task fixed overhead; 32m = ~4 waves of ~1-3s tasks
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency >=0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same job runs at two parallelism levels — local[N] and local[4N] — on the
+SAME deterministic skewed span corpus, and we report throughput at both
+plus efficiency = (T_N / T_4N) / 4.
+
+Methodology (each level in its own subprocess = fresh JVM):
+  * corpus: synth_docs_df — deterministic, skewed (1-page memos .. 400-page
+    reports), generated distributed, written once;
+  * per level: one warmup pass (JVM codegen + python worker spawn), then
+    ``runs`` timed passes, best-of reported (the sandbox VM shows multi-
+    second noise from its host);
+  * a pure-CPU calibration burn (no Spark) measures what the box itself
+    sustains at each level — reported alongside so job efficiency can be
+    read against the hardware ceiling.
+
+Usage: python scripts/scaling_bench.py [--docs 102400] [--n 2] [--runs 3]
+                                       [--mode hybrid]
+Appends results to BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pdf_extraction_and_query_spark.sources.session import get_spark
+from pdf_extraction_and_query_spark.plans.extract import extract_spans
+spark = get_spark(master="local[{cores}]", shuffle_partitions=max({cores}, 32))
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet({corpus!r})
+n_docs = df.count()
+extract_spans(df, mode={mode!r}).count()  # warm: codegen + python workers
+best, rows = None, 0
+for _ in range({runs}):
+    t0 = time.monotonic()
+    rows = extract_spans(df, mode={mode!r}).count()
+    w = time.monotonic() - t0
+    best = w if best is None else min(best, w)
+print(json.dumps({{"cores": {cores}, "wall_sec": round(best, 2),
+                  "n_docs": n_docs, "rows": rows,
+                  "docs_per_sec": round(n_docs / best, 2)}}))
+spark.stop()
+"""
+
+
+def _burn(q):
+    t0 = time.monotonic()
+    x = 0
+    for i in range(40_000_000):
+        x += i % 7
+    q.put(time.monotonic() - t0)
+
+
+def cpu_calibration(n_procs: int) -> float:
+    """Aggregate relative CPU capacity at n_procs parallel burners
+    (loops/sec summed)."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(n_procs)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    times = [q.get() for _ in range(n_procs)]
+    return sum(1.0 / t for t in times)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = os.path.join(REPO, "data", f"scaling_corpus_{n_docs}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sys.path.insert(0, REPO)
+    from pdf_extraction_and_query_spark.sources.corpus import synth_docs_df
+    from pdf_extraction_and_query_spark.sources.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_docs_df(spark, n_docs, seed=42).write.parquet(path)
+    spark.stop()
+    return path
+
+
+def run_level(corpus: str, cores: int, mode: str, runs: int) -> dict:
+    code = _WORKER.format(repo=REPO, cores=cores, corpus=corpus, mode=mode, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=102400)
+    ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
+    ap.add_argument("--mode", default="hybrid")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    corpus = ensure_corpus(args.docs)
+    cal_lo = cpu_calibration(args.n)
+    cal_hi = cpu_calibration(args.n * 4)
+    hw_ceiling = (cal_hi / cal_lo) / 4.0
+
+    lo = run_level(corpus, args.n, args.mode, args.runs)
+    hi = run_level(corpus, args.n * 4, args.mode, args.runs)
+    assert lo["rows"] == hi["rows"], "same input must give same output rows"
+
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / 4.0
+    result = {
+        "mode": args.mode,
+        "n_docs": lo["n_docs"],
+        "out_rows": lo["rows"],
+        "levels": [lo, hi],
+        "speedup_Nx4": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "hw_ceiling_efficiency": round(hw_ceiling, 3),
+        "efficiency_vs_hw": round(efficiency / hw_ceiling, 3),
+        "meets_0.8": efficiency >= 0.8,
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## scaling run (mode={args.mode}, {lo['n_docs']} docs, "
+            f"{lo['rows']} output spans, best of {args.runs})\n\n"
+            f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
+            f"| local[{args.n}] | {lo['wall_sec']} | {lo['docs_per_sec']} |\n"
+            f"| local[{args.n * 4}] | {hi['wall_sec']} | {hi['docs_per_sec']} |\n\n"
+            f"speedup N->4N: **{speedup:.2f}x**; scaling efficiency "
+            f"**{efficiency:.3f}** (target >= 0.8). Pure-CPU calibration of "
+            f"this box at the same two levels sustains {hw_ceiling:.2f} "
+            f"efficiency ceiling; job-vs-hardware ratio "
+            f"{efficiency / hw_ceiling:.2f}.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
