@@ -44,21 +44,23 @@ def main() -> None:
         n = fn()
         return time.monotonic() - t0, n
 
-    # warm the JVM/Arrow path once so the headline measures steady state
-    spans = spans_table_from_documents(spark, SF_DIR)
-    extract_spans(spans, mode="hybrid").count()
+    # materialize the derived span corpus ONCE (at real scale the input IS a
+    # table; deriving it inline would be recomputed by every DAG consumer)
+    import tempfile
 
-    hybrid_sec, hybrid_rows = timed(
-        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="hybrid").count()
+    spans_path = f"{tempfile.mkdtemp()}/spans.parquet"
+    derive_sec, _ = timed(
+        lambda: spans_table_from_documents(spark, SF_DIR).write.parquet(spans_path) or 0
     )
-    staged_sec, staged_rows = timed(
-        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="staged").count()
-    )
-    fused_sec, fused_rows = timed(
-        lambda: extract_spans(spans_table_from_documents(spark, SF_DIR), mode="fused").count()
-    )
+    spans = spark.read.parquet(spans_path)
+    extract_spans(spans, mode="hybrid").count()  # warm JVM/Arrow/codegen
+
+    hybrid_sec, hybrid_rows = timed(lambda: extract_spans(spans, mode="hybrid").count())
+    staged_sec, staged_rows = timed(lambda: extract_spans(spans, mode="staged").count())
+    fused_sec, fused_rows = timed(lambda: extract_spans(spans, mode="fused").count())
 
     query_times: dict[str, float] = {
+        "derive_spans": round(derive_sec, 3),
         "extract_hybrid": round(hybrid_sec, 3),
         "extract_staged": round(staged_sec, 3),
         "extract_fused": round(fused_sec, 3),
@@ -93,13 +95,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "hybrid span-extraction wall time (derive+extract, span-equality-verified pipeline)",
-                "value": round(hybrid_sec, 3),
+                "metric": "span-extraction wall time (derive corpus + hybrid extract, span-equality-verified pipeline)",
+                "value": round(derive_sec + hybrid_sec, 3),
                 "unit": "sec",
                 "queries": query_times,
                 "sf": sf_val,
                 "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / hybrid_sec, 1),
+                "docs_per_sec": round(n_docs / (derive_sec + hybrid_sec), 1),
+                "docs_per_sec_extract_only": round(n_docs / hybrid_sec, 1),
                 "docs_per_sec_fused": round(n_docs / fused_sec, 1),
                 "docs_per_sec_staged": round(n_docs / staged_sec, 1),
                 "out_rows": hybrid_rows,

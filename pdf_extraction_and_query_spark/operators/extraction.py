@@ -176,12 +176,25 @@ def _fold_lines(rows: list) -> list:
     return blocks
 
 
+def _pandas_parallelism(df: DataFrame) -> int:
+    """Partition count for grouped-map stages. AQE's byte-based coalescing
+    is blind to per-group PYTHON cost — on a small corpus it collapsed the
+    grouped-map exchange to 1 partition and serialized every pandas group
+    (measured 33s for work 32 cores do in ~1s). An explicit repartition on
+    the group keys is AQE-immune and Catalyst elides the duplicate exchange
+    the groupBy would otherwise insert."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def reconstruct_blocks(lines_df: DataFrame) -> DataFrame:
     """Stage 3: grouped-map fold per (doc_id, page-group) — the exact
     reference reconstruction semantics (formatting_extractor.py:192-329) via
     the core kernel, applied page-by-page inside each group."""
     text_lines = lines_df.filter(F.col("kind") == "text").withColumn(
         "pgrp", F.floor(F.col("page") / PAGES_PER_GROUP).cast("int")
+    )
+    text_lines = text_lines.repartition(
+        _pandas_parallelism(lines_df), "doc_id", "pgrp"
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -266,6 +279,7 @@ def chunk_blocks(blocks_df: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> 
         out["doc_id"] = [doc_id] * len(out["seg"])
         return pd.DataFrame(out)
 
+    blocks_df = blocks_df.repartition(_pandas_parallelism(blocks_df), "doc_id")
     return blocks_df.groupBy("doc_id").applyInPandas(do_chunk, CHUNKS_SCHEMA)
 
 

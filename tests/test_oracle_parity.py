@@ -16,7 +16,8 @@ import pytest
 
 from pdf_extraction_and_query_spark.plans.registry import ORACLE_SQL, QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("documents", "embeddings", "events")
 
 
