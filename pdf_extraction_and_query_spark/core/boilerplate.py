@@ -33,19 +33,28 @@ def normalize_line(text: str) -> str:
     return _WS_RE.sub(" ", _DIGITS_RE.sub("0", text.lower())).strip()
 
 
-def boilerplate_keys(
-    lines: Iterable[Tuple[str, int]], min_pages: int = DEFAULT_MIN_PAGES
+def boilerplate_keys_from_norms(
+    norm_pages: Iterable[Tuple[str, int]], min_pages: int = DEFAULT_MIN_PAGES
 ) -> Set[str]:
-    """Given ``(text, page)`` pairs for ONE document, return the normalized
-    forms considered boilerplate."""
+    """Like :func:`boilerplate_keys` but over pre-normalized lines (the hot
+    path normalizes once and reuses the result for the membership test)."""
     pages_by_norm: Dict[str, Set[int]] = {}
     doc_pages: Set[int] = set()
-    for text, page in lines:
+    for norm, page in norm_pages:
         doc_pages.add(page)
-        norm = normalize_line(text)
         if not norm or len(norm) > MAX_BOILERPLATE_LEN:
             continue
         pages_by_norm.setdefault(norm, set()).add(page)
     if len(doc_pages) < min_pages:
         return set()
     return {n for n, pages in pages_by_norm.items() if len(pages) >= min_pages}
+
+
+def boilerplate_keys(
+    lines: Iterable[Tuple[str, int]], min_pages: int = DEFAULT_MIN_PAGES
+) -> Set[str]:
+    """Given ``(text, page)`` pairs for ONE document, return the normalized
+    forms considered boilerplate."""
+    return boilerplate_keys_from_norms(
+        ((normalize_line(text), page) for text, page in lines), min_pages
+    )

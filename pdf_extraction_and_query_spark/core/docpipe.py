@@ -93,14 +93,29 @@ def extract_lines(
             sizes_by_page.setdefault(s["page"], []).append(float(s["font_size"]))
     mode_by_page = {p: page_font_mode(v) for p, v in sizes_by_page.items()}
 
-    boiler = (
-        bp.boilerplate_keys(
-            (((s.get("text") or "").strip(), s["page"]) for s in text_spans),
+    # boilerplate can only fire for docs spanning >= min_pages pages (spec);
+    # for the 1-3-page long tail we skip normalization entirely, and when it
+    # does run, each line is normalized ONCE (memoized — footers repeat) and
+    # the result reused for the membership test (was ~30% of kernel CPU).
+    boiler: set = set()
+    norm_memo: Dict[str, str] = {}
+    if cfg.strip_boilerplate and len(
+        {s["page"] for s in text_spans}
+    ) >= cfg.boilerplate_min_pages:
+
+        def _norm(t: str) -> str:
+            n = norm_memo.get(t)
+            if n is None:
+                n = norm_memo[t] = bp.normalize_line(t)
+            return n
+
+        boiler = bp.boilerplate_keys_from_norms(
+            (
+                (_norm((s.get("text") or "").strip()), s["page"])
+                for s in text_spans
+            ),
             cfg.boilerplate_min_pages,
         )
-        if cfg.strip_boilerplate
-        else set()
-    )
 
     out: List[Dict[str, Any]] = []
     for s in prepared:
@@ -110,7 +125,7 @@ def extract_lines(
         text = (s.get("text") or "").strip()
         if not text:
             continue  # formatting_extractor.py:162-164
-        if boiler and bp.normalize_line(text) in boiler:
+        if boiler and norm_memo.get(text, "") in boiler:
             continue
         feats = line_features(
             text,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.docpipe import ExtractConfig
+from ..core.docpipe import MEDIA_KINDS, ExtractConfig
 from ..operators.extraction import (
     chunk_blocks,
     explode_spans,
@@ -72,6 +72,75 @@ def extract_spans(
     blocks = reconstruct_blocks(lines)
     chunks = chunk_blocks(blocks, cfg)
     return interleave(chunks, lines)
+
+
+def process_documents(
+    spans_df: DataFrame, cfg: ExtractConfig = ExtractConfig(), mode: str = "hybrid"
+) -> DataFrame:
+    """ProcessingResult-shaped per-document report (reference
+    src/utils/processing_result.py:9-26 — the reference never throws, it
+    accumulates): success flag, chunk/media counts, content-loss pct and
+    warnings as COLUMNS. Input-side and output-side aggregates joined on
+    doc_id; loss compares non-whitespace chars of input text spans vs
+    emitted chunks (chunk overlap can make this negative — floored at 0)."""
+    nonspace = lambda c: F.length(F.regexp_replace(c, r"\s", ""))
+    span = F.explode("spans").alias("s")
+    inp = (
+        spans_df.select("doc_id", span)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans_in"),
+            F.sum((F.col("s.kind") == "text").cast("long")).alias("n_text_lines_in"),
+            F.sum(
+                F.when(F.col("s.kind") == "text", nonspace(F.coalesce(F.col("s.text"), F.lit("")))).otherwise(0)
+            ).alias("in_nonspace"),
+            F.sum(
+                (F.col("s.kind").isin("text", "page_marker", *MEDIA_KINDS) == False).cast("long")  # noqa: E712
+            ).alias("n_unknown_kinds"),
+        )
+    )
+    out = (
+        extract_spans(spans_df, cfg, mode=mode)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("kind") == "text").cast("long")).alias("n_chunks"),
+            F.sum((F.col("kind") != "text").cast("long")).alias("n_media"),
+            F.sum(
+                F.when(F.col("kind") == "text", nonspace(F.col("text"))).otherwise(0)
+            ).alias("out_nonspace"),
+        )
+    )
+    j = inp.join(out, "doc_id", "left").fillna(
+        0, subset=["n_chunks", "n_media", "out_nonspace"]
+    )
+    loss = F.when(
+        F.col("in_nonspace") > 0,
+        F.greatest(
+            F.round((F.lit(1.0) - F.col("out_nonspace") / F.col("in_nonspace")) * 100, 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    j = j.withColumn("loss_pct", loss)
+    warnings = F.array_compact(
+        F.array(
+            F.when(
+                F.col("loss_pct") > 10.0,
+                F.concat(F.lit("Significant content loss detected: "), F.col("loss_pct"), F.lit("%")),
+            ),
+            F.when(F.col("n_chunks") == 0, F.lit("document produced no chunks")),
+            F.when(F.col("n_unknown_kinds") > 0, F.lit("unknown span kinds ignored")),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_spans_in",
+        "n_text_lines_in",
+        "n_chunks",
+        "n_media",
+        "loss_pct",
+        warnings.alias("warnings"),
+        ((F.col("n_chunks") > 0) | (F.col("n_media") > 0)).alias("success"),
+    )
 
 
 def extract_arrays(

@@ -57,6 +57,12 @@ def _extract(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _process_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extract import process_documents
+
+    return process_documents(_span_corpus(spark, sf_dir))
+
+
 def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.extraction import (
         chunk_blocks,
@@ -107,6 +113,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- span extraction pipeline (rows-only: fold semantics not
     #     SQL-expressible; parity enforced by tests/ vs the Python oracle) ---
     "extract_staged": _extract("staged"),
+    "process_documents": lambda s, d: _process_documents(s, d),
     "extract_fused": _extract("fused"),
     "chunk_table": _chunk_table,
     "boilerplate_flags": _boilerplate_flags,
