@@ -37,9 +37,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
-from pdf_extraction_and_query_spark.sources.session import get_spark
+from pyspark.sql import SparkSession
 from pdf_extraction_and_query_spark.plans.extract import extract_spans
-spark = get_spark(master="local[{cores}]", shuffle_partitions=max({cores}, 32))
+from pdf_extraction_and_query_spark.sources.packaging import attach_package
+if {executors}:
+    # real separate executor JVMs: the faithful N-vs-4N-EXECUTOR simulation
+    spark = (SparkSession.builder
+        .master("local-cluster[{n_exec},{cores_per_exec},4096]")
+        .appName("scaling")
+        .config("spark.executor.memory", "3g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    attach_package(spark)
+else:
+    from pdf_extraction_and_query_spark.sources.session import get_spark
+    spark = get_spark(master="local[{cores}]", shuffle_partitions=max({cores}, 32))
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet({corpus!r})
 n_docs = df.count()
@@ -50,7 +68,7 @@ for _ in range({runs}):
     rows = extract_spans(df, mode={mode!r}).count()
     w = time.monotonic() - t0
     best = w if best is None else min(best, w)
-print(json.dumps({{"cores": {cores}, "wall_sec": round(best, 2),
+print(json.dumps({{"cores": {cores}, "executors": {n_exec} if {executors} else None, "wall_sec": round(best, 2),
                   "n_docs": n_docs, "rows": rows,
                   "docs_per_sec": round(n_docs / best, 2)}}))
 spark.stop()
@@ -92,8 +110,15 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
-def run_level(corpus: str, cores: int, mode: str, runs: int) -> dict:
-    code = _WORKER.format(repo=REPO, cores=cores, corpus=corpus, mode=mode, runs=runs)
+def run_level(
+    corpus: str, cores: int, mode: str, runs: int,
+    executors: bool = False, cores_per_exec: int = 4,
+) -> dict:
+    n_exec = max(1, cores // cores_per_exec)
+    code = _WORKER.format(
+        repo=REPO, cores=cores, corpus=corpus, mode=mode, runs=runs,
+        executors=executors, n_exec=n_exec, cores_per_exec=cores_per_exec,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -106,21 +131,28 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
     ap.add_argument("--mode", default="hybrid")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--executors", action="store_true",
+                    help="use local-cluster[N,4,*] (separate executor JVMs) "
+                         "instead of local[cores]")
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
-    cal_lo = cpu_calibration(args.n)
-    cal_hi = cpu_calibration(args.n * 4)
+    cal_lo = cpu_calibration(args.n * (4 if args.executors else 1))
+    cal_hi = cpu_calibration(args.n * 4 * (4 if args.executors else 1))
     hw_ceiling = (cal_hi / cal_lo) / 4.0
 
-    lo = run_level(corpus, args.n, args.mode, args.runs)
-    hi = run_level(corpus, args.n * 4, args.mode, args.runs)
+    cpe = 4 if args.executors else 1
+    lo = run_level(corpus, args.n * cpe, args.mode, args.runs,
+                   executors=args.executors)
+    hi = run_level(corpus, args.n * 4 * cpe, args.mode, args.runs,
+                   executors=args.executors)
     assert lo["rows"] == hi["rows"], "same input must give same output rows"
 
     speedup = lo["wall_sec"] / hi["wall_sec"]
     efficiency = speedup / 4.0
     result = {
         "mode": args.mode,
+        "unit": "executors(4 cores each)" if args.executors else "cores",
         "n_docs": lo["n_docs"],
         "out_rows": lo["rows"],
         "levels": [lo, hi],
@@ -134,11 +166,13 @@ def main() -> None:
 
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## scaling run (mode={args.mode}, {lo['n_docs']} docs, "
+            f"\n## scaling run (mode={args.mode}, "
+            f"{'N vs 4N EXECUTORS via local-cluster, ' if args.executors else ''}"
+            f"{lo['n_docs']} docs, "
             f"{lo['rows']} output spans, best of {args.runs})\n\n"
             f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
-            f"| local[{args.n}] | {lo['wall_sec']} | {lo['docs_per_sec']} |\n"
-            f"| local[{args.n * 4}] | {hi['wall_sec']} | {hi['docs_per_sec']} |\n\n"
+            f"| {f'{args.n} executors x4' if args.executors else f'local[{args.n}]'} | {lo['wall_sec']} | {lo['docs_per_sec']} |\n"
+            f"| {f'{args.n * 4} executors x4' if args.executors else f'local[{args.n * 4}]'} | {hi['wall_sec']} | {hi['docs_per_sec']} |\n\n"
             f"speedup N->4N: **{speedup:.2f}x**; scaling efficiency "
             f"**{efficiency:.3f}** (target >= 0.8). Pure-CPU calibration of "
             f"this box at the same two levels sustains {hw_ceiling:.2f} "
