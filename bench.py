@@ -65,6 +65,21 @@ def main() -> None:
         "extract_staged": round(staged_sec, 3),
         "extract_fused": round(fused_sec, 3),
     }
+
+    # the skewed synthetic span corpus (1-page memos .. 400-page reports —
+    # the north-rule workload; see BENCH.md for the full scaling study)
+    synth_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "bench_synth_25600.parquet"
+    )
+    if not os.path.exists(synth_path):
+        from pdf_extraction_and_query_spark.sources.corpus import synth_docs_df
+
+        synth_docs_df(spark, 25600, seed=42).write.parquet(synth_path)
+    synth = spark.read.parquet(synth_path)
+    n_synth = synth.count()
+    extract_spans(synth, mode="hybrid").count()  # warm
+    synth_sec, synth_rows = timed(lambda: extract_spans(synth, mode="hybrid").count())
+    query_times["extract_hybrid_synth_skewed"] = round(synth_sec, 3)
     for name in (
         "clean_text",
         "token_counts",
@@ -107,6 +122,9 @@ def main() -> None:
                 "docs_per_sec_staged": round(n_docs / staged_sec, 1),
                 "out_rows": hybrid_rows,
                 "modes_agree": hybrid_rows == staged_rows == fused_rows,
+                "synth_skewed_n_docs": n_synth,
+                "synth_skewed_docs_per_sec": round(n_synth / synth_sec, 1),
+                "synth_skewed_out_rows": synth_rows,
                 "cpus": CPUS,
             }
         )
