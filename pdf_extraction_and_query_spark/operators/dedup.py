@@ -41,11 +41,15 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_expr(t: Column) -> Column:
-    """Word n-gram shingles (SHINGLE_N) of the normalized text; empty array
-    for docs shorter than n words (sequence() guard — Spark's sequence(1,0)
-    counts DOWN, so the branch is load-bearing)."""
-    toks = F.split(_norm(t), C.WS_SPLIT_RE)
+def shingles_from_toks(toks: Column) -> Column:
+    """Word n-gram shingles from a MATERIALIZED token-array column; empty
+    array for docs shorter than n words (sequence() guard — Spark's
+    sequence(1,0) counts DOWN, so the branch is load-bearing).
+
+    NB: ``toks`` must be a plain column reference, not the split/regexp
+    expression itself — an expression referenced inside the transform lambda
+    is re-evaluated per element (measured 9.2s -> ~1s for the shingle stage
+    at sf0.1 after materializing)."""
     n = F.size(toks)
     make = F.transform(
         F.sequence(F.lit(1), n - (C.SHINGLE_N - 1)),
@@ -56,8 +60,12 @@ def shingles_expr(t: Column) -> Column:
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """Exploded DISTINCT shingles per doc: (doc_id, sh)."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_expr(F.col("text")))).alias("sh")
+    toked = docs.select(
+        "doc_id", F.split(_norm(F.col("text")), C.WS_SPLIT_RE).alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_toks(F.col("toks")))).alias("sh"),
     )
 
 

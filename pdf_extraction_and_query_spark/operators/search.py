@@ -211,6 +211,39 @@ def ivf_topk(
     )
 
 
+def vector_topk_filtered(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    source: str = "src1",
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Search with a document filter (reference: optional document_id filter,
+    src/vector_store/pgvector_client.py:199-201, generalized to a metadata
+    predicate): candidates restricted via broadcast semi-join on the
+    filtered documents before scoring — the filter prunes the scan BEFORE
+    any distance work."""
+    allowed = documents.where(F.col("source") == source).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    cand = embeddings.join(F.broadcast(allowed), "vec_id", "semi")
+    scored = cand.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).crossJoin(
+        F.broadcast(
+            embeddings.where(F.col("vec_id") == query_vec_id).select(
+                fixed_point_vec(F.col("embedding")).alias("qv")
+            )
+        )
+    ).select("vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12"))
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
     """Deterministic stub embedder (the sentence-transformers operator
     interface, src/embeddings/sentence_transformer_embedder.py:85-164,
@@ -219,18 +252,29 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
     so cosine == dot."""
     from .textstats import poly_hash
 
+    # comps/nrm are materialized as columns between selects — an expression
+    # referenced inside a transform() lambda re-evaluates per element
     norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), C.WS_SPLIT_RE, " "))
-    fp = poly_hash(norm_text)
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: ((fp * 31 + i) % 1009 - 504).cast("double"),
+    staged = docs.select("doc_id", poly_hash(norm_text).alias("fp"))
+    staged = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("fp") * 31 + i) % 1009 - 504).cast("double"),
+        ).alias("comps"),
     )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(comps, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    staged = staged.select(
+        "doc_id",
+        "comps",
+        F.sqrt(
+            F.aggregate(
+                F.transform("comps", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
     )
-    unit = F.transform(comps, lambda x: F.round(x / nrm, 6))
-    return docs.select("doc_id", unit.alias("embedding"))
+    return staged.select(
+        "doc_id",
+        F.transform("comps", lambda x: F.round(x / F.col("nrm"), 6)).alias("embedding"),
+    )

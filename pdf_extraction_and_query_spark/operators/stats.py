@@ -27,6 +27,21 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def delete_documents(documents: DataFrame, spark=None) -> DataFrame:
+    """Bulk delete by id list (reference: pgvector_client.py:318-348 IN-list
+    delete; :285-316 cascade) — expressed as an ANTI-join against the
+    broadcast delete list, the overwrite-table pattern for immutable
+    storage. Delete list here: every 7th doc (deterministic)."""
+    from pyspark.sql import functions as F
+
+    session = spark or documents.sparkSession
+    ids = session.range(0, 10_000, 7).select(F.col("id").alias("doc_id"))
+    return (
+        documents.join(F.broadcast(ids), "doc_id", "anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user event stream split at inactivity gaps >
     ``gap_minutes`` — lag window + running sum of session starts (the

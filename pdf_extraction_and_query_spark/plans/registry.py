@@ -75,6 +75,21 @@ def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_blocks(reconstruct_blocks(lines))
 
 
+def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks-per-doc corpus stats (the reference's README headline numbers,
+    evaluation/CHUNKING_COMPARISON_RESULTS.md:44-45)."""
+    from pyspark.sql import functions as F
+
+    per_doc = _chunk_table(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.avg(F.length("text")).alias("avg_len")
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_chunks"),
+        F.round(F.sum("n") / F.count("*"), 4).alias("avg_chunks_per_doc"),
+    )
+
+
 def _boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -103,6 +118,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
+    "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
+    "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
     "similarity_buckets": lambda s, d: S.similarity_buckets(_emb(s, d)),
     "paginate": lambda s, d: S.paginate_documents(_docs(s, d)),
@@ -116,6 +133,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "process_documents": lambda s, d: _process_documents(s, d),
     "extract_fused": _extract("fused"),
     "chunk_table": _chunk_table,
+    "chunk_stats": lambda s, d: _chunk_stats(s, d),
     "boilerplate_flags": _boilerplate_flags,
 }
 
@@ -414,6 +432,18 @@ SELECT user_id, cast(session_id as bigint) AS session_id,
        cast(floor(epoch(min(ts))) as bigint) AS start_epoch,
        cast(floor(epoch(max(ts))) as bigint) AS end_epoch
 FROM z GROUP BY 1, 2""",
+    "vector_topk_filtered": f"""
+WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE source = 'src1'),
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM allowed)),
+s AS (SELECT vec_id, {_DOT} AS dot_e12 FROM c, q)
+SELECT vec_id, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "delete_documents": """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT unnest(generate_series(0, 9999, 7)))""",
     "similarity_buckets": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
