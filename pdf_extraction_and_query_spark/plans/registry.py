@@ -63,7 +63,8 @@ def _process_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return process_documents(_span_corpus(spark, sf_dir))
 
 
-def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunk_table(spark: SparkSession, sf_dir: str, section_aware: bool = True) -> DataFrame:
+    from ..core.docpipe import ExtractConfig
     from ..operators.extraction import (
         chunk_blocks,
         explode_spans,
@@ -72,7 +73,8 @@ def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lines = flag_boilerplate(explode_spans(_span_corpus(spark, sf_dir)))
-    return chunk_blocks(reconstruct_blocks(lines))
+    cfg = ExtractConfig(use_section_awareness=section_aware)
+    return chunk_blocks(reconstruct_blocks(lines), cfg)
 
 
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,6 +135,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "process_documents": lambda s, d: _process_documents(s, d),
     "extract_fused": _extract("fused"),
     "chunk_table": _chunk_table,
+    "chunk_table_simple": lambda s, d: _chunk_table(s, d, section_aware=False),
     "chunk_stats": lambda s, d: _chunk_stats(s, d),
     "boilerplate_flags": _boilerplate_flags,
 }
