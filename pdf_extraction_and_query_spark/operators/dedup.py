@@ -159,19 +159,44 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup candidates: pairs with hamming(simhash_a, simhash_b) <= d.
-    Quadratic self-join — the small-scale oracle; at scale, block on bit
-    bands first (same trick as minhash_band_pairs)."""
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= d, via pigeonhole
+    band blocking instead of a quadratic cross join: the SIMHASH_BITS word is
+    cut into ``max_hamming + 1`` bands — a pair within hamming d differs in
+    at most d bands, so at least one band matches exactly. Equi-join per
+    band on (band_idx, band_val), dedupe candidates, then the exact hamming
+    filter. Output is provably identical to the cross join; the DuckDB
+    oracle keeps the quadratic formulation and the parity test enforces the
+    equivalence."""
     s = simhash(docs)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
-    return (
-        a.crossJoin(b)
+    n_bands = max_hamming + 1
+    width = (C.SIMHASH_BITS + n_bands - 1) // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * width).bitwiseAND(mask).alias("val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bv = s.select("doc_id", "simhash", F.explode(bands).alias("bv")).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bv.alias("a"), bv.alias("b")
+    cands = (
+        a.join(b, ["band", "val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("long").alias("hamming"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cands.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )

@@ -251,16 +251,25 @@ def chunk_blocks(blocks_df: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> 
     )
 
     def do_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("offset")
+        from itertools import groupby
+
         doc_id = pdf["doc_id"].iloc[0]
+        rows = sorted(
+            zip(
+                pdf["seg"].tolist(),
+                pdf["offset"].tolist(),
+                pdf["text"].tolist(),
+                pdf["is_likely_header"].tolist(),
+            )
+        )
         out = {k: [] for k in (
             "seg", "chunk_seq", "text", "chunk_size", "section", "subsection",
             "subsubsection", "section_hierarchy", "chunk_part", "is_split_chunk",
         )}
-        for seg, sub in pdf.groupby("seg", sort=True):
+        for seg, seg_rows in groupby(rows, key=lambda r: r[0]):
             blocks = [
                 {"text": t, "is_likely_header": bool(h)}
-                for t, h in zip(sub["text"], sub["is_likely_header"])
+                for (_, _, t, h) in seg_rows
             ]
             marked = blocks_to_marked_text(blocks)
             cleaned, _ = clean(marked, validate=False)
