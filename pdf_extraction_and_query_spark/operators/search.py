@@ -255,9 +255,12 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
     # comps/nrm are materialized as columns between selects — an expression
     # referenced inside a transform() lambda re-evaluates per element
     norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), C.WS_SPLIT_RE, " "))
-    staged = docs.select("doc_id", poly_hash(norm_text).alias("fp"))
+    staged = docs.select(
+        "doc_id", norm_text.alias("norm"), poly_hash(norm_text).alias("fp")
+    )
     staged = staged.select(
         "doc_id",
+        "norm",
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: ((F.col("fp") * 31 + i) % 1009 - 504).cast("double"),
@@ -265,6 +268,7 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
     )
     staged = staged.select(
         "doc_id",
+        "norm",
         "comps",
         F.sqrt(
             F.aggregate(
@@ -274,7 +278,11 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
             )
         ).alias("nrm"),
     )
+    # empty text -> zero vector, never a model call (reference contract:
+    # src/embeddings/sentence_transformer_embedder.py:95-97, 126-137)
+    zero = F.array_repeat(F.lit(0.0), dim)
+    unit = F.transform("comps", lambda x: F.round(x / F.col("nrm"), 6))
     return staged.select(
         "doc_id",
-        F.transform("comps", lambda x: F.round(x / F.col("nrm"), 6)).alias("embedding"),
+        F.when(F.col("norm") == "", zero).otherwise(unit).alias("embedding"),
     )

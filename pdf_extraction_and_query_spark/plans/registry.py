@@ -125,6 +125,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
     "similarity_buckets": lambda s, d: S.similarity_buckets(_emb(s, d)),
     "paginate": lambda s, d: S.paginate_documents(_docs(s, d)),
+    # point lookup (reference: pgvector_client.py get_document / the N+1
+    # enrichment target) — predicate pushed to the parquet scan
+    "get_document": lambda s, d: _docs(s, d).where("doc_id = 42").select(
+        "doc_id", "lang", "source", "n_chars"
+    ),
     # --- stats (SQL-verified) ---
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
@@ -353,13 +358,17 @@ WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {C.SIMHASH_MAX_HAMMING}""",
     "stub_embed": f"""
 WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
-f AS (SELECT doc_id, {_poly('norm')} AS fp FROM n),
-c AS (SELECT doc_id, {_STUB_COMPS} AS comps FROM f)
+f AS (SELECT doc_id, norm, {_poly('norm')} AS fp FROM n),
+c AS (SELECT doc_id, norm, {_STUB_COMPS} AS comps FROM f)
 SELECT doc_id,
-       list_transform(comps,
-         x -> round(x / sqrt(cast(list_sum(list_transform(comps, y -> y * y)) as double)), 6)
-       ) AS embedding
+       CASE WHEN norm = ''
+            THEN list_transform(generate_series(1, {C.EMBED_DIM}), i -> 0.0)
+            ELSE list_transform(comps,
+              x -> round(x / sqrt(cast(list_sum(list_transform(comps, y -> y * y)) as double)), 6))
+       END AS embedding
 FROM c""",
+    "get_document": """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
     "vector_topk": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
