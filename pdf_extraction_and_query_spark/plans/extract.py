@@ -74,6 +74,12 @@ def extract_spans(
     return interleave(chunks, lines)
 
 
+# validation guard: the reference rejects oversize inputs at ingest
+# (src/utils/validators.py:39-52, max file size); the span-table analog is a
+# per-document span-count ceiling, surfaced as a warning (never an exception)
+MAX_SPANS_PER_DOC = 500_000
+
+
 def process_documents(
     spans_df: DataFrame, cfg: ExtractConfig = ExtractConfig(), mode: str = "hybrid"
 ) -> DataFrame:
@@ -129,6 +135,10 @@ def process_documents(
             ),
             F.when(F.col("n_chunks") == 0, F.lit("document produced no chunks")),
             F.when(F.col("n_unknown_kinds") > 0, F.lit("unknown span kinds ignored")),
+            F.when(
+                F.col("n_spans_in") > MAX_SPANS_PER_DOC,
+                F.lit("document exceeds span limit"),
+            ),
         )
     )
     return j.select(

@@ -72,9 +72,16 @@ def _chunk_table(spark: SparkSession, sf_dir: str, section_aware: bool = True) -
         reconstruct_blocks,
     )
 
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     lines = flag_boilerplate(explode_spans(_span_corpus(spark, sf_dir)))
     cfg = ExtractConfig(use_section_awareness=section_aware)
-    return chunk_blocks(reconstruct_blocks(lines), cfg)
+    chunks = chunk_blocks(reconstruct_blocks(lines), cfg)
+    # doc-global chunk_index (reference chunks table: ORDER BY chunk_index
+    # per document, src/vector_store/schema.py:64, pgvector_client.py:273)
+    w = Window.partitionBy("doc_id").orderBy("seg", "chunk_seq")
+    return chunks.withColumn("chunk_index", (F.row_number().over(w) - 1).cast("long"))
 
 
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
