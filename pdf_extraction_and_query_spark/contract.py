@@ -65,6 +65,9 @@ SIMHASH_MAX_HAMMING = 2
 
 # --- near-dup thresholds ---
 JACCARD_THRESHOLD = 0.20
+# stop-shingle pruning: shingles in more docs than this carry no dedup
+# signal but cost f^2 join rows each
+STOP_SHINGLE_MAX_DOCS = 10
 
 # --- embedding / search ---
 EMBED_DIM = 64

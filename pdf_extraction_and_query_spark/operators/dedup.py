@@ -17,7 +17,7 @@ DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import contract as C
@@ -93,6 +93,37 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
             "inter",
             F.round(jac, 6).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= C.JACCARD_THRESHOLD)
+    )
+
+
+def ngram_jaccard_pruned(
+    docs: DataFrame, max_docs_per_shingle: int = C.STOP_SHINGLE_MAX_DOCS
+) -> DataFrame:
+    """Jaccard pairs over NON-UBIQUITOUS shingles: shingles appearing in more
+    than ``max_docs_per_shingle`` documents are dropped BEFORE the pair join
+    (standard stop-shingle pruning — a hot shingle shared by f docs alone
+    contributes f^2 join rows while carrying no dedup signal). Semantics:
+    Jaccard over the pruned shingle sets (denominators recomputed after
+    pruning) — both engines apply the identical rule."""
+    sh = doc_shingles(docs)
+    w_freq = Window.partitionBy("sh")
+    kept = sh.withColumn("df", F.count("*").over(w_freq)).where(
+        F.col("df") <= max_docs_per_shingle
+    ).drop("df")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "inter", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= C.JACCARD_THRESHOLD)
     )
 

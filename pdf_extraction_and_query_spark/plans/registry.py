@@ -119,6 +119,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- dedup (SQL-verified) ---
     "exact_dedup": lambda s, d: D.exact_dup_groups(_docs(s, d)),
     "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+    "ngram_jaccard_pruned": lambda s, d: D.ngram_jaccard_pruned(_docs(s, d)),
     "minhash_lsh_pairs": lambda s, d: D.minhash_band_pairs(_docs(s, d)),
     "simhash": lambda s, d: D.simhash(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
@@ -341,6 +342,24 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cast(inter as bigint) AS inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {C.JACCARD_THRESHOLD}""",
+    "ngram_jaccard_pruned": f"""
+WITH {_SH_CTE},
+kept AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+  WHERE df <= {C.STOP_SHINGLE_MAX_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, cast(inter as bigint) AS inter,
