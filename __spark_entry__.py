@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
         spans_table_from_documents,
     )
 
-    return extract_spans(spans_table_from_documents(spark, SMOKE_SF_DIR))
+    return extract_spans(spans_table_from_documents(spark, SMOKE_SF_DIR), mode="hybrid")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
