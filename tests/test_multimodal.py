@@ -51,12 +51,16 @@ def test_media_table_and_features(media_env, spark):
 
 def test_resize_updates_dimensions_only_for_images(media_env):
     _, media = media_env
+    before = {
+        r["media_ref"]: (r["width"], r["height"])
+        for r in extract_features(media).collect()
+    }
     resized = extract_features(resize_images(media, 224, 224)).collect()
     for r in resized:
         if r["modality"] == "image":
             assert (r["width"], r["height"]) == (224, 224)
-        else:
-            assert (r["width"], r["height"]) != (224, 224) or True  # videos untouched
+        else:  # non-images pass through byte-identical
+            assert (r["width"], r["height"]) == before[r["media_ref"]]
 
 
 def test_frame_sampling(media_env):

@@ -85,3 +85,22 @@ def test_traits_covered(corpus):
 
 def test_oracle_output_is_nonempty(oracle_out):
     assert sum(len(v) for v in oracle_out.values()) > N_DOCS
+
+
+def test_extract_arrays_shape(spark, corpus, oracle_out):
+    """Per-document array form (doc_id, out array<struct<order,kind,text,
+    media_ref>>) — the FIXTURES.md §2 equality shape."""
+    from pdf_extraction_and_query_spark.plans.extract import extract_arrays
+
+    df = docs_to_df(spark, corpus)
+    rows = extract_arrays(df, CFG, mode="hybrid").collect()
+    got = {
+        r["doc_id"]: [
+            (o["order"], o["kind"], o["text"], o["media_ref"]) for o in r["out"]
+        ]
+        for r in rows
+    }
+    nonempty = {d: v for d, v in oracle_out.items() if v}
+    assert set(got) == set(nonempty)
+    for doc_id, expected in nonempty.items():
+        assert got[doc_id] == expected, doc_id
