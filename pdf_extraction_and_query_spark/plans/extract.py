@@ -56,6 +56,9 @@ def extract_spans(
     north rule asks for — the long tail of small docs streams through the
     narrow path while oversized docs get intra-document page parallelism;
     per-doc outputs are identical on every path, so the union is safe)."""
+    from ..sources.packaging import ensure_shipped
+
+    ensure_shipped(spans_df.sparkSession)
     if mode == "fused":
         return fused_extract(spans_df, cfg)
     if mode == "hybrid":

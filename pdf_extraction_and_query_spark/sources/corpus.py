@@ -264,6 +264,9 @@ def docs_to_df(
 def spans_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span corpus derived from the driver's documents.parquet (doc_id, text)
     — distributed derivation via mapInPandas, no driver-side loop."""
+    from .packaging import ensure_shipped
+
+    ensure_shipped(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
     def derive(batches):
