@@ -71,10 +71,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def events_rollup(events: DataFrame) -> DataFrame:
     """Hourly per-type rollup over the events table: count + min/max value
-    (exact aggregates only; no order-dependent float sums)."""
-    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+    (exact aggregates only; no order-dependent float sums). The hour bucket
+    is epoch arithmetic, NOT date_format — formatted timestamps depend on
+    the session timezone, and the harness session's TZ is not ours to pin."""
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     return (
-        events.groupBy(F.col("event_type"), hour.alias("hour"))
+        events.groupBy(F.col("event_type"), hour.alias("hour_epoch"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.min("value"), 6).alias("min_value"),

@@ -505,7 +505,7 @@ SELECT lang, source,
 FROM documents GROUP BY 1, 2""",
     "events_rollup": """
 SELECT event_type,
-       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       cast(floor(floor(epoch(ts)) / 3600) * 3600 as bigint) AS hour_epoch,
        cast(count(*) as bigint) AS n_events,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value,
