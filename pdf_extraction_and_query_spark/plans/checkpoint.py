@@ -4,9 +4,9 @@ North-rule contract (BASELINE.json): "every partition writes lineage +
 span-count metrics to a checkpoint table so a killed job resumes at
 partition granularity without recomputing completed splits."
 
-Design (parquet tables with an Iceberg-compatible layout — swap the
-``.write.parquet`` calls for ``writeTo(...).append()`` when an Iceberg
-catalog is configured):
+Design (all storage I/O goes through ``sources/tables.py`` — Iceberg when
+``SPARK_GRAFT_CATALOG`` names a configured catalog, parquet with an
+Iceberg-compatible layout otherwise):
 
   * the corpus is bucketed by ``pmod(xxhash64(doc_id), n_buckets)`` — the
     bucket is the unit of completion (stable under any input ordering);
@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.docpipe import ExtractConfig
+from ..sources import tables
 
 LEDGER_SCHEMA = T.StructType(
     [
@@ -59,7 +60,7 @@ def bucket_of(doc_id_col, n_buckets: int):
 
 def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
     try:
-        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
+        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir) if not tables._is_iceberg() else tables.read_table(spark, ledger_dir)
     except Exception:
         return spark.createDataFrame([], LEDGER_SCHEMA)
 
@@ -115,7 +116,6 @@ def run_checkpointed(
     if not todo:
         return report
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = spans_df.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
 
     waves = [
@@ -131,11 +131,11 @@ def run_checkpointed(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
         # 1) idempotent data write: replaces exactly the buckets in this wave
-        out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        tables.overwrite_partitions(out, out_dir, ["bucket"])
         # 2) per-bucket lineage/metrics, appended AFTER the data is durable
         wall = time.monotonic() - t0
         agg = (
-            spark.read.parquet(out_dir)
+            tables.read_table(spark, out_dir)
             .where(F.col("bucket").isin(wave))
             .groupBy("bucket")
             .agg(
@@ -159,7 +159,7 @@ def run_checkpointed(
             .withColumn("completed_at", F.current_timestamp())
             .select([f.name for f in LEDGER_SCHEMA.fields])
         )
-        metrics.write.mode("append").parquet(ledger_dir)
+        tables.append(metrics, ledger_dir)
         report.processed_buckets.extend(wave)
         report.waves_run += 1
 
