@@ -95,8 +95,13 @@ def main() -> None:
         "vector_topk_multi",
         "topk_enriched",
         "similarity_buckets",
+        "search_response",
+        "eval_by_category",
         "doc_stats",
         "events_rollup",
+        "boilerplate_flags",
+        "doc_meta",
+        "chunk_invariants",
     ):
         sec, _ = timed(lambda n=name: QUERIES[n](spark, SF_DIR).count())
         query_times[name] = round(sec, 3)

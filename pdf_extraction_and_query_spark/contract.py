@@ -82,3 +82,21 @@ SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
 # --- pagination (reference: pgvector_client.py:350-377) ---
 PAGE_LIMIT = 20
 PAGE_OFFSET = 10
+
+# --- search response shaping (reference: scripts/query_documents.py:127-164:
+#     250-char content preview + similarity label on each hit) ---
+PREVIEW_CHARS = 250
+
+# --- driver-corpus span derivation (sources/corpus.spans_from_text) ---
+# The lift from documents.text to the interleaved span schema is pure
+# word-index arithmetic (fixed words per line, lines per page, figure
+# cadence, one repeated footer per page) so that every STRUCTURAL count —
+# lines, pages, figures, footers, their text — is exactly expressible in
+# ANSI SQL. That is what lets the DuckDB oracle pair span-derived queries
+# (boilerplate_flags, doc_meta, processing_report, cascade_delete) instead
+# of leaving the whole span surface rows-only.
+CORPUS_WORDS_PER_LINE = 4
+CORPUS_LINES_PER_PAGE = 4
+CORPUS_FIG_EVERY = 7  # a figure span precedes line i when i % EVERY == PHASE
+CORPUS_FIG_PHASE = 3
+CORPUS_FOOTER_PREFIX = "Confidential - Corp "  # + doc_id + " - page " + page

@@ -244,20 +244,109 @@ def vector_topk_filtered(
     )
 
 
-def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
-    """Deterministic stub embedder (the sentence-transformers operator
-    interface, src/embeddings/sentence_transformer_embedder.py:85-164,
-    with a hash-derived unit vector instead of a model — model weights are
-    out of sandbox scope). L2-normalized like the reference (normalize=True)
-    so cosine == dot."""
+def search_response(
+    embeddings: DataFrame, documents: DataFrame, k: int = C.TOPK, query_vec_id: int = 0
+) -> DataFrame:
+    """Response shaping (scripts/query_documents.py:127-164): each hit
+    carries a ``PREVIEW_CHARS``-char content preview and a cosine similarity
+    label. Ranking stays on the exact integer dot product (the same order
+    pgvector's distance ORDER BY produces for the stored metric); the
+    similarity column is display surface, computed from the same integers
+    through IEEE-deterministic sqrt/divide."""
+    scored = with_query(embeddings, query_vec_id).select(
+        "vec_id",
+        _dot(F.col("ev"), F.col("qv")).alias("dot_e12"),
+        F.round(
+            _dot(F.col("ev"), F.col("qv"))
+            / (F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv")))),
+            6,
+        ).alias("similarity"),
+    )
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    hits = (
+        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return (
+        documents.join(F.broadcast(hits), documents["doc_id"] == hits["vec_id"])
+        .select(
+            "rank",
+            "vec_id",
+            "similarity",
+            F.substring("text", 1, C.PREVIEW_CHARS).alias("preview"),
+        )
+    )
+
+
+def eval_by_category(
+    embeddings: DataFrame, documents: DataFrame, n_queries: int = C.MULTI_QUERY_N
+) -> DataFrame:
+    """Evaluation-harness aggregates (scripts/analyze_results.py:40-60,
+    evaluate_queries.py:225-231): batch-search hits grouped by the matched
+    document's category with per-category hit count, query coverage, and
+    mean/max score. Means are ratios of exact integers (deterministic)."""
+    hits = vector_topk_multi(embeddings, n_queries=n_queries)
+    joined = documents.join(
+        F.broadcast(hits), documents["doc_id"] == hits["vec_id"]
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_hits"),
+        F.count_distinct("q_id").alias("n_queries"),
+        F.round(F.sum("dot_e12") / F.count("*"), 4).alias("avg_dot_e12"),
+        F.max("dot_e12").alias("max_dot_e12"),
+    )
+
+
+def stub_embed_components(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
+    """Driver-comparable surface for :func:`stub_embed`: the embedding
+    exploded to (doc_id, dim_i, comp_e6) scalar rows — fixed-point int64
+    components so the frame is sortable/hashable by any canonicalizer
+    (array-typed output columns break frame-sort comparison).
+
+    Plan shape matters here (both measured at 5k docs):
+      * posexplode_OUTER, not posexplode — the non-outer form triggers
+        Catalyst's InferFiltersFromGenerate, which prepends a
+        ``size(...) > 0`` Filter re-inlining the whole embedding expression
+        tree as an interpreted predicate (minutes, not seconds);
+      * normalize AFTER the Generate — ``nrm`` captured inside the unit
+        transform's lambda re-evaluates its aggregate per array element
+        (CollapseProject re-inlines a once-referenced alias); as a Generate
+        input attribute it is materialized once per document.
+    """
+    staged = _stub_embed_staged(docs, dim)
+    ex = staged.select(
+        "doc_id", "norm", "nrm", F.posexplode_outer("comps").alias("dim_i", "comp")
+    )
+    unit_e6 = _e6(F.round(F.col("comp") / F.col("nrm"), 6))
+    return ex.select(
+        "doc_id",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.when(F.col("norm") == "", F.lit(0).cast("long"))
+        .otherwise(unit_e6)
+        .alias("comp_e6"),
+    )
+
+
+def _stub_embed_staged(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
+    """(doc_id, norm, comps, nrm) — raw hash-derived components plus the L2
+    norm as a scalar column. comps/nrm are materialized between selects —
+    an expression referenced inside a transform() lambda re-evaluates per
+    element."""
     from .textstats import poly_hash
 
-    # comps/nrm are materialized as columns between selects — an expression
-    # referenced inside a transform() lambda re-evaluates per element
     norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), C.WS_SPLIT_RE, " "))
     staged = docs.select(
         "doc_id", norm_text.alias("norm"), poly_hash(norm_text).alias("fp")
     )
+    # REAL materialization barrier for fp: CollapseProject re-inlines any
+    # once-referenced alias into its consumer — here into the comps
+    # transform's lambda, where the poly-hash aggregate would re-evaluate
+    # PER ELEMENT (64 x |text| per doc; measured ~20s for 5k docs vs ~2s
+    # with the barrier). Projection tricks don't survive the
+    # ColumnPruning+CollapseProject fixpoint; an exchange does.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    staged = staged.repartition(n_part, "doc_id")
     staged = staged.select(
         "doc_id",
         "norm",
@@ -266,7 +355,7 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
             lambda i: ((F.col("fp") * 31 + i) % 1009 - 504).cast("double"),
         ).alias("comps"),
     )
-    staged = staged.select(
+    return staged.select(
         "doc_id",
         "norm",
         "comps",
@@ -278,6 +367,15 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
             )
         ).alias("nrm"),
     )
+
+
+def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
+    """Deterministic stub embedder (the sentence-transformers operator
+    interface, src/embeddings/sentence_transformer_embedder.py:85-164,
+    with a hash-derived unit vector instead of a model — model weights are
+    out of sandbox scope). L2-normalized like the reference (normalize=True)
+    so cosine == dot."""
+    staged = _stub_embed_staged(docs, dim)
     # empty text -> zero vector, never a model call (reference contract:
     # src/embeddings/sentence_transformer_embedder.py:95-97, 126-137)
     zero = F.array_repeat(F.lit(0.0), dim)

@@ -42,6 +42,34 @@ def delete_documents(documents: DataFrame, spark=None) -> DataFrame:
     )
 
 
+def cascade_delete(documents: DataFrame, spans_df: DataFrame) -> DataFrame:
+    """Cascade delete (reference: pgvector_client.py:285-316 deletes
+    documents AND their chunks in one transaction): the SAME broadcast delete
+    list anti-joined against every dependent table — here the documents table
+    and the span-derived media table. Output: surviving docs with their
+    surviving media count (cross-table evidence the cascade hit both sides).
+    Delete list: every 7th doc id, matching :func:`delete_documents`."""
+    from ..core.docpipe import MEDIA_KINDS
+    from .extraction import explode_spans
+
+    session = documents.sparkSession
+    ids = session.range(0, 10_000, 7).select(F.col("id").alias("doc_id"))
+    kept_docs = documents.join(F.broadcast(ids), "doc_id", "anti")
+    kept_media = (
+        explode_spans(spans_df)
+        .where(F.col("kind").isin(*MEDIA_KINDS))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(F.broadcast(ids), "doc_id", "anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_media"))
+    )
+    return kept_docs.join(kept_media, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user event stream split at inactivity gaps >
     ``gap_minutes`` — lag window + running sum of session starts (the

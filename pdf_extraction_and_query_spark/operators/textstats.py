@@ -25,7 +25,9 @@ def marked_raw(doc_id: Column, text: Column) -> Column:
     Same recipe as the oracle's ``MARKED_RAW_SQL``."""
     nl = F.lit("\n")
     page_no = (doc_id % 90 + 1).cast("string")
-    body = F.expr("replace(text, ' table ', concat('  table', char(10), char(10), char(10), char(10), ' ')) ")
+    # built from the PASSED column (an F.expr body would hard-code the
+    # column name and silently ignore a differently-named input)
+    body = F.replace(text, F.lit(" table "), F.lit("  table\n\n\n\n "))
     return F.concat(
         F.lit("--- Page "), page_no, F.lit(" ---"), nl,
         F.lit("  "), body, nl, nl, nl, nl,

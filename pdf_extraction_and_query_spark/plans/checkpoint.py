@@ -130,7 +130,11 @@ def run_checkpointed(
         out = extract_spans(wave_in.drop("bucket"), cfg, mode=mode).withColumn(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
-        # 1) idempotent data write: replaces exactly the buckets in this wave
+        # 1) idempotent data write. Dynamic overwrite only replaces buckets
+        # PRESENT in the output — a bucket that legitimately yields zero rows
+        # would leave a stale half-written partition from a crashed prior
+        # attempt in place, so the wave's buckets are cleared first.
+        tables.clear_partitions(spark, out_dir, "bucket", wave)
         tables.overwrite_partitions(out, out_dir, ["bucket"])
         # 2) per-bucket lineage/metrics, appended AFTER the data is durable
         wall = time.monotonic() - t0

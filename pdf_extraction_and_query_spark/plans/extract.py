@@ -151,7 +151,9 @@ def process_documents(
         "n_chunks",
         "n_media",
         "loss_pct",
-        warnings.alias("warnings"),
+        # "|"-joined scalar, not array<string>: array-typed output columns
+        # break frame-sort canonicalization in the driver's comparator
+        F.concat_ws("|", warnings).alias("warnings"),
         ((F.col("n_chunks") > 0) | (F.col("n_media") > 0)).alias("success"),
     )
 

@@ -20,6 +20,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import contract as C
+from ..core import boilerplate as bp
 from ..operators import dedup as D
 from ..operators import search as S
 from ..operators import stats as ST
@@ -100,12 +101,98 @@ def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule repeated-line boilerplate strip over the derived span
+    corpus. Oracle-paired: the corpus derivation is word-index arithmetic
+    (contract CORPUS_* constants), so the exact flagged (doc_id, page, text)
+    set — the per-page footers of every >=min_pages-page document — is
+    reproducible in SQL."""
     from pyspark.sql import functions as F
 
     from ..operators.extraction import explode_spans, flag_boilerplate
 
     lines = flag_boilerplate(explode_spans(_span_corpus(spark, sf_dir)))
-    return lines.where(F.col("is_boiler")).select("doc_id", "offset", "page", "text")
+    return lines.where(F.col("is_boiler")).select(
+        "doc_id", F.col("page").cast("long").alias("page"), "text"
+    )
+
+
+def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document metadata surface (reference documents table:
+    src/vector_store/schema.py:19-37 page_count et al., kept current by
+    pgvector_client.py:157-171) computed from the span corpus: page count,
+    span counts, media count."""
+    from pyspark.sql import functions as F
+
+    from ..core.docpipe import MEDIA_KINDS
+    from ..operators.extraction import explode_spans
+
+    corpus = _span_corpus(spark, sf_dir)
+    sizes = corpus.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+    agg = (
+        explode_spans(corpus)
+        .groupBy("doc_id")
+        .agg(
+            F.max("page").cast("long").alias("page_count"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("n_text_spans"),
+            F.sum(F.col("kind").isin(*MEDIA_KINDS).cast("long")).alias("n_media"),
+        )
+    )
+    return sizes.join(agg, "doc_id")
+
+
+def _processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible projection of ``process_documents`` (input-side
+    span/line counts, media passthrough count, success flag) — the oracle
+    gate for the report surface; the fold-derived columns (n_chunks,
+    loss_pct, warnings) stay on the rows-only ``process_documents`` row."""
+    from .extract import process_documents
+
+    rep = process_documents(_span_corpus(spark, sf_dir))
+    return rep.select("doc_id", "n_spans_in", "n_text_lines_in", "n_media", "success")
+
+
+def _chunk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side gate for the chunker (the highest-parity-risk operator,
+    reference contract tests/unit/test_chunking.py:17-94): corpus-wide
+    invariant counters with oracle-pinned expected values — no oversize
+    chunks, chunk_size == length(text), no empty chunks, dense per-doc
+    chunk_index, and every non-empty input document represented."""
+    from pyspark.sql import functions as F
+
+    from ..core.docpipe import ExtractConfig
+
+    max_size = ExtractConfig().max_chunk_size
+    ct = _chunk_table(spark, sf_dir)
+    per_doc = ct.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.max("chunk_index").alias("mx"),
+        F.count_distinct("chunk_index").alias("nd"),
+    )
+    dens = per_doc.agg(
+        F.sum(
+            ((F.col("mx") + 1 != F.col("n")) | (F.col("nd") != F.col("n"))).cast("long")
+        ).alias("index_holes")
+    )
+    flat = ct.agg(
+        F.sum((F.col("chunk_size") > max_size).cast("long")).alias("oversize"),
+        F.sum((F.col("chunk_size") != F.length("text")).cast("long")).alias("size_mismatch"),
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias("empty_chunks"),
+        F.count_distinct("doc_id").alias("docs_with_chunks"),
+    )
+    return flat.crossJoin(dens)
+
+
+def _chunks_of_document(spark: SparkSession, sf_dir: str, doc_id: str = "42") -> DataFrame:
+    """Point lookup: all chunks of one document in reading order (reference
+    pgvector_client.py:273-275, ORDER BY chunk_index)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _chunk_table(spark, sf_dir)
+        .where(F.col("doc_id") == doc_id)
+        .select("doc_id", "chunk_index", "chunk_size", "section_hierarchy", "chunk_part")
+        .orderBy("chunk_index")
+    )
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -124,13 +211,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": lambda s, d: D.simhash(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
     # --- embedding + search (SQL-verified) ---
-    "stub_embed": lambda s, d: S.stub_embed(_docs(s, d)),
+    "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
+    "cascade_delete": lambda s, d: ST.cascade_delete(_docs(s, d), _span_corpus(s, d)),
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
+    "search_response": lambda s, d: S.search_response(_emb(s, d), _docs(s, d)),
+    "eval_by_category": lambda s, d: S.eval_by_category(_emb(s, d), _docs(s, d)),
     "similarity_buckets": lambda s, d: S.similarity_buckets(_emb(s, d)),
     "paginate": lambda s, d: S.paginate_documents(_docs(s, d)),
     # point lookup (reference: pgvector_client.py get_document / the N+1
@@ -142,6 +232,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
     "sessionize": lambda s, d: ST.sessionize(_events(s, d)),
+    # --- span-corpus surface (oracle-paired via the word-index-arithmetic
+    #     corpus derivation — contract CORPUS_* constants) ---
+    "boilerplate_flags": _boilerplate_flags,
+    "doc_meta": _doc_meta,
+    "processing_report": _processing_report,
+    "chunk_invariants": _chunk_invariants,
     # --- span extraction pipeline (rows-only: fold semantics not
     #     SQL-expressible; parity enforced by tests/ vs the Python oracle) ---
     "extract_staged": _extract("staged"),
@@ -150,7 +246,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_table": _chunk_table,
     "chunk_table_simple": lambda s, d: _chunk_table(s, d, section_aware=False),
     "chunk_stats": lambda s, d: _chunk_stats(s, d),
-    "boilerplate_flags": _boilerplate_flags,
+    "chunks_of_document": lambda s, d: _chunks_of_document(s, d),
 }
 
 
@@ -279,6 +375,33 @@ _STUB_COMPS = (
     f"i -> cast((fp * {C.HASH_BASE} + i) % 1009 - 504 as double))"
 )
 
+# structural twin of sources/corpus.spans_from_text — every count is pure
+# integer arithmetic on the document's word count (contract CORPUS_*)
+_WPL, _LPP = C.CORPUS_WORDS_PER_LINE, C.CORPUS_LINES_PER_PAGE
+_CORPUS_META = f"""
+  wd AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+           END AS n_words
+    FROM documents),
+  ln AS (
+    SELECT doc_id, n_words,
+           cast(ceil(n_words / {_WPL}.0) as bigint) AS n_lines
+    FROM wd),
+  cm AS (
+    SELECT doc_id, n_words, n_lines,
+           cast(ceil(n_lines / {_LPP}.0) as bigint) AS n_pages,
+           cast(len(list_filter(generate_series(0, n_lines - 1),
+                i -> i % {C.CORPUS_FIG_EVERY} = {C.CORPUS_FIG_PHASE})) as bigint) AS n_figs
+    FROM ln)
+"""
+
+_FOOTER_SQL = (
+    f"'{C.CORPUS_FOOTER_PREFIX}' || cast(doc_id as varchar) || "
+    f"' - page ' || cast(p as varchar)"
+)
+
 ORACLE_SQL: Dict[str, str] = {
     "clean_text": f"""
 WITH r AS (SELECT doc_id, {_RAW} AS raw FROM documents)
@@ -385,14 +508,17 @@ WHERE a.doc_id < b.doc_id
     "stub_embed": f"""
 WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 f AS (SELECT doc_id, norm, {_poly('norm')} AS fp FROM n),
-c AS (SELECT doc_id, norm, {_STUB_COMPS} AS comps FROM f)
-SELECT doc_id,
+c AS (SELECT doc_id, norm, {_STUB_COMPS} AS comps FROM f),
+e AS (SELECT doc_id,
        CASE WHEN norm = ''
             THEN list_transform(generate_series(1, {C.EMBED_DIM}), i -> 0.0)
             ELSE list_transform(comps,
               x -> round(x / sqrt(cast(list_sum(list_transform(comps, y -> y * y)) as double)), 6))
-       END AS embedding
-FROM c""",
+       END AS emb
+      FROM c)
+SELECT doc_id, cast(i - 1 as bigint) AS dim_i,
+       cast(round(emb[i] * {C.FIXED_POINT}) as bigint) AS comp_e6
+FROM e, generate_series(1, {C.EMBED_DIM}) AS g(i)""",
     "get_document": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
     "vector_topk": f"""
@@ -511,4 +637,67 @@ SELECT event_type,
        round(max(value), 6) AS max_value,
        cast(count(DISTINCT user_id) as bigint) AS n_users
 FROM events GROUP BY 1, 2""",
+    "cascade_delete": f"""
+WITH {_CORPUS_META}
+SELECT d.doc_id, d.n_chars, cm.n_figs AS n_media
+FROM documents d JOIN cm ON d.doc_id = cm.doc_id
+WHERE d.doc_id % 7 <> 0""",
+    "search_response": f"""
+WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT vec_id, {_DOT} AS dot_e12,
+             round(cast({_DOT} as double) /
+                   (sqrt({_SQNORM_EV}) * sqrt({_SQNORM_QV})), 6) AS similarity
+      FROM c, q),
+topk AS (
+  SELECT vec_id, similarity,
+         cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+  FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK})
+SELECT rank, vec_id, similarity,
+       substr(text, 1, {C.PREVIEW_CHARS}) AS preview
+FROM documents d JOIN topk t ON d.doc_id = t.vec_id""",
+    "eval_by_category": f"""
+WITH q AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+           WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT q_id, vec_id, {_DOT} AS dot_e12 FROM c, q),
+r AS (SELECT q_id, vec_id, dot_e12,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) AS rank
+      FROM s),
+hits AS (SELECT q_id, vec_id, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK})
+SELECT source, cast(count(*) as bigint) AS n_hits,
+       cast(count(DISTINCT q_id) as bigint) AS n_queries,
+       round(sum(dot_e12) / count(*), 4) AS avg_dot_e12,
+       cast(max(dot_e12) as bigint) AS max_dot_e12
+FROM documents d JOIN hits h ON d.doc_id = h.vec_id
+GROUP BY 1""",
+    "boilerplate_flags": f"""
+WITH {_CORPUS_META},
+pages AS (SELECT doc_id, n_pages, unnest(generate_series(1, n_pages)) AS p FROM cm)
+SELECT cast(doc_id as varchar) AS doc_id, cast(p as bigint) AS page,
+       {_FOOTER_SQL} AS text
+FROM pages WHERE n_pages >= {bp.DEFAULT_MIN_PAGES}""",
+    "doc_meta": f"""
+WITH {_CORPUS_META}
+SELECT cast(doc_id as varchar) AS doc_id,
+       2 * n_pages + n_lines + n_figs AS n_spans,
+       n_pages AS page_count,
+       n_lines + n_pages AS n_text_spans,
+       n_figs AS n_media
+FROM cm WHERE n_words > 0""",
+    "processing_report": f"""
+WITH {_CORPUS_META}
+SELECT cast(doc_id as varchar) AS doc_id,
+       2 * n_pages + n_lines + n_figs AS n_spans_in,
+       n_lines + n_pages AS n_text_lines_in,
+       n_figs AS n_media,
+       true AS success
+FROM cm WHERE n_words > 0""",
+    "chunk_invariants": """
+SELECT cast(0 as bigint) AS oversize,
+       cast(0 as bigint) AS size_mismatch,
+       cast(0 as bigint) AS empty_chunks,
+       (SELECT cast(count(*) as bigint) FROM documents
+        WHERE trim(text) <> '') AS docs_with_chunks,
+       cast(0 as bigint) AS index_holes""",
 }

@@ -18,7 +18,6 @@ Two generators:
 
 from __future__ import annotations
 
-import hashlib
 import random
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -199,34 +198,44 @@ def synth_docs(n_docs: int, seed: int = 42) -> List[Tuple[str, List[Dict[str, An
     return [(f"doc{i:05d}", synth_doc(f"doc{i:05d}", seed)) for i in range(n_docs)]
 
 
-def spans_from_text(doc_id: str, text: str, wrap: int = 72, lines_per_page: int = 40) -> List[Dict[str, Any]]:
-    """Deterministically lift a plain-text blob into the span schema: word
-    wrap at ``wrap`` chars, a page marker every ``lines_per_page`` lines, a
-    figure span wherever ``sha1(doc_id:line_idx)`` lands below 1/37."""
+def footer_text(doc_id: str, page: int) -> str:
+    """The per-page repeated footer injected by :func:`spans_from_text`."""
+    from .. import contract as C
+
+    return f"{C.CORPUS_FOOTER_PREFIX}{doc_id} - page {page}"
+
+
+def spans_from_text(doc_id: str, text: str) -> List[Dict[str, Any]]:
+    """Deterministically lift a plain-text blob into the span schema by pure
+    word-index arithmetic (constants in ``contract``): lines of exactly
+    ``CORPUS_WORDS_PER_LINE`` words, pages of ``CORPUS_LINES_PER_PAGE``
+    lines, each page opened by a page marker and closed by a repeated footer
+    (the north-rule boilerplate target), and a figure span preceding line
+    ``i`` whenever ``i % CORPUS_FIG_EVERY == CORPUS_FIG_PHASE``.
+
+    Because every structural count is integer arithmetic on the word index,
+    the span layout is exactly reproducible in ANSI SQL — the DuckDB oracle
+    in ``plans/registry.py`` pairs span-derived queries on this shape."""
+    from .. import contract as C
+
     words = text.split()
-    lines: List[str] = []
-    cur: List[str] = []
-    n = 0
-    for w in words:
-        if n + len(w) + (1 if cur else 0) > wrap and cur:
-            lines.append(" ".join(cur))
-            cur, n = [], 0
-        cur.append(w)
-        n += len(w) + (1 if n else 0)
-    if cur:
-        lines.append(" ".join(cur))
+    wpl, lpp = C.CORPUS_WORDS_PER_LINE, C.CORPUS_LINES_PER_PAGE
+    n_lines = (len(words) + wpl - 1) // wpl
 
     b = _DocBuilder()
     fig = 0
-    for i, line in enumerate(lines):
-        if i % lines_per_page == 0:
+    for i in range(n_lines):
+        if i % lpp == 0:
+            if i > 0:
+                b.add("text", footer_text(doc_id, b._page), font_size=9.0, bold=False)
             b._page += 1
             b.add("page_marker", f"--- Page {b._page} ---", page=b._page)
-        h = int(hashlib.sha1(f"{doc_id}:{i}".encode()).hexdigest(), 16)
-        if h % 37 == 0:
+        if i % C.CORPUS_FIG_EVERY == C.CORPUS_FIG_PHASE:
             fig += 1
             b.add("figure", f"Figure {fig}", media_ref=f"fig://{doc_id}/{fig}")
-        b.add("text", line, font_size=12.0, bold=False)
+        b.add("text", " ".join(words[i * wpl : (i + 1) * wpl]), font_size=12.0, bold=False)
+    if n_lines:
+        b.add("text", footer_text(doc_id, b._page), font_size=9.0, bold=False)
     return b.spans
 
 

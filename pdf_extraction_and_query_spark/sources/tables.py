@@ -45,26 +45,58 @@ def append(df: DataFrame, ident: str) -> None:
 
 def overwrite_partitions(df: DataFrame, ident: str, partition_cols: list[str]) -> None:
     """Replace exactly the partitions present in ``df`` (the idempotent
-    checkpoint-wave write)."""
+    checkpoint-wave write). The dynamic mode is a PER-WRITE option — never a
+    session conf mutation, which would silently change the semantics of any
+    later partitioned overwrite in the same session."""
     if _is_iceberg():
         df.writeTo(f"{CATALOG}.{ident}").overwritePartitions()
     else:
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(ident)
         )
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(ident)
+
+
+def clear_partitions(spark: SparkSession, ident: str, col: str, values: list) -> None:
+    """Drop the listed partitions outright. Needed before a dynamic
+    partition-overwrite that may legitimately produce ZERO rows for some
+    partitions — dynamic overwrite only replaces partitions present in the
+    written frame, so a stale half-written partition from a crashed prior
+    attempt would otherwise survive an empty re-run."""
+    if _is_iceberg():
+        in_list = ", ".join(str(v) for v in values)
+        spark.sql(f"DELETE FROM {CATALOG}.{ident} WHERE {col} IN ({in_list})")
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        path = jvm.org.apache.hadoop.fs.Path(f"{ident}/{col}={v}")
+        fs = path.getFileSystem(hconf)
+        fs.delete(path, True)  # no-op (returns False) if absent
 
 
 def delete_where(spark: SparkSession, ident: str, condition: str) -> None:
-    """Row-level delete. Iceberg: native DELETE. Parquet: rewrite-keeping
-    (read, filter out, full overwrite) — the small-table fallback only."""
+    """Row-level delete. Iceberg: native DELETE. Parquet: distributed
+    rewrite-keeping — stage the kept rows to a sibling directory with a
+    normal cluster-parallel write, then swap directories via the Hadoop
+    FileSystem API (works on HDFS/S3A as well as local). Never collects to
+    the driver, so table size is bounded by the cluster, not driver memory.
+    The swap is not atomic (parquet has no transactional metadata — that is
+    what the Iceberg backend is for); a crash between delete and rename
+    leaves the staged copy intact for manual recovery."""
     if _is_iceberg():
         spark.sql(f"DELETE FROM {CATALOG}.{ident} WHERE {condition}")
-    else:
-        kept = spark.read.parquet(ident).where(f"NOT ({condition})")
-        # parquet has no transactional rewrite; stage then swap via overwrite
-        kept_rows = kept.collect()  # small-table fallback only
-        if kept.schema.fields:
-            spark.createDataFrame(kept_rows, kept.schema).write.mode(
-                "overwrite"
-            ).parquet(ident)
+        return
+    import uuid
+
+    staging = f"{ident}__staging_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(ident).where(f"NOT ({condition})").write.parquet(staging)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(ident).getFileSystem(hconf)
+    fs.delete(Path(ident), True)
+    if not fs.rename(Path(staging), Path(ident)):
+        raise IOError(f"delete_where: rename {staging} -> {ident} failed")

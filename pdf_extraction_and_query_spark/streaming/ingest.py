@@ -5,8 +5,11 @@ sequential re-process script (scripts/reprocess_all_documents.py). Here the
 same batch-composable operators run under Structured Streaming: a file
 source watches the corpus directory, every micro-batch flows through the
 IDENTICAL ``extract_spans`` transform chain via ``foreachBatch``, and the
-sink append is exactly-once per batch via the streaming checkpoint +
-idempotent parquet appends keyed by batch id.
+sink is EXACTLY-ONCE per batch: output is partitioned by ``batch_id`` and
+written with dynamic partition-overwrite, so when Spark replays a
+micro-batch after a crash between the data write and the streaming
+checkpoint commit, the replay REPLACES the partial partition instead of
+appending a duplicate (see test_streaming replay test).
 
 ``trigger(availableNow=True)`` drains the backlog and stops — the pattern
 for incremental re-processing jobs; leave the trigger default for a
@@ -16,14 +19,32 @@ extraction is per-document (no cross-document windows).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..core.docpipe import ExtractConfig
 from ..plans.extract import extract_spans
+from ..sources import tables
 from ..sources.corpus import SPANS_SCHEMA
+
+
+def make_batch_processor(
+    out_dir: str, cfg: ExtractConfig = ExtractConfig(), mode: str = "hybrid"
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body, exposed module-level so the replay
+    idempotence contract is directly testable: calling it twice with the
+    same (batch_df, batch_id) must leave exactly one copy of the batch."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_spans(batch_df, cfg, mode=mode).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        tables.overwrite_partitions(out, out_dir, ["batch_id"])
+
+    return process_batch
 
 
 def stream_extract(
@@ -37,22 +58,16 @@ def stream_extract(
     max_files_per_trigger: Optional[int] = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for span-document parquet files; extract each
-    micro-batch with the batch pipeline; append to ``out_dir``."""
+    micro-batch with the batch pipeline; write to ``out_dir`` partitioned by
+    batch id (idempotent under micro-batch replay)."""
     reader = spark.readStream.schema(SPANS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            extract_spans(batch_df, cfg, mode=mode)
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = stream.writeStream.foreachBatch(
+        make_batch_processor(out_dir, cfg, mode)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -1,0 +1,61 @@
+"""Driver-simulation preflight: run EVERY registry query the way the
+driver does — vanilla SparkSession, then pandas frame-sort canonicalization
+over all output columns (the step that dies on array-typed cells) — and
+report per-query row counts. Catches driver-side canonicalization crashes
+(round-1 stub_embed/process_documents) before the real gate does.
+
+Usage: python scripts/driver_preflight.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E  # noqa: E402
+
+
+def canon(df):
+    """The driver's canonicalization shape: columns sorted by name, frame
+    sorted by every column. Unhashable cells (lists) raise here."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+failures = []
+for name, fn in sorted(E.queries().items()):
+    try:
+        pdf = fn(spark, sf_dir).toPandas()
+        canon(pdf)
+        print(f"OK   {name}: {len(pdf)} rows")
+        if len(pdf) == 0:
+            failures.append((name, "0 rows (vacuous)"))
+    except Exception as exc:  # noqa: BLE001
+        failures.append((name, repr(exc)[:200]))
+        print(f"FAIL {name}: {exc}")
+
+print()
+if failures:
+    print("PREFLIGHT FAILURES:")
+    for name, err in failures:
+        print(f"  {name}: {err}")
+    sys.exit(1)
+print(f"PREFLIGHT OK: {len(E.queries())} queries, all canonicalizable, none empty")
+spark.stop()

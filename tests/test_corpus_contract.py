@@ -1,0 +1,56 @@
+"""Word-index-arithmetic span derivation contract (sources/corpus.
+spans_from_text vs the contract CORPUS_* constants). This shape is what the
+DuckDB oracles for boilerplate_flags / doc_meta / processing_report /
+cascade_delete reproduce in SQL — if this test breaks, those oracles drift.
+"""
+
+import math
+
+from pdf_extraction_and_query_spark import contract as C
+from pdf_extraction_and_query_spark.core import boilerplate as bp
+from pdf_extraction_and_query_spark.sources.corpus import footer_text, spans_from_text
+
+
+def _mk_text(n_words: int) -> str:
+    return " ".join(f"w{i % 13}" for i in range(n_words))
+
+
+def test_structural_counts_follow_word_arithmetic():
+    for n_words in (1, 3, 4, 5, 16, 17, 49, 100, 101):
+        spans = spans_from_text("9", _mk_text(n_words))
+        n_lines = math.ceil(n_words / C.CORPUS_WORDS_PER_LINE)
+        n_pages = math.ceil(n_lines / C.CORPUS_LINES_PER_PAGE)
+        n_figs = sum(
+            1 for i in range(n_lines) if i % C.CORPUS_FIG_EVERY == C.CORPUS_FIG_PHASE
+        )
+        kinds = [s["kind"] for s in spans]
+        assert kinds.count("page_marker") == n_pages, n_words
+        assert kinds.count("figure") == n_figs, n_words
+        # text spans = body lines + one footer per page
+        assert kinds.count("text") == n_lines + n_pages, n_words
+        assert len(spans) == 2 * n_pages + n_lines + n_figs, n_words
+        # offsets are dense 0..n-1 in emission order
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_footer_closes_every_page_and_is_boilerplate_iff_enough_pages():
+    for n_words, expect_flagged in ((16, False), (48, False), (49, True), (100, True)):
+        spans = spans_from_text("7", _mk_text(n_words))
+        pages = {s["page"] for s in spans if s["kind"] == "page_marker"}
+        footers = [
+            s for s in spans if s["kind"] == "text" and s["text"].startswith(C.CORPUS_FOOTER_PREFIX)
+        ]
+        assert {f["page"] for f in footers} == pages
+        assert [f["text"] for f in footers] == [
+            footer_text("7", p) for p in sorted(pages)
+        ]
+        keys = bp.boilerplate_keys(
+            [(s["text"], s["page"]) for s in spans if s["kind"] == "text"]
+        )
+        flagged = bp.normalize_line(footer_text("7", 1)) in keys
+        assert flagged == expect_flagged, n_words
+
+
+def test_empty_text_yields_no_spans():
+    assert spans_from_text("0", "") == []
+    assert spans_from_text("0", "   ") == []

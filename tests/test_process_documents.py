@@ -42,13 +42,15 @@ def test_success_and_warning_semantics(report):
     rep, _ = report
     ok = rep[rep["success"]]
     assert len(ok) > 0
+    # warnings are a "|"-joined scalar (array columns break driver-side
+    # frame-sort canonicalization)
     for _, row in rep[~rep["success"]].iterrows():
-        assert "document produced no chunks" in list(row["warnings"])
+        assert "document produced no chunks" in row["warnings"].split("|")
     # boilerplate-stripped docs legitimately lose content; the warning fires
     # above the reference's 10% threshold
     for _, row in rep.iterrows():
         if row["loss_pct"] > 10.0:
-            assert any("content loss" in w for w in row["warnings"])
+            assert any("content loss" in w for w in row["warnings"].split("|"))
 
 
 def test_empty_document_does_not_throw(spark):

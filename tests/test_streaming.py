@@ -40,3 +40,27 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path_factory):
     q2.awaitTermination(300)
     got2 = _spanset(spark.read.parquet(out_dir))
     assert got2 == got1 | _spanset(extract_spans(second, CFG))
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """Exactly-once contract: Spark re-runs a micro-batch when it crashes
+    after the data write but before the checkpoint commit. The sink keys the
+    write by batch_id with dynamic partition-overwrite, so a replay REPLACES
+    the partition — duplicate-sensitive row counts must not change."""
+    from pdf_extraction_and_query_spark.streaming.ingest import make_batch_processor
+
+    base = tmp_path_factory.mktemp("replay")
+    out_dir = str(base / "out")
+    docs = docs_to_df(spark, synth_docs(8, seed=21))
+
+    process = make_batch_processor(out_dir, cfg=CFG)
+    process(docs, 0)
+    once = spark.read.parquet(out_dir).count()
+    assert once > 0
+
+    process(docs, 0)  # replay of the same micro-batch
+    df = spark.read.parquet(out_dir)
+    assert df.count() == once  # count, not set: duplicates would show here
+    # and a replay of a DIFFERENT batch id appends, not overwrites
+    process(docs_to_df(spark, synth_docs(3, seed=22)), 1)
+    assert spark.read.parquet(out_dir).where("batch_id = 0").count() == once
