@@ -90,6 +90,7 @@ def main() -> None:
         "ngram_jaccard",
         "minhash_lsh_pairs",
         "simhash",
+        "embedding_near_pairs_lsh",
         "stub_embed",
         "vector_topk",
         "vector_topk_multi",

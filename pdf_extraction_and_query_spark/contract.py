@@ -79,6 +79,30 @@ IVF_CENTROIDS = 8
 IVF_PROBE = 3
 SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
 
+# --- embedding-cosine near-dup ---
+# Threshold 0.35, NOT a production 0.9: the driver embeddings are
+# unit-norm randoms (max pairwise cos ~0.51 measured), so a realistic
+# near-dup threshold would make the operator vacuous on driver data. The
+# operators document the recall behavior at production thresholds.
+EMB_NEAR_THRESHOLD = 0.35
+# signed-random-projection LSH: SRP_BITS hyperplanes with deterministic
+# integer components (identical in Spark and the DuckDB oracle), banded
+# into SRP_BANDS equal-width bands for the candidate equi-join
+SRP_BITS = 16
+SRP_BANDS = 4
+_SRP_MUL = 2654435761
+_SRP_MOD = 1000003
+
+
+def srp_hyperplanes(dim: int = 64, bits: int = SRP_BITS) -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplane components — a pure
+    function of (j, k) so both engines materialize identical planes."""
+    return [
+        [((j * dim + k) * _SRP_MUL) % _SRP_MOD - _SRP_MOD // 2 for k in range(dim)]
+        for j in range(bits)
+    ]
+
+
 # --- pagination (reference: pgvector_client.py:350-377) ---
 PAGE_LIMIT = 20
 PAGE_OFFSET = 10

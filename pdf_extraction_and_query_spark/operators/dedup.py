@@ -168,6 +168,119 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _fp_sq_norm(v: Column) -> Column:
+    return F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _pair_cos_r6(ea: Column, eb: Column) -> Column:
+    """round(cosine, 6) from two fixed-point int64 vectors: exact integer
+    dot and squared norms, IEEE sqrt/divide — bit-stable across engines."""
+    dot = F.aggregate(
+        F.zip_with(ea, eb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (F.sqrt(_fp_sq_norm(ea)) * F.sqrt(_fp_sq_norm(eb))), 6)
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = C.EMB_NEAR_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, BRUTE all-pairs — the
+    small-scale oracle twin (the recall yardstick for the SRP-LSH scale
+    path, exactly as brute Jaccard is for MinHash). O(n^2) dots: never run
+    at corpus scale; run :func:`embedding_near_pairs_lsh` there."""
+    from .search import fixed_point_vec
+
+    c = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _pair_cos_r6(F.col("a.ev"), F.col("b.ev")).alias("cos_r6"),
+    )
+    return pairs.where(F.col("cos_r6") >= threshold)
+
+
+def srp_words(embeddings: DataFrame) -> DataFrame:
+    """Signed-random-projection sketch: SRP_BITS sign bits of the dot
+    products against deterministic integer hyperplanes (contract
+    srp_hyperplanes — identical planes in the DuckDB oracle), packed into
+    one int64 word. One narrow pass; the sketch is 8 bytes/vector."""
+    from .search import fixed_point_vec
+
+    planes = C.srp_hyperplanes(C.EMBED_DIM, C.SRP_BITS)
+    c = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    word = None
+    for j, hp in enumerate(planes):
+        dot_j = F.aggregate(
+            F.zip_with(
+                F.col("ev"),
+                F.array(*[F.lit(v).cast("long") for v in hp]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot_j >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        word = bit if word is None else word + bit
+    return c.select("vec_id", "ev", word.alias("srp"))
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame, threshold: float = C.EMB_NEAR_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup, SRP-LSH scale path: candidates = pairs sharing
+    at least one of SRP_BANDS bands of the SRP word (band equi-join — never
+    a cross product), then the exact fixed-point cosine filter on candidates
+    only. Candidate recall is threshold-dependent: at a production
+    threshold of 0.9 (bit-disagreement p = acos(0.9)/pi ~= 0.14) a 4-bit
+    band matches with p ~= 0.54, so >= 95% of true pairs survive 4 bands,
+    while random pairs (p = 0.5) join at ~6%; at the deliberately low
+    driver-data threshold (no real near-dups in random embeddings) recall
+    vs the brute twin is partial, which the pairing with
+    :func:`embedding_near_pairs` makes measurable. The DuckDB oracle
+    replicates the same sketch + band rule exactly, so the gate checks the
+    implementation, not the recall."""
+    s = srp_words(embeddings)
+    width = C.SRP_BITS // C.SRP_BANDS
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("srp"), j * width).bitwiseAND(mask).alias("val"),
+            )
+            for j in range(C.SRP_BANDS)
+        ]
+    )
+    bv = s.select("vec_id", "ev", F.explode(bands).alias("bv")).select(
+        "vec_id", "ev", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bv.alias("a"), bv.alias("b")
+    cands = (
+        a.join(b, ["band", "val"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.ev").alias("ea"),
+            F.col("b.ev").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a", "vec_b", _pair_cos_r6(F.col("ea"), F.col("eb")).alias("cos_r6")
+        )
+        .where(F.col("cos_r6") >= threshold)
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over all (frequency-weighted) tokens:
     per-bit signed vote -> sign bit. One groupBy; the B per-bit sums are

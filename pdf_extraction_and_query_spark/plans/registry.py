@@ -210,6 +210,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": lambda s, d: D.minhash_band_pairs(_docs(s, d)),
     "simhash": lambda s, d: D.simhash(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
+    "embedding_near_pairs": lambda s, d: D.embedding_near_pairs(_emb(s, d)),
+    "embedding_near_pairs_lsh": lambda s, d: D.embedding_near_pairs_lsh(_emb(s, d)),
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
@@ -402,6 +404,36 @@ _FOOTER_SQL = (
     f"' - page ' || cast(p as varchar)"
 )
 
+# pairwise fixed-point cosine, rounded to 6dp (twin of dedup._pair_cos_r6)
+_PAIR_COS = (
+    f"round(cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+    f"i -> ea[i] * eb[i])) as bigint) / "
+    f"(sqrt(cast(list_sum(list_transform(ea, x -> x * x)) as double)) * "
+    f"sqrt(cast(list_sum(list_transform(eb, x -> x * x)) as double))), 6)"
+)
+
+
+def _srp_word_sql() -> str:
+    """Twin of dedup.srp_words: SRP_BITS sign bits packed into a bigint."""
+    terms = []
+    for j, hp in enumerate(C.srp_hyperplanes(C.EMBED_DIM, C.SRP_BITS)):
+        arr = "[" + ", ".join(str(v) for v in hp) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+            f"i -> ev[i] * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def _srp_band_eq_sql() -> str:
+    width = C.SRP_BITS // C.SRP_BANDS
+    mask = (1 << width) - 1
+    return " OR ".join(
+        f"((wa >> {j * width}) & {mask}) = ((wb >> {j * width}) & {mask})"
+        for j in range(C.SRP_BANDS)
+    )
+
 ORACLE_SQL: Dict[str, str] = {
     "clean_text": f"""
 WITH r AS (SELECT doc_id, {_RAW} AS raw FROM documents)
@@ -498,6 +530,23 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, val)
 WHERE a.doc_id < b.doc_id""",
     "simhash": _simhash_sql(),
+    "embedding_near_pairs": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.ev AS ea, b.ev AS eb
+      FROM c a JOIN c b ON a.vec_id < b.vec_id),
+s AS (SELECT vec_a, vec_b, {_PAIR_COS} AS cos_r6 FROM p)
+SELECT vec_a, vec_b, cos_r6 FROM s
+WHERE cos_r6 >= cast({C.EMB_NEAR_THRESHOLD} as double)""",
+    "embedding_near_pairs_lsh": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+w AS (SELECT vec_id, ev, {_srp_word_sql()} AS srp FROM c),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.ev AS ea, b.ev AS eb, a.srp AS wa, b.srp AS wb
+      FROM w a JOIN w b ON a.vec_id < b.vec_id),
+cand AS (SELECT vec_a, vec_b, ea, eb FROM p WHERE {_srp_band_eq_sql()}),
+s AS (SELECT vec_a, vec_b, {_PAIR_COS} AS cos_r6 FROM cand)
+SELECT vec_a, vec_b, cos_r6 FROM s
+WHERE cos_r6 >= cast({C.EMB_NEAR_THRESHOLD} as double)""",
     "simhash_near_pairs": f"""
 WITH s AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
