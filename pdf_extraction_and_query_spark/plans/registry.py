@@ -140,6 +140,26 @@ def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(agg, "doc_id")
 
 
+def _doc_meta_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documents-table listing row: per-doc metadata plus
+    chunk_count (pgvector_client.py:157-171 keeps chunk_count current after
+    every ingest). chunk_count is fold-derived, so this query is rows-only;
+    its SQL-reachable projection is the oracle-paired ``doc_meta``, and the
+    chunker itself is gated by ``chunk_invariants``."""
+    from pyspark.sql import functions as F
+
+    chunks = (
+        _chunk_table(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("chunk_count"))
+    )
+    return (
+        _doc_meta(spark, sf_dir)
+        .join(chunks, "doc_id", "left")
+        .fillna(0, subset=["chunk_count"])
+    )
+
+
 def _processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible projection of ``process_documents`` (input-side
     span/line counts, media passthrough count, success flag) — the oracle
@@ -249,6 +269,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_table_simple": lambda s, d: _chunk_table(s, d, section_aware=False),
     "chunk_stats": lambda s, d: _chunk_stats(s, d),
     "chunks_of_document": lambda s, d: _chunks_of_document(s, d),
+    "doc_meta_full": _doc_meta_full,
 }
 
 

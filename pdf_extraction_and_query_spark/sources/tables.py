@@ -77,26 +77,59 @@ def clear_partitions(spark: SparkSession, ident: str, col: str, values: list) ->
         fs.delete(path, True)  # no-op (returns False) if absent
 
 
-def delete_where(spark: SparkSession, ident: str, condition: str) -> None:
-    """Row-level delete. Iceberg: native DELETE. Parquet: distributed
-    rewrite-keeping — stage the kept rows to a sibling directory with a
-    normal cluster-parallel write, then swap directories via the Hadoop
-    FileSystem API (works on HDFS/S3A as well as local). Never collects to
-    the driver, so table size is bounded by the cluster, not driver memory.
-    The swap is not atomic (parquet has no transactional metadata — that is
-    what the Iceberg backend is for); a crash between delete and rename
-    leaves the staged copy intact for manual recovery."""
-    if _is_iceberg():
-        spark.sql(f"DELETE FROM {CATALOG}.{ident} WHERE {condition}")
-        return
+def _staged_swap(spark: SparkSession, ident: str, write_staged) -> None:
+    """Distributed rewrite of a parquet directory: write the replacement to
+    a sibling staging path with a normal cluster-parallel write, then swap
+    directories via the Hadoop FileSystem API (works on HDFS/S3A as well as
+    local). Never collects to the driver, so table size is bounded by the
+    cluster, not driver memory. The swap is not atomic (parquet has no
+    transactional metadata — that is what the Iceberg backend is for); a
+    crash between delete and rename leaves the staged copy intact for
+    manual recovery."""
     import uuid
 
     staging = f"{ident}__staging_{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(ident).where(f"NOT ({condition})").write.parquet(staging)
+    write_staged(staging)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(ident).getFileSystem(hconf)
     fs.delete(Path(ident), True)
     if not fs.rename(Path(staging), Path(ident)):
-        raise IOError(f"delete_where: rename {staging} -> {ident} failed")
+        raise IOError(f"staged swap: rename {staging} -> {ident} failed")
+
+
+def delete_where(spark: SparkSession, ident: str, condition: str) -> None:
+    """Row-level delete. Iceberg: native DELETE. Parquet: distributed
+    staged rewrite of the kept rows + directory swap (see _staged_swap)."""
+    if _is_iceberg():
+        spark.sql(f"DELETE FROM {CATALOG}.{ident} WHERE {condition}")
+        return
+    kept = spark.read.parquet(ident).where(f"NOT ({condition})")
+    _staged_swap(spark, ident, lambda p: kept.write.parquet(p))
+
+
+def compact(spark: SparkSession, ident: str, target_file_mb: int = 128) -> int:
+    """Small-files compaction — the standing maintenance job of any
+    long-running ingest (every streaming micro-batch / checkpoint wave adds
+    files; scan cost at 100 TB is driven by file count as much as bytes).
+    Iceberg: rewrite_data_files. Parquet: coalesce to ceil(bytes/target)
+    output files via a staged rewrite (coalesce, not repartition — no
+    shuffle, upstream tasks just concatenate). Returns the target file
+    count."""
+    if _is_iceberg():
+        spark.sql(
+            f"CALL {CATALOG}.system.rewrite_data_files("
+            f"table => '{ident}', "
+            f"options => map('target-file-size-bytes', '{target_file_mb * 1024 * 1024}'))"
+        )
+        return -1
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(ident).getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(Path(ident)).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(ident).coalesce(int(n_files))
+    _staged_swap(spark, ident, lambda p: df.write.parquet(p))
+    return int(n_files)

@@ -32,6 +32,34 @@ def test_delete_where_distributed_rewrite(spark, tmp_path_factory):
     assert [d for d in os.listdir(parent) if "__staging_" in d] == []
 
 
+def test_compact_merges_small_files(spark, tmp_path_factory):
+    """Streaming/checkpoint appends accumulate small files; compact must
+    reduce file count without changing content."""
+    import os
+
+    from pdf_extraction_and_query_spark.sources import tables
+
+    path = str(tmp_path_factory.mktemp("tbl") / "frag")
+    for i in range(6):  # six tiny appends, several files each
+        spark.range(i * 1000, (i + 1) * 1000).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    files_before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    before = spark.read.parquet(path)
+    total = before.count()
+    checksum = before.agg(F.sum("id")).first()[0]
+
+    tables.compact(spark, path, target_file_mb=128)
+
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files_after) < len(files_before)
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    assert after.agg(F.sum("id")).first()[0] == checksum
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__staging_" in d] == []
+
+
 def test_overwrite_partitions_leaves_session_conf_alone(spark, tmp_path_factory):
     """The dynamic mode must be a per-write option, not a session conf
     mutation that changes later writes' semantics."""
