@@ -211,6 +211,90 @@ def ivf_topk(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = C.IVF_CENTROIDS,
+) -> None:
+    """Build phase of the IVF index — the 10^12-scale shape where
+    :func:`ivf_topk` inlines assignment per query: assign every vector to
+    its nearest centroid ONCE (broadcast centroids, one row_number window)
+    and persist (vec_id, ev) PARTITIONED BY cent_id through the table shim.
+    At query time the probed clusters are partition directories, so the
+    scan prunes (1 - n_probe/n_lists) of the corpus before reading a byte
+    (PartitionFilters — see test_ivf_index plan assertion)."""
+    from ..sources import tables
+
+    cents = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            fixed_point_vec(F.col("embedding")).alias("cv"),
+        )
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    scored = cand.join(F.broadcast(cents)).select(
+        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "cent_id")
+    )
+    tables.overwrite_partitions(assigned, index_path, ["cent_id"])
+
+
+def ivf_topk_prebuilt(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """Search phase over an :func:`ivf_build` index: pick the ``n_probe``
+    centroids nearest the query (tiny driver-side plan step — n_probe ints
+    of query-planning metadata, not a data collect), scan ONLY those
+    partitions, exact-score the survivors, TakeOrderedAndProject. Results
+    are identical to :func:`ivf_topk` by construction (same assignment,
+    same probe rule, same fixed-point scoring)."""
+    from ..sources import tables
+
+    cents = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            fixed_point_vec(F.col("embedding")).alias("cv"),
+        )
+    )
+    q = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select(fixed_point_vec(F.col("embedding")).alias("qv"))
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_ids = [r["cent_id"] for r in probe_rows]
+    idx = tables.read_table(spark, index_path).where(F.col("cent_id").isin(probe_ids))
+    hits = idx.crossJoin(F.broadcast(q)).select(
+        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        hits.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def vector_topk_filtered(
     embeddings: DataFrame,
     documents: DataFrame,
