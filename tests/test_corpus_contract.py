@@ -54,3 +54,34 @@ def test_footer_closes_every_page_and_is_boilerplate_iff_enough_pages():
 def test_empty_text_yields_no_spans():
     assert spans_from_text("0", "") == []
     assert spans_from_text("0", "   ") == []
+
+
+def test_sql_twin_matches_python_for_arbitrary_word_counts():
+    """Cross-engine pin of the corpus contract WITHOUT Spark: the registry's
+    _CORPUS_META CTE (the DuckDB twin of spans_from_text) must reproduce the
+    Python-side structural counts for arbitrary word counts, including the
+    page/line/figure boundary cases. hypothesis fuzzes the word count."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extraction_and_query_spark.plans.registry import _CORPUS_META
+
+    con = duckdb.connect()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(min_value=0, max_value=400))
+    def check(n_words):
+        text = _mk_text(n_words) if n_words else ""
+        spans = spans_from_text("5", text)
+        con.execute("CREATE OR REPLACE TABLE documents AS SELECT 5 AS doc_id, ? AS text", [text])
+        row = con.execute(
+            f"WITH {_CORPUS_META} SELECT n_lines, n_pages, n_figs FROM cm"
+        ).fetchone()
+        kinds = [s["kind"] for s in spans]
+        n_pages = kinds.count("page_marker")
+        n_figs = kinds.count("figure")
+        n_lines = kinds.count("text") - n_pages  # minus one footer per page
+        assert (n_lines, n_pages, n_figs) == tuple(row), (n_words, row)
+
+    check()
