@@ -103,6 +103,13 @@ def srp_hyperplanes(dim: int = 64, bits: int = SRP_BITS) -> list[list[int]]:
     ]
 
 
+# --- bulk-delete demo list (delete_documents / cascade_delete): every
+#     DELETE_EVERY-th doc id below DELETE_BOUND — one rule, four users
+#     (two Spark operators + two oracle twins); the explicit bound keeps the
+#     broadcast list small and the oracle EXACTLY equal at any corpus size
+DELETE_EVERY = 7
+DELETE_BOUND = 10_000
+
 # --- pagination (reference: pgvector_client.py:350-377) ---
 PAGE_LIMIT = 20
 PAGE_OFFSET = 10

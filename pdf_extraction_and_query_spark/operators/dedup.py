@@ -168,21 +168,13 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fp_sq_norm(v: Column) -> Column:
-    return F.aggregate(
-        F.transform(v, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-
-
 def _pair_cos_r6(ea: Column, eb: Column) -> Column:
     """round(cosine, 6) from two fixed-point int64 vectors: exact integer
-    dot and squared norms, IEEE sqrt/divide — bit-stable across engines."""
-    dot = F.aggregate(
-        F.zip_with(ea, eb, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return F.round(dot / (F.sqrt(_fp_sq_norm(ea)) * F.sqrt(_fp_sq_norm(eb))), 6)
+    dot and squared norms (search._dot/_sq_norm), IEEE sqrt/divide —
+    bit-stable across engines."""
+    from .search import _dot, _sq_norm
+
+    return F.round(_dot(ea, eb) / (F.sqrt(_sq_norm(ea)) * F.sqrt(_sq_norm(eb))), 6)
 
 
 def embedding_near_pairs(
@@ -258,8 +250,11 @@ def embedding_near_pairs_lsh(
             for j in range(C.SRP_BANDS)
         ]
     )
-    bv = s.select("vec_id", "ev", F.explode(bands).alias("bv")).select(
-        "vec_id", "ev", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    # the band join and candidate dedup carry IDS ONLY — replicating the
+    # 64-long vector through SRP_BANDS band rows and the self-join would
+    # make shuffle volume vector-dominated; the sketch is the 8-byte word
+    bv = s.select("vec_id", F.explode(bands).alias("bv")).select(
+        "vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     a, b = bv.alias("a"), bv.alias("b")
     cands = (
@@ -268,13 +263,16 @@ def embedding_near_pairs_lsh(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.ev").alias("ea"),
-            F.col("b.ev").alias("eb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    vecs = s.select("vec_id", "ev")
+    pairs = (
+        cands.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("ea")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("eb")), "vec_b")
+    )
     return (
-        cands.select(
+        pairs.select(
             "vec_a", "vec_b", _pair_cos_r6(F.col("ea"), F.col("eb")).alias("cos_r6")
         )
         .where(F.col("cos_r6") >= threshold)

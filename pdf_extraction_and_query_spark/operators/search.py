@@ -49,6 +49,45 @@ def _sq_norm(a: Column) -> Column:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k of (… , dot_e12) with deterministic tie-break and a
+    1-based rank column. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition partial top-k + driver merge of k·P rows)."""
+    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic stand-in for trained k-means centroids: the first
+    ``n_centroids`` vectors, fixed-point."""
+    return embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        fixed_point_vec(F.col("embedding")).alias("cv"),
+    )
+
+
+def _ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Nearest-centroid assignment (vec_id, ev, cent_id): broadcast the tiny
+    centroid set, score map-side, keep the argmax via one row_number window
+    (single shuffle on vec_id). Shared verbatim by the inline ivf_topk and
+    the persisted ivf_build so the two paths cannot drift."""
+    cents = _centroids(embeddings, n_centroids)
+    cand = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    scored = cand.join(F.broadcast(cents)).select(
+        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "cent_id")
+    )
+
+
 def with_query(embeddings: DataFrame, query_vec_id: int = 0) -> DataFrame:
     """Attach the query vector (fixed-point) to every candidate row via a
     broadcast cross join — one tiny build side, no shuffle of candidates."""
@@ -70,12 +109,7 @@ def vector_topk(embeddings: DataFrame, k: int = C.TOPK, query_vec_id: int = 0) -
     scored = with_query(embeddings, query_vec_id).select(
         "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
-    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-    return (
-        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    return _rank_topk(scored, k)
 
 
 def vector_topk_multi(
@@ -168,32 +202,15 @@ def ivf_topk(
     of the corpus from the scan; here centroids are the first
     ``n_centroids`` vectors (deterministic stand-in for trained k-means).
     Integer fixed-point scoring keeps it oracle-exact."""
-    cents = (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            fixed_point_vec(F.col("embedding")).alias("cv"),
-        )
-    )
-    cand = embeddings.select(
-        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
-    )
-    scored = cand.join(F.broadcast(cents)).select(
-        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "ev", "cent_id")
-    )
+    assigned = _ivf_assign(embeddings, n_centroids)
     # probe list: clusters nearest the query vector
     q = (
         embeddings.where(F.col("vec_id") == query_vec_id)
         .select(fixed_point_vec(F.col("embedding")).alias("qv"))
     )
     probes = (
-        cents.crossJoin(F.broadcast(q))
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(q))
         .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
         .orderBy(F.desc("qdot"), F.asc("cent_id"))
         .limit(n_probe)
@@ -203,12 +220,7 @@ def ivf_topk(
     hits = pruned.crossJoin(F.broadcast(q)).select(
         "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
-    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-    return (
-        hits.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    return _rank_topk(hits, k)
 
 
 def ivf_build(
@@ -225,25 +237,7 @@ def ivf_build(
     (PartitionFilters — see test_ivf_index plan assertion)."""
     from ..sources import tables
 
-    cents = (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            fixed_point_vec(F.col("embedding")).alias("cv"),
-        )
-    )
-    cand = embeddings.select(
-        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
-    )
-    scored = cand.join(F.broadcast(cents)).select(
-        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "ev", "cent_id")
-    )
+    assigned = _ivf_assign(embeddings, n_centroids)
     tables.overwrite_partitions(assigned, index_path, ["cent_id"])
 
 
@@ -264,19 +258,13 @@ def ivf_topk_prebuilt(
     same probe rule, same fixed-point scoring)."""
     from ..sources import tables
 
-    cents = (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            fixed_point_vec(F.col("embedding")).alias("cv"),
-        )
-    )
     q = (
         embeddings.where(F.col("vec_id") == query_vec_id)
         .select(fixed_point_vec(F.col("embedding")).alias("qv"))
     )
     probe_rows = (
-        cents.crossJoin(F.broadcast(q))
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(q))
         .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
         .orderBy(F.desc("qdot"), F.asc("cent_id"))
         .limit(n_probe)
@@ -287,12 +275,7 @@ def ivf_topk_prebuilt(
     hits = idx.crossJoin(F.broadcast(q)).select(
         "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
-    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-    return (
-        hits.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    return _rank_topk(hits, k)
 
 
 def vector_topk_filtered(
@@ -320,12 +303,7 @@ def vector_topk_filtered(
             )
         )
     ).select("vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12"))
-    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-    return (
-        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    return _rank_topk(scored, k)
 
 
 def search_response(
@@ -346,12 +324,7 @@ def search_response(
             6,
         ).alias("similarity"),
     )
-    w = Window.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-    hits = (
-        scored.orderBy(F.desc("dot_e12"), F.asc("vec_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    hits = _rank_topk(scored, k)
     return (
         documents.join(F.broadcast(hits), documents["doc_id"] == hits["vec_id"])
         .select(

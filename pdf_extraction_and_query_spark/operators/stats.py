@@ -27,15 +27,23 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def _delete_id_list(session):
+    """The shared demo delete list (contract.DELETE_EVERY/DELETE_BOUND) —
+    one rule for delete_documents, cascade_delete, and both oracle twins."""
+    from .. import contract as C
+
+    return session.range(0, C.DELETE_BOUND, C.DELETE_EVERY).select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def delete_documents(documents: DataFrame, spark=None) -> DataFrame:
     """Bulk delete by id list (reference: pgvector_client.py:318-348 IN-list
     delete; :285-316 cascade) — expressed as an ANTI-join against the
     broadcast delete list, the overwrite-table pattern for immutable
-    storage. Delete list here: every 7th doc (deterministic)."""
-    from pyspark.sql import functions as F
-
+    storage."""
     session = spark or documents.sparkSession
-    ids = session.range(0, 10_000, 7).select(F.col("id").alias("doc_id"))
+    ids = _delete_id_list(session)
     return (
         documents.join(F.broadcast(ids), "doc_id", "anti")
         .select("doc_id", "n_chars")
@@ -48,12 +56,14 @@ def cascade_delete(documents: DataFrame, spans_df: DataFrame) -> DataFrame:
     list anti-joined against every dependent table — here the documents table
     and the span-derived media table. Output: surviving docs with their
     surviving media count (cross-table evidence the cascade hit both sides).
-    Delete list: every 7th doc id, matching :func:`delete_documents`."""
+    Delete list: the shared rule of :func:`_delete_id_list`. NB: the
+    span-side doc ids are numeric strings (the driver-corpus lift), cast to
+    long for the anti-join."""
     from ..core.docpipe import MEDIA_KINDS
     from .extraction import explode_spans
 
     session = documents.sparkSession
-    ids = session.range(0, 10_000, 7).select(F.col("id").alias("doc_id"))
+    ids = _delete_id_list(session)
     kept_docs = documents.join(F.broadcast(ids), "doc_id", "anti")
     kept_media = (
         explode_spans(spans_df)

@@ -404,9 +404,8 @@ _WPL, _LPP = C.CORPUS_WORDS_PER_LINE, C.CORPUS_LINES_PER_PAGE
 _CORPUS_META = f"""
   wd AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
-           END AS n_words
+           len(list_filter(regexp_split_to_array(text, '{C.WS_SPLIT_RE}'),
+                           x -> x <> '')) AS n_words
     FROM documents),
   ln AS (
     SELECT doc_id, n_words,
@@ -675,9 +674,9 @@ s AS (SELECT vec_id, {_DOT} AS dot_e12 FROM c, q)
 SELECT vec_id, dot_e12,
        cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
 FROM s ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
-    "delete_documents": """
+    "delete_documents": f"""
 SELECT doc_id, n_chars FROM documents
-WHERE doc_id NOT IN (SELECT unnest(generate_series(0, 9999, 7)))""",
+WHERE doc_id NOT IN (SELECT unnest(generate_series(0, {C.DELETE_BOUND - 1}, {C.DELETE_EVERY})))""",
     "similarity_buckets": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
@@ -711,7 +710,7 @@ FROM events GROUP BY 1, 2""",
 WITH {_CORPUS_META}
 SELECT d.doc_id, d.n_chars, cm.n_figs AS n_media
 FROM documents d JOIN cm ON d.doc_id = cm.doc_id
-WHERE d.doc_id % 7 <> 0""",
+WHERE NOT (d.doc_id % {C.DELETE_EVERY} = 0 AND d.doc_id < {C.DELETE_BOUND})""",
     "search_response": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
@@ -763,11 +762,12 @@ SELECT cast(doc_id as varchar) AS doc_id,
        n_figs AS n_media,
        true AS success
 FROM cm WHERE n_words > 0""",
-    "chunk_invariants": """
+    "chunk_invariants": f"""
 SELECT cast(0 as bigint) AS oversize,
        cast(0 as bigint) AS size_mismatch,
        cast(0 as bigint) AS empty_chunks,
        (SELECT cast(count(*) as bigint) FROM documents
-        WHERE trim(text) <> '') AS docs_with_chunks,
+        WHERE len(list_filter(regexp_split_to_array(text, '{C.WS_SPLIT_RE}'),
+                              x -> x <> '')) > 0) AS docs_with_chunks,
        cast(0 as bigint) AS index_holes""",
 }

@@ -65,8 +65,15 @@ def clear_partitions(spark: SparkSession, ident: str, col: str, values: list) ->
     partitions — dynamic overwrite only replaces partitions present in the
     written frame, so a stale half-written partition from a crashed prior
     attempt would otherwise survive an empty re-run."""
+    if not values:
+        return
     if _is_iceberg():
-        in_list = ", ".join(str(v) for v in values)
+        def lit(v) -> str:
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
+
+        in_list = ", ".join(lit(v) for v in values)
         spark.sql(f"DELETE FROM {CATALOG}.{ident} WHERE {col} IN ({in_list})")
         return
     jvm = spark._jvm
@@ -88,15 +95,25 @@ def _staged_swap(spark: SparkSession, ident: str, write_staged) -> None:
     manual recovery."""
     import uuid
 
-    staging = f"{ident}__staging_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{ident}__staging_{tag}"
     write_staged(staging)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(ident).getFileSystem(hconf)
-    fs.delete(Path(ident), True)
+    # rename-aside / rename-in / delete (NOT delete-then-rename): the table
+    # path is missing only between the two renames — metadata ops — instead
+    # of for the duration of a recursive delete; a crash leaves either the
+    # old or the staged copy intact under a predictable name
+    old = f"{ident}__old_{tag}"
+    if not fs.rename(Path(ident), Path(old)):
+        raise IOError(f"staged swap: rename {ident} -> {old} failed")
     if not fs.rename(Path(staging), Path(ident)):
-        raise IOError(f"staged swap: rename {staging} -> {ident} failed")
+        raise IOError(
+            f"staged swap: rename {staging} -> {ident} failed; previous data at {old}"
+        )
+    fs.delete(Path(old), True)
 
 
 def delete_where(spark: SparkSession, ident: str, condition: str) -> None:

@@ -42,6 +42,12 @@ def make_batch_processor(
         out = extract_spans(batch_df, cfg, mode=mode).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
+        # clear first: dynamic overwrite only replaces partitions PRESENT in
+        # the frame, so a replay whose extract output is legitimately empty
+        # (all-empty span arrays) would otherwise leave a stale half-written
+        # batch_id partition from the crashed attempt (same hole
+        # plans/checkpoint.py clears before its wave writes)
+        tables.clear_partitions(batch_df.sparkSession, out_dir, "batch_id", [int(batch_id)])
         tables.overwrite_partitions(out, out_dir, ["batch_id"])
 
     return process_batch

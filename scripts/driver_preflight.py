@@ -31,11 +31,10 @@ import __spark_entry__ as E  # noqa: E402
 
 def canon(df):
     """The driver's canonicalization shape: columns sorted by name, frame
-    sorted by every column. Unhashable cells (lists) raise here."""
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+    sorted by every RAW column — no astype(str) first, because stringifying
+    object cells would mask exactly the unhashable-array crash (round-1
+    stub_embed/process_documents) this preflight exists to catch."""
+    df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
