@@ -32,14 +32,17 @@ from ..operators.extraction import (
 
 
 # docs at or below this span count take the fused (zero-shuffle) path in
-# hybrid mode; bigger docs go through the page-parallel staged path.
-# Measured: down to ~500 docs/corpus, inter-document parallelism over fine
-# input splits beats the staged path even for 400-page reports (fused
-# 14.9s vs staged 24.7s on the big-doc subset at 8 cores) — so the staged
-# route is reserved for true whales (~2000+ pages), where a single task
-# would hold a multi-MB doc string (memory) and pin an executor thread for
-# minutes (latency). 20k spans ~= 2MB of text per Arrow row.
-HYBRID_SPAN_THRESHOLD = 20000
+# hybrid mode; bigger docs go through the staged path. This is a WORKER-
+# MEMORY bound, not a speed bound: single-whale latency measured fused
+# 0.96/2.0/4.8 s vs staged 2.5/9.3/30.2 s at 50k/150k/400k spans
+# (staged's stage-1 page-derivation windows are doc-serial — one task per
+# doc regardless of cores — so its intra-doc parallelism only materializes
+# from stage 3 on; fused wins at every measured size). What fused cannot
+# do is stream: the whole doc rides one Arrow row through the python
+# worker, so the threshold caps per-row footprint (~200k spans ~= 20 MB of
+# text) and the staged path remains the bounded-memory route for
+# pathological mega-documents.
+HYBRID_SPAN_THRESHOLD = 200_000
 
 
 def extract_spans(

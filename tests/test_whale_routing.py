@@ -1,15 +1,16 @@
-"""Hybrid whale routing at the DEFAULT threshold: a >20k-span document must
-take the staged (page-parallel) path, small docs the fused path, and the
-union must still match the eager oracle span-for-span."""
+"""Hybrid whale routing: a document above the threshold must take the
+staged path, small docs the fused path, and the union must still match the
+eager oracle span-for-span. Uses an explicit 20k threshold so the test
+whale stays small — the mechanism under test is the routing, not the
+default bound (which is a worker-memory ceiling; plans/extract.py)."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from pdf_extraction_and_query_spark.core.docpipe import ExtractConfig, extract_document
-from pdf_extraction_and_query_spark.plans.extract import (
-    HYBRID_SPAN_THRESHOLD,
-    extract_spans,
-)
+from pdf_extraction_and_query_spark.plans.extract import extract_spans
+
+THRESHOLD = 20_000
 from pdf_extraction_and_query_spark.sources.corpus import docs_to_df, synth_doc
 
 
@@ -39,20 +40,20 @@ def _whale(doc_id: str, min_spans: int):
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    whale = ("whale", _whale("whale", HYBRID_SPAN_THRESHOLD + 500))
+    whale = ("whale", _whale("whale", THRESHOLD + 500))
     smalls = [(f"s{i}", synth_doc(f"s{i}", seed=8)) for i in range(5)]
     return [whale] + smalls
 
 
 def test_whale_exceeds_threshold(corpus):
-    assert len(corpus[0][1]) > HYBRID_SPAN_THRESHOLD
+    assert len(corpus[0][1]) > THRESHOLD
 
 
 def test_hybrid_routes_and_matches_oracle(spark, corpus):
     cfg = ExtractConfig(max_chunk_size=600, chunk_overlap=100)
     df = docs_to_df(spark, corpus)
     got = {}
-    for r in extract_spans(df, cfg, mode="hybrid").collect():
+    for r in extract_spans(df, cfg, mode="hybrid", hybrid_threshold=THRESHOLD).collect():
         got.setdefault(r["doc_id"], []).append(
             (r["order"], r["kind"], r["text"], r["media_ref"])
         )
@@ -68,6 +69,6 @@ def test_hybrid_routes_and_matches_oracle(spark, corpus):
 
 def test_routing_split(spark, corpus):
     df = docs_to_df(spark, corpus)
-    big = df.where(F.size("spans") > HYBRID_SPAN_THRESHOLD)
-    small = df.where(F.size("spans") <= HYBRID_SPAN_THRESHOLD)
+    big = df.where(F.size("spans") > THRESHOLD)
+    small = df.where(F.size("spans") <= THRESHOLD)
     assert big.count() == 1 and small.count() == 5
