@@ -57,3 +57,18 @@ def test_empty_document_does_not_throw(spark):
     df = docs_to_df(spark, [("empty", [])])
     rep = process_documents(df).collect()
     assert rep == [] or not rep[0]["success"]
+
+
+def test_unknown_span_kind_is_counted_and_warned(spark):
+    spans = [
+        {"kind": "text", "text": "some ordinary line of text", "media_ref": None,
+         "offset": 0, "page": 1, "font_size": 12.0, "bold": False},
+        {"kind": "hologram", "text": "???", "media_ref": None,
+         "offset": 1, "page": 1, "font_size": None, "bold": None},
+    ]
+    rep = process_documents(docs_to_df(spark, [("u", spans)])).collect()
+    assert len(rep) == 1
+    row = rep[0]
+    assert row["n_spans_in"] == 2
+    assert "unknown span kinds ignored" in row["warnings"].split("|")
+    assert row["success"]  # the text line still chunks; never an exception
