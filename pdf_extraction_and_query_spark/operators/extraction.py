@@ -182,8 +182,16 @@ def _pandas_parallelism(df: DataFrame) -> int:
     grouped-map exchange to 1 partition and serialized every pandas group
     (measured 33s for work 32 cores do in ~1s). An explicit repartition on
     the group keys is AQE-immune and Catalyst elides the duplicate exchange
-    the groupBy would otherwise insert."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    the groupBy would otherwise insert.
+
+    Capped at 4x the cluster's core count: an untuned session carries the
+    200-partition default, and 200 near-empty Arrow tasks on an 8-core
+    driver-gate session paid ~5x pure task-launch overhead (27 s -> ~6 s
+    for the chunk pipeline at sf0.01). Four waves per core keeps skew
+    headroom without drowning small inputs in task launches."""
+    spark = df.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(shuffle, 4 * spark.sparkContext.defaultParallelism)
 
 
 def reconstruct_blocks(lines_df: DataFrame) -> DataFrame:

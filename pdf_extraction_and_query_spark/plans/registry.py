@@ -183,23 +183,27 @@ def _chunk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_size = ExtractConfig().max_chunk_size
     ct = _chunk_table(spark, sf_dir)
+    # ONE pass over the chunk pipeline: per-doc rollup carries both the
+    # per-chunk violation counters and the density inputs, then a single
+    # global fold — two independent aggregates would execute the whole
+    # extract+chunk DAG twice
     per_doc = ct.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         F.max("chunk_index").alias("mx"),
         F.count_distinct("chunk_index").alias("nd"),
+        F.sum((F.col("chunk_size") > max_size).cast("long")).alias("d_oversize"),
+        F.sum((F.col("chunk_size") != F.length("text")).cast("long")).alias("d_mismatch"),
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias("d_empty"),
     )
-    dens = per_doc.agg(
+    return per_doc.agg(
+        F.sum("d_oversize").alias("oversize"),
+        F.sum("d_mismatch").alias("size_mismatch"),
+        F.sum("d_empty").alias("empty_chunks"),
+        F.count("*").alias("docs_with_chunks"),
         F.sum(
             ((F.col("mx") + 1 != F.col("n")) | (F.col("nd") != F.col("n"))).cast("long")
-        ).alias("index_holes")
+        ).alias("index_holes"),
     )
-    flat = ct.agg(
-        F.sum((F.col("chunk_size") > max_size).cast("long")).alias("oversize"),
-        F.sum((F.col("chunk_size") != F.length("text")).cast("long")).alias("size_mismatch"),
-        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias("empty_chunks"),
-        F.count_distinct("doc_id").alias("docs_with_chunks"),
-    )
-    return flat.crossJoin(dens)
 
 
 def _chunks_of_document(spark: SparkSession, sf_dir: str, doc_id: str = "42") -> DataFrame:
