@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {name: sec},
    "sf": ..., ...extras}
 
+Methodology (round 3): every measured query gets ONE full warmup pass
+(python-worker spawn + whole-stage codegen + page-cache fill happen there)
+followed by $SPARK_GRAFT_BENCH_REPS (default 3) timed passes; the reported
+number is the BEST of the timed passes.  Round 2 measured single-shot and
+recorded a uniform ~15-20% drift across untouched pure-SQL queries vs
+round 1 — shared-VM neighbor noise, which best-of-N suppresses (the same
+methodology scripts/scaling_bench.py already uses).
+
 Headline = the staged span-extraction pipeline (derive interleaved span
 corpus from documents.parquet -> explode/boilerplate/reconstruct/chunk/
 interleave). Extras report docs/sec and the fused-mode comparison; the
@@ -17,12 +25,25 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def bench(fn) -> tuple[float, int]:
+    """Warmup pass + REPS timed passes; returns (best_sec, rows)."""
+    rows = fn()  # warmup: full pass, not limit() — see PLANS.md / memory trap 5
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.monotonic()
+        rows = fn()
+        best = min(best, time.monotonic() - t0)
+    return best, rows
 
 
 def main() -> None:
@@ -39,25 +60,24 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
-    def timed(fn) -> tuple[float, int]:
-        t0 = time.monotonic()
-        n = fn()
-        return time.monotonic() - t0, n
+    # materialize the derived span corpus ONCE per pass (at real scale the
+    # input IS a table; deriving it inline would be recomputed by every DAG
+    # consumer).  Each rep writes a fresh directory so the write is real.
+    tmp_root = tempfile.mkdtemp()
+    paths: list[str] = []
 
-    # materialize the derived span corpus ONCE (at real scale the input IS a
-    # table; deriving it inline would be recomputed by every DAG consumer)
-    import tempfile
+    def derive() -> int:
+        path = f"{tmp_root}/spans_{len(paths)}.parquet"
+        spans_table_from_documents(spark, SF_DIR).write.parquet(path)
+        paths.append(path)
+        return 0
 
-    spans_path = f"{tempfile.mkdtemp()}/spans.parquet"
-    derive_sec, _ = timed(
-        lambda: spans_table_from_documents(spark, SF_DIR).write.parquet(spans_path) or 0
-    )
-    spans = spark.read.parquet(spans_path)
-    extract_spans(spans, mode="hybrid").count()  # warm JVM/Arrow/codegen
+    derive_sec, _ = bench(derive)
+    spans = spark.read.parquet(paths[-1])
 
-    hybrid_sec, hybrid_rows = timed(lambda: extract_spans(spans, mode="hybrid").count())
-    staged_sec, staged_rows = timed(lambda: extract_spans(spans, mode="staged").count())
-    fused_sec, fused_rows = timed(lambda: extract_spans(spans, mode="fused").count())
+    hybrid_sec, hybrid_rows = bench(lambda: extract_spans(spans, mode="hybrid").count())
+    staged_sec, staged_rows = bench(lambda: extract_spans(spans, mode="staged").count())
+    fused_sec, fused_rows = bench(lambda: extract_spans(spans, mode="fused").count())
 
     query_times: dict[str, float] = {
         "derive_spans": round(derive_sec, 3),
@@ -77,8 +97,7 @@ def main() -> None:
         synth_docs_df(spark, 25600, seed=42).write.parquet(synth_path)
     synth = spark.read.parquet(synth_path)
     n_synth = synth.count()
-    extract_spans(synth, mode="hybrid").count()  # warm
-    synth_sec, synth_rows = timed(lambda: extract_spans(synth, mode="hybrid").count())
+    synth_sec, synth_rows = bench(lambda: extract_spans(synth, mode="hybrid").count())
     query_times["extract_hybrid_synth_skewed"] = round(synth_sec, 3)
     for name in (
         "clean_text",
@@ -104,7 +123,7 @@ def main() -> None:
         "doc_meta",
         "chunk_invariants",
     ):
-        sec, _ = timed(lambda n=name: QUERIES[n](spark, SF_DIR).count())
+        sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count())
         query_times[name] = round(sec, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -132,6 +151,8 @@ def main() -> None:
                 "synth_skewed_docs_per_sec": round(n_synth / synth_sec, 1),
                 "synth_skewed_out_rows": synth_rows,
                 "cpus": CPUS,
+                "reps": REPS,
+                "methodology": "best-of-%d after 1 full warmup pass per query" % REPS,
             }
         )
     )

@@ -8,8 +8,13 @@ Input schema (BASELINE.json input_hint):
 Stage layout (each stage is independently queryable; shuffle keys noted):
 
   1. ``explode_spans``     — explode + derive page (explicit field wins, else
-                             running page-marker count) + media-segment index;
-                             one window shuffle on ``doc_id``.
+                             running page-marker count) + media-segment index.
+                             The running counts are a DISTRIBUTED PREFIX SCAN
+                             banded on offset ranges (local window per
+                             ``(doc_id, band)`` + cumulated band totals joined
+                             back on the same partitioning) — a 400k-span
+                             whale spreads over ~100 parallel tasks instead of
+                             riding one doc_id window task (PLANS.md §8).
   2. ``flag_boilerplate``  — repeated-line frequency strip (north rule): a
                              normalized line recurring on >= K distinct pages
                              of a doc is boilerplate; window shuffle on
@@ -74,10 +79,26 @@ CHUNKS_SCHEMA = (
 OUT_SCHEMA = "doc_id string, `order` int, kind string, text string, media_ref string"
 
 
+# spans per prefix-scan band: offsets are per-doc ordinals, so
+# floor(offset / SPAN_BAND) cuts each doc into contiguous offset ranges.
+# A 400k-span whale becomes ~100 parallel window tasks; a normal document
+# stays a single band (the banding is then a no-op join with a 1-row-per-doc
+# totals frame).
+SPAN_BAND = 4096
+
+
 def explode_spans(spans_df: DataFrame) -> DataFrame:
     """Stage 1: span rows with derived ``page`` and media-segment ``seg``;
     page_marker spans are dropped (they are page-boundary metadata, not
-    content — see core/docpipe.py spec)."""
+    content — see core/docpipe.py spec).
+
+    The two running counts (page-marker prefix count -> page, media prefix
+    count -> seg) are computed as a distributed prefix scan instead of one
+    doc-serial window: local inclusive sums inside each (doc_id, band)
+    window, plus per-band totals cumulated over the tiny band frame and
+    joined back.  The join keys equal the window partitioning, so the big
+    side needs no extra exchange or sort (the window's (doc_id, band,
+    offset) sort order satisfies the merge join's (doc_id, band) prefix)."""
     cols = [f.name for f in spans_df.schema["spans"].dataType.elementType.fields]
     line = F.explode("spans").alias("span")
     df = spans_df.select("doc_id", line).select(
@@ -90,22 +111,55 @@ def explode_spans(spans_df: DataFrame) -> DataFrame:
         (F.col("span.font_size") if "font_size" in cols else F.lit(None)).cast("double").alias("font_size"),
         (F.col("span.bold") if "bold" in cols else F.lit(None)).cast("boolean").alias("bold"),
     )
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    is_marker = (F.col("kind") == "page_marker").cast("int")
-    is_media = F.col("kind").isin(*MEDIA_KINDS).cast("int")
     df = (
-        df.withColumn(
-            "derived_page",
-            F.greatest(
-                F.coalesce(F.sum(is_marker).over(w.rowsBetween(Window.unboundedPreceding, 0)), F.lit(0)),
-                F.lit(1),
-            ),
+        df.withColumn("band", F.floor(F.col("offset") / SPAN_BAND).cast("int"))
+        .withColumn(
+            "_m", F.when(F.col("kind") == "page_marker", F.lit(1)).otherwise(F.lit(0))
         )
-        .withColumn("seg", F.coalesce(F.sum(is_media).over(w_prev), F.lit(0)).cast("int"))
+        .withColumn(
+            "_d", F.when(F.col("kind").isin(*MEDIA_KINDS), F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    w_local = (
+        Window.partitionBy("doc_id", "band")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("_m_incl", F.sum("_m").over(w_local)).withColumn(
+        "_d_incl", F.sum("_d").over(w_local)
+    )
+    # band totals = max local inclusive sum; exclusive cumulation over the
+    # band frame (one row per SPAN_BAND spans — tiny relative to the data)
+    w_bands = (
+        Window.partitionBy("doc_id")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = (
+        df.groupBy("doc_id", "band")
+        .agg(F.max("_m_incl").alias("_mt"), F.max("_d_incl").alias("_dt"))
+        .select(
+            "doc_id",
+            "band",
+            F.coalesce(F.sum("_mt").over(w_bands), F.lit(0)).alias("_m_before"),
+            F.coalesce(F.sum("_dt").over(w_bands), F.lit(0)).alias("_d_before"),
+        )
+    )
+    df = (
+        df.join(totals, ["doc_id", "band"])
+        .withColumn(
+            "derived_page",
+            F.greatest(F.col("_m_before") + F.col("_m_incl"), F.lit(1)),
+        )
+        .withColumn(
+            "seg", (F.col("_d_before") + F.col("_d_incl") - F.col("_d")).cast("int")
+        )
         .withColumn("page", F.coalesce(F.col("page_field"), F.col("derived_page")).cast("int"))
         .filter(F.col("kind") != "page_marker")
-        .drop("page_field", "derived_page")
+        .drop(
+            "page_field", "derived_page", "band",
+            "_m", "_d", "_m_incl", "_d_incl", "_m_before", "_d_before",
+        )
     )
     return df
 

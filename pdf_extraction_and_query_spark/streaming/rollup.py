@@ -9,10 +9,14 @@ events for it are dropped — the standard bounded-state contract, which is
 what keeps state finite on an unbounded 10^12-event stream (state size =
 windows within the allowance horizon, not the stream's history).
 
-Aggregates are the batch twin's minus n_users: exact COUNT(DISTINCT) is not
-expressible in a streaming aggregation (it would need unbounded per-window
-sets); the batch operator remains the exact-distinct path, approx or
-state-ful HLL being the streaming alternative.
+``n_users`` keeps the batch twin's column present but is APPROXIMATE:
+exact COUNT(DISTINCT) is not expressible in a streaming aggregation (it
+would need unbounded per-window sets), so the stream carries a HyperLogLog++
+``approx_count_distinct`` with relative standard deviation ``n_users_rsd``
+(default 0.05 — the sketch is ~1.5 KB of bounded per-window state).  A
+consumer needing exact distincts runs the batch operator over the sink;
+test_streaming_rollup asserts the approximation lands within tolerance of
+the exact batch values on the testdata events.
 
 Emitted rows carry hour_epoch exactly like the batch twin, so finalized
 windows are row-for-row comparable (test_streaming_rollup).
@@ -25,7 +29,9 @@ from pyspark.sql import functions as F
 
 
 def events_rollup_stream(
-    events_stream: DataFrame, late_allowance: str = "1 hour"
+    events_stream: DataFrame,
+    late_allowance: str = "1 hour",
+    n_users_rsd: float = 0.05,
 ) -> DataFrame:
     """readStream(events) -> watermark -> hourly window aggregate.
     Append-mode output: one immutable row per finalized (event_type, hour)."""
@@ -41,6 +47,7 @@ def events_rollup_stream(
             F.count("*").alias("n_events"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
+            F.approx_count_distinct("user_id", rsd=n_users_rsd).alias("n_users"),
         )
     )
     return agg.select(
@@ -49,4 +56,5 @@ def events_rollup_stream(
         "n_events",
         "min_value",
         "max_value",
+        "n_users",
     )

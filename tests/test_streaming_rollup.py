@@ -37,7 +37,11 @@ def test_finalized_windows_match_batch_exactly(spark, tmp_path_factory):
     events.where(F.unix_timestamp("ts") > cutoff).write.mode("append").parquet(in_dir)
     _drain(spark, events.schema, in_dir, out_dir, ckpt)
 
-    emitted = [tuple(r[c] for c in COLS) for r in spark.read.parquet(out_dir).collect()]
+    out = spark.read.parquet(out_dir)
+    # schema parity with the batch twin: n_users is PRESENT (approximate —
+    # HLL++ rsd 0.05; the batch operator remains the exact-distinct path)
+    assert set(out.columns) == set(COLS) | {"n_users"}, out.columns
+    emitted = [tuple(r[c] for c in COLS) for r in out.collect()]
     assert len(emitted) == len(set(emitted)), "a finalized window was emitted twice"
     got = set(emitted)
 
@@ -72,3 +76,24 @@ def test_finalized_windows_match_batch_exactly(spark, tmp_path_factory):
     finalized_bound = cutoff - 3600
     must_have = {(t, h) for (t, h) in batch_keys if h + 3600 <= finalized_bound}
     assert must_have <= got_keys, must_have - got_keys
+
+    # approximate n_users lands within tolerance of the exact batch distinct
+    # count for every finalized window (rsd=0.05 → 3σ ≈ 15%, plus small-count
+    # slack; HLL++ is exact-ish at these cardinalities)
+    exact = {
+        (r["event_type"], r["hour_epoch"]): r["n_users"]
+        for r in (
+            events.groupBy(
+                "event_type",
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+                .cast("long")
+                .alias("hour_epoch"),
+            )
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .collect()
+        )
+    }
+    for r in out.collect():
+        ex = exact[(r["event_type"], r["hour_epoch"])]
+        tol = max(2, 0.15 * ex)
+        assert abs(r["n_users"] - ex) <= tol, (r["event_type"], r["hour_epoch"], r["n_users"], ex)
