@@ -154,10 +154,29 @@ def _doc_meta_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("chunk_count"))
     )
     return (
-        _doc_meta(spark, sf_dir)
+        _doc_listing(spark, sf_dir)
         .join(chunks, "doc_id", "left")
         .fillna(0, subset=["chunk_count"])
     )
+
+
+def _doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documents-table LISTING row, oracle-paired: span-derived
+    counts (page_count, span/media counts) joined with the source metadata
+    that exists in testdata — ``source`` and ``lang`` are the analogs of the
+    reference's filename / doc_metadata listing fields
+    (src/vector_store/schema.py:22-31; upload_date has no testdata analog).
+    Broadcast-friendly: both sides agg/scan to one row per doc before the
+    equi-join on doc_id."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return _doc_meta(spark, sf_dir).join(docs, "doc_id")
 
 
 def _processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,14 +214,72 @@ def _chunk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("chunk_size") != F.length("text")).cast("long")).alias("d_mismatch"),
         F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias("d_empty"),
     )
-    return per_doc.agg(
-        F.sum("d_oversize").alias("oversize"),
-        F.sum("d_mismatch").alias("size_mismatch"),
-        F.sum("d_empty").alias("empty_chunks"),
-        F.count("*").alias("docs_with_chunks"),
+    # independent arithmetic side: every non-whitespace char of the source
+    # text survives extraction into some chunk and chunks are <= max_size
+    # chars, so ceil(nonspace / max_size) is a TRUE per-doc lower bound on
+    # chunk count, computable from documents alone.  The docs_* columns
+    # below therefore hash-match the oracle's arithmetic doc count ONLY if
+    # every document's fold output meets its bound — non-constant,
+    # fold-sensitive teeth (round-2 verdict: the previous oracle pinned 4
+    # of 5 columns as constants).
+    arith = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.length(F.regexp_replace("text", r"\s", "")).alias("nonspace"),
+        )
+        .where(F.col("nonspace") > 0)
+        .withColumn("lb", F.ceil(F.col("nonspace") / max_size).cast("long"))
+    )
+    j = arith.join(per_doc, "doc_id", "left")
+    has = F.col("n").isNotNull()
+    return j.agg(
+        F.sum(F.coalesce(F.col("d_oversize"), F.lit(0))).alias("oversize"),
+        F.sum(F.coalesce(F.col("d_mismatch"), F.lit(0))).alias("size_mismatch"),
+        F.sum(F.coalesce(F.col("d_empty"), F.lit(0))).alias("empty_chunks"),
+        F.sum(has.cast("long")).alias("docs_with_chunks"),
         F.sum(
-            ((F.col("mx") + 1 != F.col("n")) | (F.col("nd") != F.col("n"))).cast("long")
+            F.coalesce(
+                ((F.col("mx") + 1 != F.col("n")) | (F.col("nd") != F.col("n"))).cast("long"),
+                F.lit(0),
+            )
         ).alias("index_holes"),
+        F.sum((has & (F.col("n") >= F.col("lb"))).cast("long")).alias("docs_meeting_chunk_lb"),
+        F.sum((has & (F.col("d_empty") == 0)).cast("long")).alias("docs_all_chunks_nonempty"),
+        F.sum((has & (F.col("d_oversize") == 0)).cast("long")).alias("docs_within_max"),
+        F.sum((has & (F.col("d_mismatch") == 0)).cast("long")).alias("docs_size_consistent"),
+    )
+
+
+def _page_text_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, page) char-offset map — the analog of the reference's
+    ``page_text_map`` metadata ({page: (start, end)} offsets into the
+    assembled text, src/extraction/pymupdf_extractor.py:62-84): each text
+    span contributes ``length(text) + 1`` chars (newline-joined), pages
+    cumulate in order.  The per-doc running sum is a window over the
+    ALREADY-AGGREGATED page rows (one row per page, not per span), so the
+    doc-serial window touches ~page-count rows — fine at any corpus scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.extraction import explode_spans
+
+    lines = explode_spans(_span_corpus(spark, sf_dir)).where(F.col("kind") == "text")
+    per_page = lines.groupBy("doc_id", "page").agg(
+        F.sum(F.length("text") + 1).cast("long").alias("page_chars")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("page")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("page_chars").over(w), F.lit(0)).cast("long")
+    return per_page.select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        "page_chars",
+        start.alias("char_start"),
+        (start + F.col("page_chars")).cast("long").alias("char_end"),
     )
 
 
@@ -261,7 +338,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- span-corpus surface (oracle-paired via the word-index-arithmetic
     #     corpus derivation — contract CORPUS_* constants) ---
     "boilerplate_flags": _boilerplate_flags,
+    "page_text_map": _page_text_map,
     "doc_meta": _doc_meta,
+    "doc_listing": _doc_listing,
     "processing_report": _processing_report,
     "chunk_invariants": _chunk_invariants,
     # --- span extraction pipeline (rows-only: fold semantics not
@@ -750,6 +829,36 @@ pages AS (SELECT doc_id, n_pages, unnest(generate_series(1, n_pages)) AS p FROM 
 SELECT cast(doc_id as varchar) AS doc_id, cast(p as bigint) AS page,
        {_FOOTER_SQL} AS text
 FROM pages WHERE n_pages >= {bp.DEFAULT_MIN_PAGES}""",
+    "page_text_map": f"""
+WITH {_CORPUS_META},
+wlist AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{C.WS_SPLIT_RE}'),
+                     x -> x <> '') AS w
+  FROM documents),
+pg AS (
+  SELECT cm.doc_id, cm.n_words, cm.n_lines, wlist.w,
+         unnest(generate_series(1, cm.n_pages)) AS p
+  FROM cm JOIN wlist ON cm.doc_id = wlist.doc_id),
+pc AS (
+  SELECT doc_id, p,
+         cast(list_sum(list_transform(
+                generate_series((p-1)*{_LPP}, least(p*{_LPP}, n_lines) - 1),
+                i -> length(array_to_string(
+                       w[(i*{_WPL}+1):least((i+1)*{_WPL}, n_words)], ' ')) + 1))
+              + length({_FOOTER_SQL}) + 1
+              as bigint) AS page_chars
+  FROM pg)
+SELECT cast(doc_id as varchar) AS doc_id,
+       cast(p as bigint) AS page,
+       page_chars,
+       cast(coalesce(sum(page_chars) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+         AS char_start,
+       cast(coalesce(sum(page_chars) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + page_chars as bigint) AS char_end
+FROM pc""",
     "doc_meta": f"""
 WITH {_CORPUS_META}
 SELECT cast(doc_id as varchar) AS doc_id,
@@ -758,6 +867,18 @@ SELECT cast(doc_id as varchar) AS doc_id,
        n_lines + n_pages AS n_text_spans,
        n_figs AS n_media
 FROM cm WHERE n_words > 0""",
+    "doc_listing": f"""
+WITH {_CORPUS_META}
+SELECT cast(d.doc_id as varchar) AS doc_id,
+       2 * n_pages + n_lines + n_figs AS n_spans,
+       n_pages AS page_count,
+       n_lines + n_pages AS n_text_spans,
+       n_figs AS n_media,
+       d.lang AS lang,
+       d.source AS source,
+       cast(d.n_chars as bigint) AS n_chars
+FROM cm JOIN documents d ON cm.doc_id = d.doc_id
+WHERE n_words > 0""",
     "processing_report": f"""
 WITH {_CORPUS_META}
 SELECT cast(doc_id as varchar) AS doc_id,
@@ -767,11 +888,16 @@ SELECT cast(doc_id as varchar) AS doc_id,
        true AS success
 FROM cm WHERE n_words > 0""",
     "chunk_invariants": f"""
+WITH nz AS (SELECT cast(count(*) as bigint) AS c FROM documents
+            WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0)
 SELECT cast(0 as bigint) AS oversize,
        cast(0 as bigint) AS size_mismatch,
        cast(0 as bigint) AS empty_chunks,
-       (SELECT cast(count(*) as bigint) FROM documents
-        WHERE len(list_filter(regexp_split_to_array(text, '{C.WS_SPLIT_RE}'),
-                              x -> x <> '')) > 0) AS docs_with_chunks,
-       cast(0 as bigint) AS index_holes""",
+       c AS docs_with_chunks,
+       cast(0 as bigint) AS index_holes,
+       c AS docs_meeting_chunk_lb,
+       c AS docs_all_chunks_nonempty,
+       c AS docs_within_max,
+       c AS docs_size_consistent
+FROM nz""",
 }
