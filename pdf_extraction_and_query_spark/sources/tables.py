@@ -59,12 +59,36 @@ def overwrite_partitions(df: DataFrame, ident: str, partition_cols: list[str]) -
         )
 
 
+# chars Spark escapes in partition directory names
+# (sql/catalyst ExternalCatalogUtils.charToEscape: ASCII control chars plus
+# the Hive-reserved path set), encoded as %XX uppercase hex
+_ESCAPE_CHARS = frozenset(
+    {chr(c) for c in range(0x01, 0x20)} | set('"#%\'*/:=?\\{[]^') | {chr(0x7F)}
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v) -> str:
+    """Partition value -> directory-name fragment, exactly as Spark writes
+    it (ExternalCatalogUtils.getPartitionPathString): null/empty becomes the
+    Hive default-partition name, reserved chars are %XX-escaped."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
+
+
 def clear_partitions(spark: SparkSession, ident: str, col: str, values: list) -> None:
     """Drop the listed partitions outright. Needed before a dynamic
     partition-overwrite that may legitimately produce ZERO rows for some
     partitions — dynamic overwrite only replaces partitions present in the
     written frame, so a stale half-written partition from a crashed prior
-    attempt would otherwise survive an empty re-run."""
+    attempt would otherwise survive an empty re-run. Values are escaped the
+    way Spark escapes partition directory names, so string values with
+    spaces/slashes/etc. resolve to the directory Spark actually wrote
+    (tests/test_tables.py proves the round-trip)."""
     if not values:
         return
     if _is_iceberg():
@@ -79,7 +103,9 @@ def clear_partitions(spark: SparkSession, ident: str, col: str, values: list) ->
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for v in values:
-        path = jvm.org.apache.hadoop.fs.Path(f"{ident}/{col}={v}")
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{ident}/{col}={_escape_partition_value(v)}"
+        )
         fs = path.getFileSystem(hconf)
         fs.delete(path, True)  # no-op (returns False) if absent
 
@@ -92,7 +118,14 @@ def _staged_swap(spark: SparkSession, ident: str, write_staged) -> None:
     cluster, not driver memory. The swap is not atomic (parquet has no
     transactional metadata — that is what the Iceberg backend is for); a
     crash between delete and rename leaves the staged copy intact for
-    manual recovery."""
+    manual recovery.
+
+    RECOVERY: if a reader finds the table path missing, look for sibling
+    ``<ident>__old_<tag>`` (pre-swap data — rename it back to ``<ident>``)
+    or ``<ident>__staging_<tag>`` (the finished replacement — rename it in).
+    At most one swap's directories exist per tag; deployments needing
+    concurrent readers during maintenance should run the Iceberg backend
+    (``SPARK_GRAFT_CATALOG``), whose DELETE/rewrite are snapshot-atomic."""
     import uuid
 
     tag = uuid.uuid4().hex[:8]

@@ -38,19 +38,37 @@ def canon(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+# threshold-gated queries may legitimately return 0 rows at a small sf_dir
+# (similarity thresholds prune every candidate pair) — 0 rows there is a
+# WARNING, not a failed build
+ZERO_ROWS_OK = {
+    "embedding_near_pairs",
+    "embedding_near_pairs_lsh",
+    "simhash_near_pairs",
+    "ngram_jaccard",
+    "ngram_jaccard_pruned",
+    "minhash_lsh_pairs",
+}
+
 failures = []
+warnings = []
 for name, fn in sorted(E.queries().items()):
     try:
         pdf = fn(spark, sf_dir).toPandas()
         canon(pdf)
         print(f"OK   {name}: {len(pdf)} rows")
         if len(pdf) == 0:
-            failures.append((name, "0 rows (vacuous)"))
+            if name in ZERO_ROWS_OK:
+                warnings.append((name, "0 rows (threshold-gated; OK at small sf)"))
+            else:
+                failures.append((name, "0 rows (vacuous)"))
     except Exception as exc:  # noqa: BLE001
         failures.append((name, repr(exc)[:200]))
         print(f"FAIL {name}: {exc}")
 
 print()
+for name, msg in warnings:
+    print(f"WARN {name}: {msg}")
 if failures:
     print("PREFLIGHT FAILURES:")
     for name, err in failures:

@@ -85,3 +85,30 @@ def test_sql_twin_matches_python_for_arbitrary_word_counts():
         assert (n_lines, n_pages, n_figs) == tuple(row), (n_words, row)
 
     check()
+
+
+def test_only_footers_recur_across_pages_at_gate_scale(spark):
+    """The boilerplate_flags oracle emits exactly one footer row per page —
+    valid only while NO non-footer normalized line recurs on >=
+    DEFAULT_MIN_PAGES distinct pages of a document.  Digit-runs->0
+    normalization makes body-line collisions possible in principle (round-2
+    ADVICE), so certify the assumption at BOTH driver gate scales: every
+    line the Spark operator flags must be a footer."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_and_query_spark.operators.extraction import (
+        explode_spans,
+        flag_boilerplate,
+    )
+    from pdf_extraction_and_query_spark.sources.corpus import (
+        spans_table_from_documents,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        lines = flag_boilerplate(explode_spans(spans_table_from_documents(spark, sf_dir)))
+        non_footer_flagged = (
+            lines.where(F.col("is_boiler"))
+            .where(~F.col("text").startswith(C.CORPUS_FOOTER_PREFIX))
+            .count()
+        )
+        assert non_footer_flagged == 0, (sf_dir, non_footer_flagged)

@@ -8,7 +8,10 @@ set is the batch output minus each user's last session."""
 from pyspark.sql import functions as F
 
 from pdf_extraction_and_query_spark.operators.stats import sessionize
-from pdf_extraction_and_query_spark.streaming.sessions import sessionize_stream
+from pdf_extraction_and_query_spark.streaming.sessions import (
+    sessionize_stream,
+    sessionize_stream_event_time,
+)
 
 SF = "/root/testdata/sf0.001"
 EVENT_COLS = ["user_id", "session_id", "n_events", "start_epoch", "end_epoch"]
@@ -89,3 +92,68 @@ def test_sessions_merge_across_batches_and_restarts(spark, tmp_path_factory):
     # the straddling user's two boundary events merged into ONE session —
     # carried state, not a split at the batch boundary
     assert (999999, 1, 2, cutoff - 60, cutoff + 60) in got
+
+
+EVENTS_DDL = (
+    "event_id long, epoch long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_DDL).select(
+        "event_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_idle_sessions_flush_after_watermark(spark, tmp_path_factory):
+    """Event-time-timeout variant: an idle user's open session must be
+    EMITTED (and its state dropped) once the watermark passes
+    session_end + gap — no later event from that user required."""
+    base = tmp_path_factory.mktemp("sess_et")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    t0 = 1_700_000_000
+
+    def drain():
+        q = (
+            sessionize_stream_event_time(
+                spark.readStream.schema(_mk_events(spark, []).schema).parquet(in_dir)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # drop 1: user 1's whole (future-idle) session
+    _mk_events(
+        spark, [(1, t0, 1, "click", 1.0, "{}"), (2, t0 + 600, 1, "click", 1.0, "{}")]
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    # drop 2: an unrelated user far in the future advances the watermark
+    _mk_events(spark, [(3, t0 + 3 * 3600, 2, "click", 1.0, "{}")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    # drop 3: one more batch so timeouts are evaluated against the advanced
+    # watermark (timeout processing uses the watermark carried into the batch)
+    _mk_events(spark, [(4, t0 + 4 * 3600, 2, "click", 1.0, "{}")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+
+    got = {
+        tuple(r[c] for c in EVENT_COLS)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1 never sent another event, yet their session flushed via timeout
+    assert (1, 1, 2, t0, t0 + 600) in got, got

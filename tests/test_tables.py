@@ -95,3 +95,22 @@ def test_clear_partitions_removes_stale_empty_buckets(spark, tmp_path_factory):
     got = spark.read.parquet(path)
     assert got.where("bucket = 2").count() == 0
     assert got.count() == 30
+
+
+def test_clear_partitions_escapes_string_values(spark, tmp_path_factory):
+    """String partition values with reserved chars (space, slash, colon,
+    '=') must resolve to the directory Spark actually wrote — unescaped
+    f-string paths would silently delete nothing."""
+    from pdf_extraction_and_query_spark.sources import tables
+
+    path = str(tmp_path_factory.mktemp("tbl") / "esc")
+    vals = ["plain", "a b", "x/y:z", "q=r", "pct%40"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, part string"
+    )
+    tables.overwrite_partitions(df, path, ["part"])
+    assert spark.read.parquet(path).count() == len(vals)
+
+    tables.clear_partitions(spark, path, "part", ["a b", "x/y:z", "q=r"])
+    left = {r["part"] for r in spark.read.parquet(path).collect()}
+    assert left == {"plain", "pct%40"}, left
