@@ -108,7 +108,10 @@ def main() -> None:
         "exact_dedup",
         "ngram_jaccard",
         "minhash_lsh_pairs",
+        "dedup_clusters",
         "simhash",
+        "shard_pack",
+        "stratified_sample",
         "embedding_near_pairs_lsh",
         "stub_embed",
         "vector_topk",
@@ -121,6 +124,8 @@ def main() -> None:
         "events_rollup",
         "boilerplate_flags",
         "doc_meta",
+        "page_text_map",
+        "doc_listing",
         "chunk_invariants",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count())

@@ -131,3 +131,18 @@ CORPUS_LINES_PER_PAGE = 4
 CORPUS_FIG_EVERY = 7  # a figure span precedes line i when i % EVERY == PHASE
 CORPUS_FIG_PHASE = 3
 CORPUS_FOOTER_PREFIX = "Confidential - Corp "  # + doc_id + " - page " + page
+
+# training-shard packing (operators/packing.py + its oracle): documents are
+# assigned to shards by cumulative whitespace-token count in doc_id order;
+# each shard targets ~PACK_TOKEN_BUDGET tokens
+PACK_TOKEN_BUDGET = 1000
+PACK_BAND = 4096  # docs per prefix-scan band (same pattern as SPAN_BAND)
+
+# deterministic stratified sampling (operators/packing.stratified_sample):
+# keep a document iff poly_hash(SAMPLE_SALT || doc_id) % 1e6 < rate_micro
+# for its language stratum — a pure function of the row, so re-runs and
+# the DuckDB oracle select the exact same sample
+SAMPLE_SALT = "sample:"
+SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
+SAMPLE_DEFAULT_MICRO = 900_000
+SAMPLE_MOD = 1_000_000

@@ -342,3 +342,92 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = C.SIMHASH_MAX_HAMMING
         cands.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: connected components over the
+    MinHash-LSH candidate-pair graph — the step after pair generation in a
+    production dedup pipeline (C4/RefinedWeb-style: each duplicate cluster
+    keeps one representative; pairs alone can't tell you which docs to
+    drop when duplicates chain A~B~C without A~C).
+
+    Algorithm: min-label propagation to fixpoint. Each round is one
+    edge-join + min-aggregate (a (dst)-keyed shuffle and a (src)-keyed
+    shuffle); lineage is truncated per round with localCheckpoint so the
+    plan stays O(1) deep. Rounds needed = graph diameter — LSH duplicate
+    clusters are near-cliques, so 2-3 in practice; ``max_iters`` bounds the
+    pathological chain. At 10^12-doc scale the same loop runs with the
+    alternating large-star/small-star optimization (Kiveris et al., "
+    Connected Components in MapReduce"), which shortcuts long chains in
+    O(log^2 n) rounds; min-label propagation is the identical-output
+    simple case and the right choice while components are small.
+
+    Output: one row per document that appears in at least one candidate
+    pair — (doc_id, cluster_rep = min doc_id of its component, is_keeper).
+    Singleton documents never enter the pair graph and are trivially their
+    own keepers, so emitting only clustered docs keeps the output (and the
+    shuffle) proportional to the duplicate population, not the corpus.
+
+    The DuckDB oracle computes the same components by recursive transitive
+    closure — an independent algorithm, so parity checks the RESULT (the
+    partition into components), not the propagation schedule.
+    """
+    return connected_components(minhash_band_pairs(docs), max_iters=max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph
+    ``(doc_a, doc_b)`` -> ``(doc_id, cluster_rep, is_keeper)``.
+    See :func:`dedup_clusters` for the algorithmic contract; factored out
+    so chain-shaped graphs (multi-round convergence) are unit-testable
+    independent of the LSH pair generator."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # pair generation runs ONCE, not per round
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint within {max_iters} rounds "
+            "(component diameter exceeds the bound — raise max_iters or "
+            "switch to large-star/small-star)"
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_rep"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import contract as C
 from ..core import boilerplate as bp
 from ..operators import dedup as D
+from ..operators import packing as PK
 from ..operators import search as S
 from ..operators import stats as ST
 from ..operators import textstats as TX
@@ -309,10 +310,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
     "ngram_jaccard_pruned": lambda s, d: D.ngram_jaccard_pruned(_docs(s, d)),
     "minhash_lsh_pairs": lambda s, d: D.minhash_band_pairs(_docs(s, d)),
+    "dedup_clusters": lambda s, d: D.dedup_clusters(_docs(s, d)),
     "simhash": lambda s, d: D.simhash(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
     "embedding_near_pairs": lambda s, d: D.embedding_near_pairs(_emb(s, d)),
     "embedding_near_pairs_lsh": lambda s, d: D.embedding_near_pairs_lsh(_emb(s, d)),
+    # --- training-shard packing (SQL-verified) ---
+    "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
+    "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
+    "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
@@ -632,6 +638,58 @@ bands AS ({_band_union_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, val)
 WHERE a.doc_id < b.doc_id""",
+    "shard_pack": f"""
+WITH t AS (SELECT doc_id,
+                  cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                       as bigint) AS n_tokens
+           FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id, n_tokens,
+       cast(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {C.PACK_TOKEN_BUDGET}) as bigint) AS shard_id
+FROM t""",
+    "shard_stats": f"""
+WITH t AS (SELECT doc_id,
+                  cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                       as bigint) AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             cast(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {C.PACK_TOKEN_BUDGET}) as bigint) AS shard_id
+      FROM t)
+SELECT shard_id, cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS n_tokens,
+       cast(min(doc_id) as bigint) AS first_doc,
+       cast(max(doc_id) as bigint) AS last_doc
+FROM p GROUP BY shard_id""",
+    "stratified_sample": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {_poly(f"'{C.SAMPLE_SALT}' || cast(doc_id as varchar)")}
+           % {C.SAMPLE_MOD} AS sample_bucket
+  FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id, lang,
+       cast(sample_bucket as bigint) AS sample_bucket
+FROM b
+WHERE sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SH_CTE},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, val)
+  WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT cast(src as bigint) AS doc_id,
+       cast(min(dst) as bigint) AS cluster_rep,
+       (src = min(dst)) AS is_keeper
+FROM reach GROUP BY src""",
     "simhash": _simhash_sql(),
     "embedding_near_pairs": f"""
 WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
