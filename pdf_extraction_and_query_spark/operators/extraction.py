@@ -9,12 +9,12 @@ Stage layout (each stage is independently queryable; shuffle keys noted):
 
   1. ``explode_spans``     — explode + derive page (explicit field wins, else
                              running page-marker count) + media-segment index.
-                             The running counts are a DISTRIBUTED PREFIX SCAN
-                             banded on offset ranges (local window per
-                             ``(doc_id, band)`` + cumulated band totals joined
-                             back on the same partitioning) — a 400k-span
-                             whale spreads over ~100 parallel tasks instead of
-                             riding one doc_id window task (PLANS.md §8).
+                             Default: one doc_id window (single shuffle, one
+                             task per doc).  ``banded=True`` switches to a
+                             DISTRIBUTED PREFIX SCAN on offset bands so a
+                             400k-span whale spreads over ~100 parallel tasks
+                             instead of one — hybrid mode routes exactly the
+                             whale docs there (PLANS.md §8).
   2. ``flag_boilerplate``  — repeated-line frequency strip (north rule): a
                              normalized line recurring on >= K distinct pages
                              of a doc is boilerplate; window shuffle on
@@ -87,18 +87,28 @@ OUT_SCHEMA = "doc_id string, `order` int, kind string, text string, media_ref st
 SPAN_BAND = 4096
 
 
-def explode_spans(spans_df: DataFrame) -> DataFrame:
+def explode_spans(spans_df: DataFrame, banded: bool = False) -> DataFrame:
     """Stage 1: span rows with derived ``page`` and media-segment ``seg``;
     page_marker spans are dropped (they are page-boundary metadata, not
     content — see core/docpipe.py spec).
 
     The two running counts (page-marker prefix count -> page, media prefix
-    count -> seg) are computed as a distributed prefix scan instead of one
-    doc-serial window: local inclusive sums inside each (doc_id, band)
-    window, plus per-band totals cumulated over the tiny band frame and
-    joined back.  The join keys equal the window partitioning, so the big
-    side needs no extra exchange or sort (the window's (doc_id, band,
-    offset) sort order satisfies the merge join's (doc_id, band) prefix)."""
+    count -> seg) have two implementations, routed by ``banded``:
+
+    * ``banded=False`` (default): one window per doc_id — a single shuffle,
+      optimal for corpora of normally-sized documents (inter-doc
+      parallelism; each doc is one window task).
+    * ``banded=True``: a DISTRIBUTED PREFIX SCAN — local inclusive sums
+      inside (doc_id, offset-band) windows plus per-band totals cumulated
+      over the tiny band frame and joined back, so a 400k-span whale
+      spreads over ~100 tasks instead of one.  Costs a second pass over
+      the source (the totals aggregate re-executes the scan: column
+      pruning makes the two branch subplans differ, defeating exchange
+      reuse), so it is only routed to whale-sized documents — measured
+      +30-43% on small-doc corpora, -6x single-whale latency.
+
+    ``plans/extract.py`` hybrid mode picks the banded path exactly for the
+    documents above its span threshold; both paths are span-equal."""
     cols = [f.name for f in spans_df.schema["spans"].dataType.elementType.fields]
     line = F.explode("spans").alias("span")
     df = spans_df.select("doc_id", line).select(
@@ -111,14 +121,36 @@ def explode_spans(spans_df: DataFrame) -> DataFrame:
         (F.col("span.font_size") if "font_size" in cols else F.lit(None)).cast("double").alias("font_size"),
         (F.col("span.bold") if "bold" in cols else F.lit(None)).cast("boolean").alias("bold"),
     )
+    is_marker = F.when(F.col("kind") == "page_marker", F.lit(1)).otherwise(F.lit(0))
+    is_media = F.when(F.col("kind").isin(*MEDIA_KINDS), F.lit(1)).otherwise(F.lit(0))
+
+    if not banded:
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        df = (
+            df.withColumn(
+                "derived_page",
+                F.greatest(
+                    F.sum(is_marker).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                    F.lit(1),
+                ),
+            )
+            .withColumn(
+                "seg",
+                F.coalesce(
+                    F.sum(is_media).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).cast("int"),
+            )
+            .withColumn("page", F.coalesce(F.col("page_field"), F.col("derived_page")).cast("int"))
+            .filter(F.col("kind") != "page_marker")
+            .drop("page_field", "derived_page")
+        )
+        return df
+
     df = (
         df.withColumn("band", F.floor(F.col("offset") / SPAN_BAND).cast("int"))
-        .withColumn(
-            "_m", F.when(F.col("kind") == "page_marker", F.lit(1)).otherwise(F.lit(0))
-        )
-        .withColumn(
-            "_d", F.when(F.col("kind").isin(*MEDIA_KINDS), F.lit(1)).otherwise(F.lit(0))
-        )
+        .withColumn("_m", is_marker)
+        .withColumn("_d", is_media)
     )
     w_local = (
         Window.partitionBy("doc_id", "band")

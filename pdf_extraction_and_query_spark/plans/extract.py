@@ -33,15 +33,13 @@ from ..operators.extraction import (
 
 # docs at or below this span count take the fused (zero-shuffle) path in
 # hybrid mode; bigger docs go through the staged path. This is a WORKER-
-# MEMORY bound, not a speed bound: single-whale latency measured fused
-# 0.96/2.0/4.8 s vs staged 2.5/9.3/30.2 s at 50k/150k/400k spans
-# (staged's stage-1 page-derivation windows are doc-serial — one task per
-# doc regardless of cores — so its intra-doc parallelism only materializes
-# from stage 3 on; fused wins at every measured size). What fused cannot
-# do is stream: the whole doc rides one Arrow row through the python
-# worker, so the threshold caps per-row footprint (~200k spans ~= 20 MB of
-# text) and the staged path remains the bounded-memory route for
-# pathological mega-documents.
+# MEMORY bound: fused streams the whole doc through one Arrow row, so the
+# threshold caps per-row footprint (~200k spans ~= 20 MB of text). Since
+# round 3 the staged branch is no longer a latency sacrifice either: with
+# the banded stage 1 (hybrid passes banded_stage1=True) a single 408k-span
+# whale measured staged 5.1 s vs fused 7.5 s on 32 cores (was 30.2 vs
+# 4.8 s with the doc-serial stage-1 windows) — above the threshold the
+# staged path is both the bounded-memory AND the faster route.
 HYBRID_SPAN_THRESHOLD = 200_000
 
 
@@ -50,6 +48,7 @@ def extract_spans(
     cfg: ExtractConfig = ExtractConfig(),
     mode: str = "staged",
     hybrid_threshold: int = HYBRID_SPAN_THRESHOLD,
+    banded_stage1: bool | None = None,
 ) -> DataFrame:
     """Ordered output spans (doc_id, order, kind, text, media_ref).
 
@@ -67,11 +66,17 @@ def extract_spans(
     if mode == "hybrid":
         n = F.size("spans")
         small = fused_extract(spans_df.where(n <= hybrid_threshold), cfg)
-        big = extract_spans(spans_df.where(n > hybrid_threshold), cfg, mode="staged")
+        # the staged branch receives ONLY whale docs, so its stage 1 uses
+        # the banded prefix scan (intra-doc parallelism from the first
+        # shuffle; the extra source pass it costs is paid only by whales)
+        big = extract_spans(
+            spans_df.where(n > hybrid_threshold), cfg, mode="staged",
+            banded_stage1=True,
+        )
         return small.unionByName(big)
     if mode != "staged":
         raise ValueError(f"unknown mode: {mode}")
-    lines = explode_spans(spans_df)
+    lines = explode_spans(spans_df, banded=bool(banded_stage1))
     lines = flag_boilerplate(lines, cfg.boilerplate_min_pages) if cfg.strip_boilerplate else lines.withColumn(
         "is_boiler", F.lit(False)
     )

@@ -52,11 +52,15 @@ def _assert_equal(spark_out, oracle_out):
         )
 
 
-@pytest.mark.parametrize("mode", ["staged", "fused", "hybrid"])
+@pytest.mark.parametrize("mode", ["staged", "staged_banded", "fused", "hybrid"])
 def test_pipeline_matches_oracle(spark, corpus, oracle_out, mode):
     df = docs_to_df(spark, corpus)
     # low threshold so the hybrid run genuinely routes docs down BOTH paths
     kw = {"hybrid_threshold": 60} if mode == "hybrid" else {}
+    if mode == "staged_banded":
+        # the whale stage-1 path (distributed prefix scan) must be
+        # span-identical to the plain doc_id-window derivation
+        mode, kw = "staged", {"banded_stage1": True}
     got = _collect(extract_spans(df, CFG, mode=mode, **kw))
     _assert_equal(got, oracle_out)
 
