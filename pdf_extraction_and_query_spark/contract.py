@@ -139,9 +139,11 @@ PACK_TOKEN_BUDGET = 1000
 PACK_BAND = 4096  # docs per prefix-scan band (same pattern as SPAN_BAND)
 
 # deterministic stratified sampling (operators/packing.stratified_sample):
-# keep a document iff poly_hash(SAMPLE_SALT || doc_id) % 1e6 < rate_micro
+# keep a document iff md5_bits48(SAMPLE_SALT || doc_id) % 1e6 < rate_micro
 # for its language stratum — a pure function of the row, so re-runs and
-# the DuckDB oracle select the exact same sample
+# the DuckDB oracle select the exact same sample.  md5 (not the poly
+# hash): the keep rule needs a uniform coordinate, and base-31 poly
+# hashing of short id strings has no avalanche (see packing._sample_bucket)
 SAMPLE_SALT = "sample:"
 SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000

@@ -81,30 +81,80 @@ def shard_stats(docs: DataFrame, budget: int = C.PACK_TOKEN_BUDGET) -> DataFrame
     )
 
 
-def stratified_sample(docs: DataFrame) -> DataFrame:
-    """Deterministic hash-based stratified sampling — the corpus-curation
-    step that rebalances language/source mix before training.  The keep
-    decision is ``poly_hash(SAMPLE_SALT || doc_id) % SAMPLE_MOD <
-    rate_micro(lang)`` — a pure per-row function (no RNG state, no
-    shuffle), so the sample is identical across re-runs, executors and
-    engines; ``F.rand()`` or ``df.sample()`` would be neither resumable
-    nor oracle-checkable.  The salt decorrelates the sampling hash from
-    the fingerprint/dedup uses of the same poly hash."""
-    from .textstats import poly_hash
+def _sample_bucket():
+    """First 48 md5 bits of (SAMPLE_SALT || doc_id), mod SAMPLE_MOD — the
+    deterministic per-row sampling coordinate.  md5, NOT the poly hash:
+    sampling needs a UNIFORM coordinate so that ``bucket < rate_micro``
+    keeps ~rate fraction of every stratum, and the base-31 poly hash has
+    no avalanche — all same-length id strings land in a ~B*9*len-wide
+    residue window, which measured as a 0.975 effective keep rate for a
+    nominal 0.5 (see tests/test_packing.py).  The salt keeps the
+    coordinate decorrelated from content hashes.  DuckDB twin:
+    ``('0x' || substr(md5(s),1,12))::BIGINT`` (equality verified in
+    tests/test_oracle_parity.py via the paired oracles)."""
+    s = F.concat(F.lit(C.SAMPLE_SALT), F.col("doc_id").cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % C.SAMPLE_MOD
 
-    bucket = (
-        poly_hash(F.concat(F.lit(C.SAMPLE_SALT), F.col("doc_id").cast("string")))
-        % C.SAMPLE_MOD
-    )
+
+def _sample_rate():
+    """Per-language keep threshold in micro-units (contract table)."""
     rate = F.lit(C.SAMPLE_DEFAULT_MICRO)
     for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()):
         rate = F.when(F.col("lang") == lang, F.lit(micro)).otherwise(rate)
+    return rate
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the corpus-curation
+    step that rebalances language/source mix before training.  The keep
+    decision is ``md5_bits48(SAMPLE_SALT || doc_id) % SAMPLE_MOD <
+    rate_micro(lang)`` — a pure per-row function (no RNG state, no
+    shuffle), so the sample is identical across re-runs, executors and
+    engines; ``F.rand()`` or ``df.sample()`` would be neither resumable
+    nor oracle-checkable."""
     return (
-        docs.withColumn("sample_bucket", bucket.cast("long"))
-        .where(F.col("sample_bucket") < rate)
+        docs.withColumn("sample_bucket", _sample_bucket().cast("long"))
+        .where(F.col("sample_bucket") < _sample_rate())
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "lang",
             "sample_bucket",
         )
+    )
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """End-to-end corpus curation in ONE plan: quality filter AND
+    stratified sample AND exact-dedup keeper — the composition a
+    training-data pipeline actually ships, not three separate passes.
+
+    Order matters for cost and is part of the contract: the two per-row
+    predicates (quality, sample) are evaluated FIRST, narrow, on the scan —
+    rejected documents never reach the shuffle — and the dedup-keeper
+    window (min doc_id per content hash) runs over the survivors only.
+    One shuffle total, keyed on the md5 content hash (not the text: the
+    projection drops ``text`` before the exchange, so shuffle volume is a
+    few scalar columns per surviving doc)."""
+    from .dedup import _norm
+
+    t = F.col("text")
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            words.cast("long").alias("n_words"),
+            ((words >= 10) & (stops / words <= 0.5)).alias("_q"),
+            _sample_bucket().cast("long").alias("sample_bucket"),
+            (_sample_bucket() < _sample_rate()).alias("_s"),
+            F.md5(_norm(t)).alias("_h"),
+        )
+        .where(F.col("_q") & F.col("_s"))
+    )
+    w = Window.partitionBy("_h")
+    return (
+        base.withColumn("_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .where("_keeper")
+        .select("doc_id", "lang", "n_words", "sample_bucket")
     )

@@ -319,6 +319,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
+    "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
@@ -666,13 +667,31 @@ FROM p GROUP BY shard_id""",
     "stratified_sample": f"""
 WITH b AS (
   SELECT doc_id, lang,
-         {_poly(f"'{C.SAMPLE_SALT}' || cast(doc_id as varchar)")}
+         ('0x' || substr(md5('{C.SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
            % {C.SAMPLE_MOD} AS sample_bucket
   FROM documents)
 SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(sample_bucket as bigint) AS sample_bucket
 FROM b
 WHERE sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END""",
+    "curate_corpus": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}')) AS stops,
+         ('0x' || substr(md5('{C.SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           % {C.SAMPLE_MOD} AS sample_bucket,
+         md5({_NORM}) AS h
+  FROM documents),
+f AS (
+  SELECT * FROM b
+  WHERE n_words >= 10 AND stops / n_words <= 0.5
+    AND sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END)
+SELECT cast(doc_id as bigint) AS doc_id, lang,
+       cast(n_words as bigint) AS n_words,
+       cast(sample_bucket as bigint) AS sample_bucket
+FROM f
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_SH_CTE},{_minhash_sig_sql()},
 bands AS ({_band_union_sql()}),

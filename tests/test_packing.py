@@ -1,0 +1,67 @@
+"""Token-budget shard packing: the banded prefix scan must agree with a
+plain single-window prefix sum ACROSS band boundaries (the driver-gate
+corpus has doc_ids < PACK_BAND, so oracle parity alone never exercises the
+band-totals carry), and boundary docs must belong to the shard they start
+in."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_extraction_and_query_spark import contract as C
+from pdf_extraction_and_query_spark.operators.packing import (
+    shard_pack,
+    stratified_sample,
+)
+
+
+def _docs(spark, ids_and_words):
+    rows = [(i, " ".join(f"w{k}" for k in range(n))) for i, n in ids_and_words]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_banded_prefix_sum_matches_plain_window_across_bands(spark):
+    # doc_ids straddle three PACK_BAND ranges with gaps (sparse ids)
+    ids = [1, 7, C.PACK_BAND - 1, C.PACK_BAND, C.PACK_BAND + 3,
+           2 * C.PACK_BAND + 10, 3 * C.PACK_BAND - 1]
+    docs = _docs(spark, [(i, 40 + (i % 7) * 13) for i in ids])
+    got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+           for r in shard_pack(docs, budget=100).collect()}
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    plain = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), C.WS_SPLIT_RE)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 100)
+            .cast("long")
+            .alias("shard_id"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+
+def test_boundary_doc_belongs_to_starting_shard(spark):
+    docs = _docs(spark, [(0, 80), (1, 80), (2, 10)])  # doc 1 straddles 100
+    got = {r["doc_id"]: r["shard_id"] for r in shard_pack(docs, budget=100).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    assert a == b and len(a) > 0
+    en = sum(1 for i in a if i % 2 == 0) / 200
+    de = sum(1 for i in a if i % 2 == 1) / 200
+    # rates: en 0.5, others 0.9 — allow hash noise at n=200
+    assert abs(en - 0.5) < 0.15, en
+    assert abs(de - 0.9) < 0.1, de
