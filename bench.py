@@ -35,11 +35,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def bench(fn) -> tuple[float, int]:
-    """Warmup pass + REPS timed passes; returns (best_sec, rows)."""
+def bench(fn, reps: int | None = None) -> tuple[float, int]:
+    """Warmup pass + reps (default $SPARK_GRAFT_BENCH_REPS) timed passes;
+    returns (best_sec, rows)."""
     rows = fn()  # warmup: full pass, not limit() — see PLANS.md / memory trap 5
     best = float("inf")
-    for _ in range(REPS):
+    for _ in range(reps or REPS):
         t0 = time.monotonic()
         rows = fn()
         best = min(best, time.monotonic() - t0)
@@ -97,7 +98,12 @@ def main() -> None:
         synth_docs_df(spark, 25600, seed=42).write.parquet(synth_path)
     synth = spark.read.parquet(synth_path)
     n_synth = synth.count()
-    synth_sec, synth_rows = bench(lambda: extract_spans(synth, mode="hybrid").count())
+    # the north-rule headline workload gets extra reps: this VM's noise
+    # floor is wider than the 4-5 s the pass takes (round-3 probes measured
+    # the identical call at 3.9-5.4 s minutes apart on a quiet box)
+    synth_sec, synth_rows = bench(
+        lambda: extract_spans(synth, mode="hybrid").count(), reps=max(REPS, 5)
+    )
     query_times["extract_hybrid_synth_skewed"] = round(synth_sec, 3)
     for name in (
         "clean_text",

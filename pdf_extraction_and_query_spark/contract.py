@@ -148,3 +148,23 @@ SAMPLE_SALT = "sample:"
 SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000
 SAMPLE_MOD = 1_000_000
+
+# eval-set contamination check (operators/dedup.contamination_check):
+# the held-out split is doc_id % EVAL_MOD == EVAL_RESIDUE (a pure row
+# function — the same split reproduces everywhere); a training doc is
+# flagged when > CONTAM_MICRO/1e6 of its distinct shingles appear in the
+# eval split's shingle set
+EVAL_MOD = 20
+EVAL_RESIDUE = 7
+CONTAM_MICRO = 200_000  # 20%
+
+VOCAB_TOPK = 100  # global vocabulary report size
+
+# PII redaction (operators/textstats.redact_pii) — injected-then-redacted
+# like clean_text's marked_raw, since the synthetic corpus carries no PII
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_EMAIL_TOKEN = "[EMAIL]"
+PII_URL_TOKEN = "[URL]"
+
+HIST_BIN_CHARS = 200  # doc-length histogram bin width (chars)

@@ -128,6 +128,58 @@ def ngram_jaccard_pruned(
     )
 
 
+def contamination_check(docs: DataFrame) -> DataFrame:
+    """Train/eval contamination report — the pre-training hygiene op: for
+    every TRAINING document, what fraction of its distinct word shingles
+    also occurs anywhere in the held-out EVAL split (``doc_id % EVAL_MOD
+    == EVAL_RESIDUE``, a pure row function so the split is identical
+    across engines and re-runs).
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_micro, contaminated)
+    with ``overlap_micro = floor(n_overlap * 1e6 / n_shingles)`` — integer
+    fixed-point per the cross-engine determinism rules in contract.py.
+
+    Scale: the eval split is tiny relative to training (benchmarks are
+    thousands of docs against billions), so its DISTINCT shingle set is
+    broadcast — the training side never shuffles; each train partition
+    probes the broadcast hash relation (left-semi style join counted per
+    doc) and aggregates locally by doc_id before the single count shuffle.
+    Shingle-zero docs keep a row (overlap 0), mirroring the oracle."""
+    sh = doc_shingles(docs)
+    is_eval = (F.col("doc_id") % C.EVAL_MOD) == C.EVAL_RESIDUE
+    eval_sh = sh.where(is_eval).select("sh").distinct()
+    train = sh.where(~is_eval)
+    hits = (
+        train.join(F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    # docs whose text yields zero shingles never reach `sh` — restore them
+    base = docs.where(~is_eval).select("doc_id")
+    micro = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(F.col("n_overlap") * 1_000_000 / F.col("n_shingles")),
+    ).otherwise(F.lit(0))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            micro.cast("long").alias("overlap_micro"),
+            (micro >= C.CONTAM_MICRO).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """K-wide MinHash signature per doc: min over shingles of
     (a_i * h(sh) + b_i) mod p for each of the K universal hash fns.

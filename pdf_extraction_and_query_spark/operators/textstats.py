@@ -138,3 +138,88 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         poly_hash(norm).alias("fp_poly"),
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = C.VOCAB_TOPK) -> DataFrame:
+    """Global vocabulary report: the K most frequent lowercase whitespace
+    tokens with document frequency. Deterministic order: (n_tokens DESC,
+    token ASC) — ties broken lexically so both engines emit the same rows.
+
+    Scale: explode -> groupBy(token) is ONE shuffle with map-side partial
+    aggregation, so a stopword appearing 10^11 times moves one partial row
+    per map task, not 10^11 rows; the final top-K is
+    TakeOrderedAndProject (no global sort materialization)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("token").asc())
+        .limit(k)
+        .select(
+            "token",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def pii_raw(doc_id: Column, text: Column) -> Column:
+    """Deterministically inject an email + URL derived from doc_id (the
+    synthetic corpus carries no PII — same inject-then-operate idiom as
+    ``marked_raw``; the oracle builds the identical string)."""
+    d = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.lit(" contact user"), d, F.lit("@example.com or see https://docs.example.com/d/"), d,
+        F.lit(" for details"),
+    )
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrub: replace emails/URLs with redaction tokens and count what
+    was removed — pure codegen regexp expressions, no Python in the path.
+    URL first: the email pattern would otherwise eat 'https://u@host' forms
+    differently across engines; order is part of the contract."""
+    raw = pii_raw(F.col("doc_id"), F.col("text"))
+    n_urls = F.regexp_count(raw, F.lit(C.PII_URL_RE))
+    n_emails = F.regexp_count(
+        F.regexp_replace(raw, C.PII_URL_RE, C.PII_URL_TOKEN),
+        F.lit(C.PII_EMAIL_RE),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, C.PII_URL_RE, C.PII_URL_TOKEN),
+        C.PII_EMAIL_RE,
+        C.PII_EMAIL_TOKEN,
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        redacted.alias("redacted"),
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Corpus length profile: fixed-width histogram over text length —
+    the DB-stats companion a curation run reads before picking filter
+    thresholds. One hash-agg shuffle on the bin id."""
+    bin_id = F.floor(F.length("text") / C.HIST_BIN_CHARS)
+    return (
+        docs.select(bin_id.cast("long").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * C.HIST_BIN_CHARS).cast("long").alias("lo_chars"),
+            ((F.col("bin_id") + 1) * C.HIST_BIN_CHARS - 1).cast("long").alias("hi_chars"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -305,6 +305,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": lambda s, d: TX.text_quality(_docs(s, d)),
     "lang_id": lambda s, d: TX.lang_id(_docs(s, d)),
     "fingerprint": lambda s, d: TX.fingerprint(_docs(s, d)),
+    "vocab_topk": lambda s, d: TX.vocab_topk(_docs(s, d)),
+    "redact_pii": lambda s, d: TX.redact_pii(_docs(s, d)),
+    "length_histogram": lambda s, d: TX.length_histogram(_docs(s, d)),
     # --- dedup (SQL-verified) ---
     "exact_dedup": lambda s, d: D.exact_dup_groups(_docs(s, d)),
     "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
@@ -313,6 +316,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": lambda s, d: D.dedup_clusters(_docs(s, d)),
     "simhash": lambda s, d: D.simhash(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(_docs(s, d)),
+    "contamination_check": lambda s, d: D.contamination_check(_docs(s, d)),
     "embedding_near_pairs": lambda s, d: D.embedding_near_pairs(_emb(s, d)),
     "embedding_near_pairs_lsh": lambda s, d: D.embedding_near_pairs_lsh(_emb(s, d)),
     # --- training-shard packing (SQL-verified) ---
@@ -596,6 +600,68 @@ FROM g""",
     "fingerprint": f"""
 WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fp_md5, {_poly('norm')} AS fp_poly FROM n""",
+    "vocab_topk": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+  FROM documents)
+SELECT token, cast(count(*) as bigint) AS n_tokens,
+       cast(count(DISTINCT doc_id) as bigint) AS n_docs
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n_tokens DESC, token ASC
+LIMIT {C.VOCAB_TOPK}""",
+    "redact_pii": f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+              || '@example.com or see https://docs.example.com/d/'
+              || cast(doc_id as varchar) || ' for details' AS r
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         len(regexp_extract_all(r, '{C.PII_URL_RE}')) AS n_urls,
+         regexp_replace(r, '{C.PII_URL_RE}', '{C.PII_URL_TOKEN}', 'g') AS r1
+  FROM raw)
+SELECT doc_id,
+       cast(len(regexp_extract_all(r1, '{C.PII_EMAIL_RE}')) as bigint) AS n_emails,
+       cast(n_urls as bigint) AS n_urls,
+       regexp_replace(r1, '{C.PII_EMAIL_RE}', '{C.PII_EMAIL_TOKEN}', 'g') AS redacted
+FROM u""",
+    "length_histogram": f"""
+WITH b AS (SELECT cast(floor(length(text) / {C.HIST_BIN_CHARS}) as bigint) AS bin_id
+           FROM documents)
+SELECT bin_id,
+       cast(bin_id * {C.HIST_BIN_CHARS} as bigint) AS lo_chars,
+       cast((bin_id + 1) * {C.HIST_BIN_CHARS} - 1 as bigint) AS hi_chars,
+       cast(count(*) as bigint) AS n_docs
+FROM b GROUP BY bin_id""",
+    "contamination_check": f"""
+WITH {_SH_CTE},
+eval_sh AS (SELECT DISTINCT s.sh AS sh FROM sh s
+            WHERE s.doc_id % {C.EVAL_MOD} = {C.EVAL_RESIDUE}),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_shingles,
+         count(e.sh) AS n_overlap
+  FROM sh t LEFT JOIN eval_sh e USING (sh)
+  WHERE t.doc_id % {C.EVAL_MOD} <> {C.EVAL_RESIDUE}
+  GROUP BY t.doc_id),
+base AS (
+  SELECT doc_id FROM documents WHERE doc_id % {C.EVAL_MOD} <> {C.EVAL_RESIDUE}),
+j AS (
+  SELECT base.doc_id,
+         coalesce(n_shingles, 0) AS n_shingles,
+         coalesce(n_overlap, 0) AS n_overlap
+  FROM base LEFT JOIN hits USING (doc_id))
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(n_shingles as bigint) AS n_shingles,
+       cast(n_overlap as bigint) AS n_overlap,
+       cast(CASE WHEN n_shingles > 0
+                 THEN floor(n_overlap * 1000000 / n_shingles)
+                 ELSE 0 END as bigint) AS overlap_micro,
+       (CASE WHEN n_shingles > 0
+             THEN floor(n_overlap * 1000000 / n_shingles)
+             ELSE 0 END) >= {C.CONTAM_MICRO} AS contaminated
+FROM j""",
     "exact_dedup": f"""
 SELECT md5({_NORM}) AS grp_hash,
        cast(count(*) as bigint) AS n_docs,
