@@ -122,3 +122,70 @@ def events_rollup(events: DataFrame) -> DataFrame:
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
     )
+
+
+def short_outliers(documents: DataFrame, low_micro: int = 100_000) -> DataFrame:
+    """Flag the shortest ~``low_micro``/1e6 of documents per language — the
+    percentile-cutoff quality filter, computed the scale-correct way.
+
+    A naive ``percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)``
+    puts each language stratum into ONE window task (a 10^11-doc 'en'
+    stratum would be a single sort) — instead the exact quantile is
+    derived by COUNTING: (1) per-(lang, n_chars) counts — one map-side-
+    combined shuffle whose result is distinct-length-sized, not corpus-
+    sized; (2) a cumulative sum over those tiny aggregated rows gives the
+    exact cutoff value per language; (3) the cutoffs broadcast back onto
+    the corpus — no row ever sorts, every stage is parallel.
+
+    Cutoff rule (deterministic, integer-only): ``cutoff_chars`` = the
+    smallest length whose cumulative count reaches ``ceil(n_lang *
+    low_micro / 1e6)``; a doc is an outlier iff ``n_chars <
+    cutoff_chars`` (strictly below keeps the rule stable under ties —
+    every doc of the cutoff length survives)."""
+    from pyspark.sql import Window
+
+    by_len = documents.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_len.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("lang"))
+    )
+    need = F.ceil(F.col("total") * low_micro / 1_000_000)
+    cutoffs = (
+        cum.where(F.col("cum") >= need)
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("cutoff_chars"))
+    )
+    return documents.join(F.broadcast(cutoffs), "lang").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cutoff_chars").cast("long").alias("cutoff_chars"),
+        (F.col("n_chars") < F.col("cutoff_chars")).alias("is_short_outlier"),
+    )
+
+
+def dedup_stats(documents: DataFrame) -> DataFrame:
+    """Corpus duplication-rate rollup over the exact-dedup groups: group
+    count, doc count, duplicate count (docs beyond each group's keeper)
+    and the fixed-point duplication rate — the one-row report a curation
+    run logs per wave."""
+    from .dedup import exact_dup_groups
+
+    g = exact_dup_groups(documents)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("n_docs") - F.count("*")).alias("n_dup_docs"),
+        F.floor(
+            (F.sum("n_docs") - F.count("*")) * 1_000_000 / F.sum("n_docs")
+        ).cast("long").alias("dup_rate_micro"),
+    ).select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+        "dup_rate_micro",
+    )

@@ -177,3 +177,49 @@ def extract_arrays(
             F.collect_list(F.struct("order", "kind", "text", "media_ref"))
         ).alias("out")
     )
+
+
+def write_spans_routed(
+    spans_df: DataFrame, path: str, threshold: int = HYBRID_SPAN_THRESHOLD
+) -> None:
+    """Ingest-time whale routing: persist the span corpus PARTITIONED BY an
+    ``is_whale`` flag (``size(spans) > threshold``).
+
+    This is the storage half of the scale-correct hybrid: the in-plan
+    hybrid's two branches each re-scan the full table to evaluate
+    ``size(spans)`` (no parquet pushdown for array sizes — 2x read
+    amplification, plus a fixed ~0.5-3 s of planned-but-empty whale stages
+    measured in BENCH.md even on whale-free corpora).  With the flag as a
+    partition column both branch scans are PARTITION-PRUNED: each file is
+    read exactly once by exactly one branch, and a whale-free corpus makes
+    the whale branch zero files -> zero tasks.  On the Iceberg backend the
+    same column is simply part of the table's partition spec
+    (``PARTITIONED BY (is_whale)``)."""
+    # int 0/1, not boolean: Spark's partition-value type inference covers
+    # numerics/dates only — a boolean flag reads back as the STRING
+    # 'true'/'false'
+    spans_df.withColumn(
+        "is_whale", (F.size("spans") > threshold).cast("int")
+    ).write.mode("overwrite").partitionBy("is_whale").parquet(path)
+
+
+def extract_spans_routed(
+    spark,
+    path: str,
+    cfg: ExtractConfig = ExtractConfig(),
+) -> DataFrame:
+    """Hybrid extraction over a :func:`write_spans_routed` table: the fused
+    branch scans only ``is_whale=false`` files, the banded staged branch
+    only ``is_whale=true`` files (both pruned — asserted by
+    tests/test_partitioned_routing.py on the query plans).  Span-for-span
+    equal to every other mode."""
+    from ..sources.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    t = spark.read.parquet(path)
+    small = fused_extract(t.where(F.col("is_whale") == 0).drop("is_whale"), cfg)
+    big = extract_spans(
+        t.where(F.col("is_whale") == 1).drop("is_whale"), cfg, mode="staged",
+        banded_stage1=True,
+    )
+    return small.unionByName(big)

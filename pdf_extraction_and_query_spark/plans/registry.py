@@ -344,6 +344,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # --- stats (SQL-verified) ---
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
+    "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
+    "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
     "sessionize": lambda s, d: ST.sessionize(_events(s, d)),
     # --- span-corpus surface (oracle-paired via the word-index-arithmetic
@@ -924,6 +926,32 @@ SELECT lang, source,
        cast(sum(n_chars) as bigint) AS sum_chars,
        round(sum(n_chars) / count(*), 4) AS avg_chars
 FROM documents GROUP BY 1, 2""",
+    "short_outliers": """
+WITH by_len AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n_chars, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM by_len),
+cutoffs AS (
+  SELECT lang, min(n_chars) AS cutoff_chars
+  FROM cum WHERE cum >= ceil(total * 100000 / 1000000)
+  GROUP BY lang)
+SELECT cast(d.doc_id as bigint) AS doc_id, d.lang,
+       cast(d.n_chars as bigint) AS n_chars,
+       cast(c.cutoff_chars as bigint) AS cutoff_chars,
+       d.n_chars < c.cutoff_chars AS is_short_outlier
+FROM documents d JOIN cutoffs c USING (lang)""",
+    "dedup_stats": f"""
+WITH g AS (
+  SELECT md5({_NORM}) AS grp_hash, count(*) AS n
+  FROM documents GROUP BY 1)
+SELECT cast(count(*) as bigint) AS n_groups,
+       cast(sum(n) as bigint) AS n_docs,
+       cast(sum(n) - count(*) as bigint) AS n_dup_docs,
+       cast(floor((sum(n) - count(*)) * 1000000 / sum(n)) as bigint) AS dup_rate_micro
+FROM g""",
     "events_rollup": """
 SELECT event_type,
        cast(floor(floor(epoch(ts)) / 3600) * 3600 as bigint) AS hour_epoch,
