@@ -223,6 +223,83 @@ def ivf_topk(
     return _rank_topk(hits, k)
 
 
+def ivf_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MULTI_TOPK,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """Batch IVF search: assignment computed ONCE for the whole query set,
+    per-query probe lists from the tiny (centroids x queries) cross (a
+    broadcast, n_queries*n_probe rows), then candidates scored only inside
+    each query's probed clusters — one row_number shuffle on q_id, same
+    shape as :func:`vector_topk_multi` but over the pruned candidate set."""
+    assigned = _ivf_assign(embeddings, n_centroids)
+    qs = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            fixed_point_vec(F.col("embedding")).alias("qv"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("cent_id"))
+    probes = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(qs))
+        .select("q_id", "cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= n_probe)
+        .select("q_id", "cent_id")
+    )
+    pruned = assigned.join(F.broadcast(probes), "cent_id")
+    hits = pruned.join(F.broadcast(qs), "q_id").select(
+        "q_id", "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "dot_e12")
+    )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MULTI_TOPK,
+) -> DataFrame:
+    """Recall@k of the IVF path against the brute-force ground truth, per
+    query — the evaluation loop an ANN deployment runs before trusting an
+    index config (reference analog: the retrieval-quality comparison in
+    evaluation/CHUNKING_COMPARISON_RESULTS.md, re-aimed at index recall).
+    Fixed-point ``recall_micro = floor(n_hits * 1e6 / k)``; a left-semi
+    join on (q_id, vec_id) counts ground-truth rows the IVF result found.
+    Both sides are tiny (n_queries * k rows) — the cost is the two
+    searches, which scan once each."""
+    brute = vector_topk_multi(embeddings, n_queries, k)
+    approx = ivf_topk_multi(embeddings, n_queries, k)
+    found = brute.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    return (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("n_truth"))
+        .join(
+            found.groupBy("q_id").agg(F.count("*").alias("n_hits")),
+            "q_id",
+            "left",
+        )
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(F.coalesce("n_hits", F.lit(0)) * 1_000_000 / F.col("n_truth"))
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     index_path: str,

@@ -328,6 +328,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
+    "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
+    "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
@@ -872,6 +874,85 @@ hits AS (
 SELECT vec_id, dot_e12,
        cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
 FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "ivf_topk_multi": f"""
+WITH q AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+           WHERE vec_id < {C.MULTI_QUERY_N}),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, ev, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.q_id, cents.cent_id,
+           cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                i -> cv[i] * qv[i])) as bigint) AS qdot,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                                    i -> cv[i] * qv[i])) as bigint) DESC, cents.cent_id) AS prank
+    FROM cents, q) WHERE prank <= {C.IVF_PROBE}),
+hits AS (
+  SELECT p.q_id, a.vec_id, {_DOT} AS dot_e12
+  FROM assigned a JOIN probes p USING (cent_id) JOIN q ON q.q_id = p.q_id),
+r AS (
+  SELECT q_id, vec_id, dot_e12,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+  FROM hits)
+SELECT q_id, vec_id, rank, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
+    "ivf_recall": f"""
+WITH q AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+           WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT q_id, vec_id, {_DOT} AS dot_e12 FROM c, q),
+brute AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) AS rank
+    FROM s) WHERE rank <= {C.MULTI_TOPK}),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, ev, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.q_id, cents.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                                    i -> cv[i] * qv[i])) as bigint) DESC, cents.cent_id) AS prank
+    FROM cents, q) WHERE prank <= {C.IVF_PROBE}),
+ihits AS (
+  SELECT p.q_id, a.vec_id, {_DOT} AS dot_e12
+  FROM assigned a JOIN probes p USING (cent_id) JOIN q ON q.q_id = p.q_id),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) AS rank
+    FROM ihits) WHERE rank <= {C.MULTI_TOPK}),
+agg AS (
+  SELECT b.q_id, count(*) AS n_truth,
+         count(a.vec_id) AS n_hits
+  FROM brute b LEFT JOIN approx a USING (q_id, vec_id)
+  GROUP BY b.q_id)
+SELECT cast(q_id as bigint) AS q_id,
+       cast(n_hits as bigint) AS n_hits,
+       cast(floor(n_hits * 1000000 / n_truth) as bigint) AS recall_micro
+FROM agg""",
     "sessionize": """
 WITH x AS (
   SELECT user_id, event_id, ts,

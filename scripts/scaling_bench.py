@@ -38,7 +38,7 @@ _WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
-from pdf_extraction_and_query_spark.plans.extract import extract_spans
+from pdf_extraction_and_query_spark.plans.extract import extract_spans, extract_spans_routed
 from pdf_extraction_and_query_spark.sources.packaging import attach_package
 if {executors}:
     # real separate executor JVMs: the faithful N-vs-4N-EXECUTOR simulation
@@ -61,11 +61,17 @@ else:
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet({corpus!r})
 n_docs = df.count()
-extract_spans(df, mode={mode!r}).count()  # warm: codegen + python workers
+if {mode!r} == "routed":
+    # production table layout: corpus partitioned by is_whale at ingest,
+    # both hybrid branches partition-pruned (PLANS.md #10)
+    job = lambda: extract_spans_routed(spark, {corpus!r}).count()
+else:
+    job = lambda: extract_spans(df, mode={mode!r}).count()
+job()  # warm: codegen + python workers
 best, rows = None, 0
 for _ in range({runs}):
     t0 = time.monotonic()
-    rows = extract_spans(df, mode={mode!r}).count()
+    rows = job()
     w = time.monotonic() - t0
     best = w if best is None else min(best, w)
 print(json.dumps({{"cores": {cores}, "executors": {n_exec} if {executors} else None, "wall_sec": round(best, 2),
@@ -94,10 +100,12 @@ def cpu_calibration(n_procs: int) -> float:
     return sum(1.0 / t for t in times)
 
 
-def ensure_corpus(n_docs: int) -> str:
+def ensure_corpus(n_docs: int, routed: bool = False) -> str:
     path = os.path.join(REPO, "data", f"scaling_corpus_{n_docs}.parquet")
-    if os.path.exists(path):
-        return path
+    routed_path = os.path.join(REPO, "data", f"scaling_routed_{n_docs}.parquet")
+    want = routed_path if routed else path
+    if os.path.exists(want):
+        return want
     os.makedirs(os.path.dirname(path), exist_ok=True)
     sys.path.insert(0, REPO)
     from pdf_extraction_and_query_spark.sources.corpus import synth_docs_df
@@ -105,9 +113,14 @@ def ensure_corpus(n_docs: int) -> str:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    synth_docs_df(spark, n_docs, seed=42).write.parquet(path)
+    if not os.path.exists(path):
+        synth_docs_df(spark, n_docs, seed=42).write.parquet(path)
+    if routed:
+        from pdf_extraction_and_query_spark.plans.extract import write_spans_routed
+
+        write_spans_routed(spark.read.parquet(path), routed_path)
     spark.stop()
-    return path
+    return want
 
 
 def run_level(
@@ -134,25 +147,34 @@ def main() -> None:
     ap.add_argument("--executors", action="store_true",
                     help="use local-cluster[N,4,*] (separate executor JVMs) "
                          "instead of local[cores]")
+    ap.add_argument("--routed", action="store_true",
+                    help="run over the is_whale-partitioned table via "
+                         "extract_spans_routed (production ingest layout)")
+    ap.add_argument("--cores-per-exec", type=int, default=4,
+                    help="executor size for --executors mode; use 2 to keep "
+                         "N and 4N total cores inside this VM's linear "
+                         "regime (2-8 busy cores; see BENCH.md curve)")
     args = ap.parse_args()
+    if args.routed:
+        args.mode = "routed"
 
-    corpus = ensure_corpus(args.docs)
-    cal_lo = cpu_calibration(args.n * (4 if args.executors else 1))
-    cal_hi = cpu_calibration(args.n * 4 * (4 if args.executors else 1))
+    corpus = ensure_corpus(args.docs, routed=args.routed)
+    cpe = args.cores_per_exec if args.executors else 1
+    cal_lo = cpu_calibration(args.n * cpe)
+    cal_hi = cpu_calibration(args.n * 4 * cpe)
     hw_ceiling = (cal_hi / cal_lo) / 4.0
 
-    cpe = 4 if args.executors else 1
     lo = run_level(corpus, args.n * cpe, args.mode, args.runs,
-                   executors=args.executors)
+                   executors=args.executors, cores_per_exec=cpe)
     hi = run_level(corpus, args.n * 4 * cpe, args.mode, args.runs,
-                   executors=args.executors)
+                   executors=args.executors, cores_per_exec=cpe)
     assert lo["rows"] == hi["rows"], "same input must give same output rows"
 
     speedup = lo["wall_sec"] / hi["wall_sec"]
     efficiency = speedup / 4.0
     result = {
         "mode": args.mode,
-        "unit": "executors(4 cores each)" if args.executors else "cores",
+        "unit": f"executors({cpe} cores each)" if args.executors else "cores",
         "n_docs": lo["n_docs"],
         "out_rows": lo["rows"],
         "levels": [lo, hi],
@@ -171,8 +193,8 @@ def main() -> None:
             f"{lo['n_docs']} docs, "
             f"{lo['rows']} output spans, best of {args.runs})\n\n"
             f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
-            f"| {f'{args.n} executors x4' if args.executors else f'local[{args.n}]'} | {lo['wall_sec']} | {lo['docs_per_sec']} |\n"
-            f"| {f'{args.n * 4} executors x4' if args.executors else f'local[{args.n * 4}]'} | {hi['wall_sec']} | {hi['docs_per_sec']} |\n\n"
+            f"| {f'{args.n} executors x{cpe}' if args.executors else f'local[{args.n}]'} | {lo['wall_sec']} | {lo['docs_per_sec']} |\n"
+            f"| {f'{args.n * 4} executors x{cpe}' if args.executors else f'local[{args.n * 4}]'} | {hi['wall_sec']} | {hi['docs_per_sec']} |\n\n"
             f"speedup N->4N: **{speedup:.2f}x**; scaling efficiency "
             f"**{efficiency:.3f}** (target >= 0.8). Pure-CPU calibration of "
             f"this box at the same two levels sustains {hw_ceiling:.2f} "
