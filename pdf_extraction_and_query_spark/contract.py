@@ -168,3 +168,33 @@ PII_EMAIL_TOKEN = "[EMAIL]"
 PII_URL_TOKEN = "[URL]"
 
 HIST_BIN_CHARS = 200  # doc-length histogram bin width (chars)
+
+# --- full-text (BM25) keyword search (operators/fulltext.py) ---
+# Query sets are fixed lowercase whitespace tokens (the corpus is already a
+# clean token stream); q_id 3 includes a term absent from any corpus ('
+# nosuchtoken') to exercise the df=0 / idf-cap path.
+FTS_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("table", "scan", "fast"),
+    1: ("window", "agg", "group"),
+    2: ("customer", "merge", "join"),
+    3: ("vector", "hash", "nosuchtoken"),
+}
+FTS_TOPK = 10
+# BM25 parameters k1=1.2, b=0.75 — appear in the scoring twins as the exact
+# integer fractions 22/10 (k1+1), 3/10 (k1(1-b)), 9/10 (k1*b).  The idf is
+# the LOG-FREE Robertson argument (2N-2df+1)/(2df+1) == (N-df+0.5)/(df+0.5):
+# per-term it is order-equivalent to ln-idf (strictly decreasing in df), and
+# it keeps the whole score exact int64 arithmetic — ln() is libm-dependent
+# and last-ulp-divergent between the JVM and DuckDB, which would break the
+# value-hash gate.  Saturation caps keep every intermediate in int64 even
+# for df=1 at 10^12 docs (idf cap) and a 10^6-token whale with a
+# query-term-only vocabulary (tf cap; the BM25 tf component is within 0.01%%
+# of its k1+1 asymptote by tf=10^4 anyway).
+FTS_TF_CAP = 10_000
+FTS_IDF_CAP_E6 = 50_000_000
+
+# hybrid retrieval: reciprocal-rank fusion of the BM25 list and the vector
+# top-k list, rrf contribution = 1e6 // (RRF_K + rank) per list (exact
+# integer), candidate depth HYBRID_POOL per retriever before fusion
+RRF_K = 60
+HYBRID_POOL = 20

@@ -1,0 +1,230 @@
+"""Full-text (BM25) keyword search + hybrid keyword/vector fusion.
+
+The reference retrieves by embedding similarity only
+(src/vector_store/pgvector_client.py:193-218); a user switching a RAG stack
+to this engine expects the standard retrieval trio — keyword (BM25), vector,
+and hybrid reciprocal-rank fusion — so this module supplies the two the
+reference lacks, over the same documents/embeddings tables.
+
+Determinism contract (shared constants in ``contract``): the entire score is
+exact int64 arithmetic — integer tf/df/dl/N, a LOG-FREE rational idf
+((2N-2df+1)/(2df+1), order-equivalent per-term to ln-idf; see the contract
+module for why ln() is banned), and integer division (`div` / DuckDB `//`,
+identical truncation for the all-positive operands here).  Ties break on
+doc_id ascending.
+
+Scale notes (10^12 docs):
+  * postings = explode -> groupBy(doc_id, token): ONE shuffle with map-side
+    partial agg; this is the build-once inverted-index table — at production
+    scale it persists bucketed by token so per-query scans prune (same
+    build/search split as ``search.ivf_build``; ``fts_build`` below writes
+    exactly that layout).
+  * query terms are a BROADCAST list: candidate postings are pruned map-side
+    by a broadcast hash join before any wide operation, so the only
+    postings-sized shuffle is the (doc_id-keyed) join against doc lengths.
+  * corpus scalars (N, sum_dl, avgdl) ride the plan as a broadcast 1-row
+    frame — no driver collect.
+  * per-query top-k is one row_number window on q_id (bounded #queries),
+    same shape as ``search.vector_topk_multi``.
+  * every intermediate fits int64 at 10^12 docs via the FTS_TF_CAP /
+    FTS_IDF_CAP_E6 saturation caps (bounds analysis in the contract module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) stream: lowercase whitespace tokens, empties dropped
+    (same tokenization as textstats.vocab_topk — one contract, two users)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)).alias("token"),
+    ).where(F.col("token") != "")
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    """Inverted-index postings (doc_id, token, tf) — one hash-agg shuffle."""
+    return _tokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(post: DataFrame) -> DataFrame:
+    """(doc_id, dl) from already-aggregated postings (second, smaller agg —
+    never re-explodes the corpus)."""
+    return post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def corpus_stats(docs: DataFrame, dl: DataFrame) -> DataFrame:
+    """1-row (n_docs, sum_dl, avgdl_e3).  N counts ALL documents (empty-text
+    docs simply have no postings and can never match)."""
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
+        .withColumn("avgdl_e3", F.expr("(1000 * sum_dl) div n_docs"))
+    )
+
+
+def _query_terms(docs: DataFrame, queries: dict[int, tuple[str, ...]]) -> DataFrame:
+    rows = [(q, t) for q, ts in sorted(queries.items()) for t in ts]
+    return docs.sparkSession.createDataFrame(rows, "q_id long, token string")
+
+
+def term_stats(docs: DataFrame, queries: dict[int, tuple[str, ...]] | None = None) -> DataFrame:
+    """Per-query-term document frequency + idf_e6 — the index introspection
+    row a user checks before trusting a ranking.  Terms absent from the
+    corpus keep df=0 and the capped idf."""
+    queries = queries or C.FTS_QUERIES
+    post = postings(docs)
+    qtok = _query_terms(docs, queries).select("token").distinct()
+    tdf = post.join(F.broadcast(qtok), "token").groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    out = (
+        qtok.join(tdf, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.expr(
+            f"least((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1), "
+            f"cast({C.FTS_IDF_CAP_E6} as bigint))"
+        ).cast("long").alias("idf_e6"),
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = C.FTS_TOPK,
+) -> DataFrame:
+    """Batch BM25 top-k: (q_id, doc_id, score_e9, rank).
+
+    score_e9 = sum over matched terms of (idf_e6 * tf_e6) div 1000 where
+      tf_e6  = (1e6 * 22*tfc*avgdl_e3) div (10*tfc*avgdl_e3 + 3*avgdl_e3
+               + 9000*dl),  tfc = least(tf, FTS_TF_CAP)
+      idf_e6 = least((1e6 * (2N-2df+1)) div (2df+1), FTS_IDF_CAP_E6)
+    — BM25 with k1=1.2, b=0.75 as exact integer fractions (22/10, 3/10,
+    9/10 scaled through 1000*avgdl), log-free idf; the DuckDB twin runs the
+    identical arithmetic."""
+    queries = queries or C.FTS_QUERIES
+    post = postings(docs)
+    dl = doc_lengths(post)
+    stats = corpus_stats(docs, dl)
+    qt = _query_terms(docs, queries)
+
+    qtok = qt.select("token").distinct()
+    tdf = post.join(F.broadcast(qtok), "token").groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    cand = (
+        post.join(F.broadcast(qt), "token")          # map-side prune to query terms
+        .join(F.broadcast(tdf), "token")             # tiny: <= #query terms rows
+        .join(dl, "doc_id")                          # the one postings-sized shuffle
+        .crossJoin(F.broadcast(stats))
+    )
+    scored = cand.select(
+        "q_id",
+        "doc_id",
+        F.expr(
+            f"(least((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1), "
+            f"       cast({C.FTS_IDF_CAP_E6} as bigint))"
+            f" * ((1000000 * 22 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3) div "
+            f"    (10 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3 + 3 * avgdl_e3 "
+            f"     + 9000 * dl))"
+            f") div 1000"
+        ).alias("term_score_e9"),
+    )
+    agg = scored.groupBy("q_id", "doc_id").agg(
+        F.sum("term_score_e9").alias("score_e9")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score_e9").cast("long").alias("score_e9"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def hybrid_rrf(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    k: int = C.TOPK,
+    pool: int = C.HYBRID_POOL,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the vector top-`pool`
+    (query vec 0) and the BM25 top-`pool` (query set 0) over the shared
+    doc_id == vec_id key space (the same identity ``search.topk_enriched``
+    joins on).  rrf_e6 = sum over lists of 1e6 div (RRF_K + rank); a doc
+    absent from a list contributes 0 and reports rank 0 for that list.
+
+    Scale: both inputs are already top-`pool` lists (tiny) — the fusion is a
+    broadcast-sized full outer join + one TakeOrderedAndProject; all the
+    heavy lifting happened inside the two retrievers."""
+    from .search import vector_topk
+
+    vec = vector_topk(embeddings, k=pool).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    kw = bm25_topk_multi(docs, queries={0: C.FTS_QUERIES[0]}, k=pool).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("kw_rank")
+    )
+    fused = (
+        vec.join(kw, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+            F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"(case when vec_rank > 0 then 1000000 div ({C.RRF_K} + vec_rank) "
+                f" else 0 end) + "
+                f"(case when kw_rank > 0 then 1000000 div ({C.RRF_K} + kw_rank) "
+                f" else 0 end)"
+            ).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_e6"), F.asc("id"))
+    return (
+        fused.orderBy(F.desc("rrf_e6"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "vec_rank",
+            "kw_rank",
+            "rrf_e6",
+            "rank",
+        )
+    )
+
+
+def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Build-once side of the index: persist postings + doc lengths
+    partitioned by a token hash bucket so a query-time reader scans only the
+    buckets its terms hash to (PartitionFilters — the same pruning shape
+    ``search.ivf_build`` demonstrates for vectors).  The scoring constants
+    (N, sum_dl) land in a 1-row _stats table next to the postings."""
+    post = postings(docs)
+    (
+        post.withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    dl = doc_lengths(post)
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    corpus_stats(docs, dl).write.mode("overwrite").parquet(f"{path}/_stats")

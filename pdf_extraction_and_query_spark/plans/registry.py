@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import contract as C
 from ..core import boilerplate as bp
 from ..operators import dedup as D
+from ..operators import fulltext as FT
 from ..operators import packing as PK
 from ..operators import search as S
 from ..operators import stats as ST
@@ -324,6 +325,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
+    # --- full-text + hybrid retrieval (SQL-verified) ---
+    "bm25_topk_multi": lambda s, d: FT.bm25_topk_multi(_docs(s, d)),
+    "fts_term_stats": lambda s, d: FT.term_stats(_docs(s, d)),
+    "hybrid_rrf": lambda s, d: FT.hybrid_rrf(_emb(s, d), _docs(s, d)),
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
@@ -551,6 +556,42 @@ def _srp_band_eq_sql() -> str:
         f"((wa >> {j * width}) & {mask}) = ((wb >> {j * width}) & {mask})"
         for j in range(C.SRP_BANDS)
     )
+
+
+def _bm25_cte(queries: dict[int, tuple[str, ...]]) -> str:
+    """Twin of fulltext.bm25_topk_multi's DAG up to the ranked `bm` CTE —
+    identical integer arithmetic (log-free capped idf, capped tf, `//` ==
+    Spark `div` on the all-positive operands)."""
+    qt_vals = ", ".join(
+        f"({q}, '{t}')" for q, ts in sorted(queries.items()) for t in ts
+    )
+    return f"""
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+        FROM documents),
+post AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (1000 * coalesce(sum(dl), 0)) // (SELECT count(*) FROM documents) AS avgdl_e3
+          FROM dl),
+qt(q_id, token) AS (VALUES {qt_vals}),
+tdf AS (SELECT token, count(*) AS df FROM post
+        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+fts_scored AS (
+  SELECT qt.q_id, p.doc_id,
+         (least((1000000 * (2*s.n_docs - 2*t.df + 1)) // (2*t.df + 1),
+                {C.FTS_IDF_CAP_E6})
+          * ((1000000 * 22 * least(p.tf, {C.FTS_TF_CAP}) * s.avgdl_e3) //
+             (10 * least(p.tf, {C.FTS_TF_CAP}) * s.avgdl_e3 + 3 * s.avgdl_e3
+              + 9000 * d.dl))
+         ) // 1000 AS term_score_e9
+  FROM post p JOIN qt USING (token) JOIN tdf t USING (token)
+       JOIN dl d USING (doc_id), stats s),
+bm AS (
+  SELECT q_id, doc_id, sum(term_score_e9) AS score_e9,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sum(term_score_e9) DESC, doc_id) AS rank
+  FROM fts_scored GROUP BY q_id, doc_id)"""
 
 ORACLE_SQL: Dict[str, str] = {
     "clean_text": f"""
@@ -820,6 +861,42 @@ SELECT doc_id, cast(i - 1 as bigint) AS dim_i,
 FROM e, generate_series(1, {C.EMBED_DIM}) AS g(i)""",
     "get_document": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
+    "bm25_topk_multi": f"""
+WITH {_bm25_cte(C.FTS_QUERIES)}
+SELECT cast(q_id as bigint) AS q_id, cast(doc_id as bigint) AS doc_id,
+       cast(score_e9 as bigint) AS score_e9, cast(rank as bigint) AS rank
+FROM bm WHERE rank <= {C.FTS_TOPK}""",
+    "fts_term_stats": f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+             FROM documents),
+post AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+qt(q_id, token) AS (VALUES {", ".join(f"({q}, '{t}')" for q, ts in sorted(C.FTS_QUERIES.items()) for t in ts)}),
+qtok AS (SELECT DISTINCT token FROM qt),
+tdf AS (SELECT token, count(*) AS df FROM post
+        WHERE token IN (SELECT token FROM qtok) GROUP BY 1),
+j AS (SELECT qtok.token, coalesce(df, 0) AS df FROM qtok LEFT JOIN tdf USING (token))
+SELECT token, cast(df as bigint) AS df,
+       cast(least((1000000 * (2*(SELECT count(*) FROM documents) - 2*df + 1))
+                  // (2*df + 1), {C.FTS_IDF_CAP_E6}) as bigint) AS idf_e6
+FROM j""",
+    "hybrid_rrf": f"""
+WITH {_bm25_cte({0: C.FTS_QUERIES[0]})},
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+s AS (SELECT vec_id, {_DOT} AS dot_e12 FROM c, q),
+vec AS (SELECT vec_id, row_number() OVER (ORDER BY dot_e12 DESC, vec_id) AS vrank
+        FROM s QUALIFY vrank <= {C.HYBRID_POOL}),
+kw AS (SELECT doc_id, rank AS krank FROM bm WHERE rank <= {C.HYBRID_POOL}),
+ids AS (SELECT vec_id AS id FROM vec UNION SELECT doc_id FROM kw),
+f AS (SELECT id, coalesce(vrank, 0) AS vec_rank, coalesce(krank, 0) AS kw_rank,
+             (CASE WHEN vrank IS NOT NULL THEN 1000000 // ({C.RRF_K} + vrank) ELSE 0 END)
+           + (CASE WHEN krank IS NOT NULL THEN 1000000 // ({C.RRF_K} + krank) ELSE 0 END) AS rrf_e6
+      FROM ids LEFT JOIN vec ON id = vec_id LEFT JOIN kw ON id = doc_id)
+SELECT cast(id as bigint) AS doc_id, cast(vec_rank as bigint) AS vec_rank,
+       cast(kw_rank as bigint) AS kw_rank, cast(rrf_e6 as bigint) AS rrf_e6,
+       cast(row_number() OVER (ORDER BY rrf_e6 DESC, id) as bigint) AS rank
+FROM f QUALIFY rank <= {C.TOPK}""",
     "vector_topk": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
