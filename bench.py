@@ -120,6 +120,8 @@ def main() -> None:
         "stratified_sample",
         "embedding_near_pairs_lsh",
         "stub_embed",
+        "bm25_topk_multi",
+        "hybrid_rrf",
         "vector_topk",
         "vector_topk_multi",
         "topk_enriched",
