@@ -193,6 +193,19 @@ FTS_TOPK = 10
 FTS_TF_CAP = 10_000
 FTS_IDF_CAP_E6 = 50_000_000
 
+# --- repetition metrics + duplicated-passage detection (operators/repetition.py) ---
+# Gopher-style profile: n in (2,3,4) reads as "top n-gram char fraction",
+# n in (5,8) as "duplicated n-gram char fraction" — one long-format row per
+# (doc, n), both fractions emitted for every n (the reader picks its column
+# per Gopher's thresholds).  Fractions are capped at 1e6 (overlapping
+# occurrences can cover more chars than the doc holds).
+REP_NS: tuple[int, ...] = (2, 3, 4, 5, 8)
+# word-shingle width for cross-doc duplicated-passage detection (Lee et al.
+# use 50 BPE tokens on web corpora; the synthetic corpus' docs are 20-130
+# words, so 8 keeps the detector sensitive while still far above chance
+# collision for the ~40-word vocabulary: 40^8 >> corpus shingle count)
+DUP_PASSAGE_K = 8
+
 # hybrid retrieval: reciprocal-rank fusion of the BM25 list and the vector
 # top-k list, rrf contribution = 1e6 // (RRF_K + rank) per list (exact
 # integer), candidate depth HYBRID_POOL per retriever before fusion

@@ -1,0 +1,202 @@
+"""Repetition-based quality metrics + cross-document duplicated-passage
+detection — the two standard repetition filters of an LLM training-data
+curation pass (beyond the reference's own surface, which stops at whole-doc
+similarity: src/vector_store/pgvector_client.py retrieves, never filters).
+
+Two operator families over the documents table:
+
+* ``repetition_metrics`` — per-document Gopher-style repetition profile
+  (Rae et al. 2021, appendix A1.1, public): for small n the fraction of
+  characters inside the single most frequent word n-gram, for larger n the
+  fraction of characters inside ALL duplicated n-grams.  Standard curation
+  practice drops docs whose fractions exceed per-n thresholds; this emits
+  the raw fractions so thresholds stay a policy, not a constant baked into
+  the engine.
+* ``dup_passages`` / ``dup_passage_stats`` — word-granular analog of exact
+  substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+  Makes Language Models Better", public): any ``DUP_PASSAGE_K``-word
+  shingle occurring in >= 2 distinct documents marks its word interval as
+  duplicated; overlapping/adjacent intervals merge into maximal passages
+  per document (gaps-and-islands over already-aggregated rows).
+
+Determinism contract (constants in ``contract``): everything is exact
+integer arithmetic — counts, char lengths, fixed-point ``_e6`` fractions
+via integer division (Spark ``div`` == DuckDB ``//`` on the all-positive
+operands); the top-gram tie breaks on (count DESC, gram ASC).  Fractions
+are capped at 1e6: overlapping occurrences can cover more characters than
+the document holds (e.g. "a a a a" has three "a a" bigrams), and published
+implementations leave the raw product uncapped — the cap keeps the column a
+fraction, and the cap itself is part of the contract.
+
+Scale shape (10^12 docs):
+  * ONE corpus-sized shuffle per family: the (doc, n, gram) / (gram)
+    hash-agg with map-side partial aggregation.  The n-gram streams for all
+    REP_NS are built in a single narrow pass (array-of-struct concat ->
+    one explode), not one scan per n.
+  * every window runs over already-aggregated rows and partitions by
+    (doc_id[, n]) — per-partition size is bounded by one document's
+    distinct-gram count, never by the corpus.
+  * ``dup_passages``' join of shingle occurrences against the duplicated-
+    gram list is a plain equi-join on gram: the duplicated set's size is
+    data-dependent (proportional to duplicated content, not corpus size),
+    so it is left to AQE to broadcast when small rather than forced.
+  * per-(doc_id, n) grouping after the (doc_id, n)-partitioned window
+    introduces NO extra exchange (hash partitioning on a subset of the
+    grouping keys already satisfies the clustered distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def _words(text: Column) -> Column:
+    """Lowercase whitespace word array, empties dropped — the same token
+    contract as textstats.vocab_topk / fulltext postings."""
+    return F.filter(
+        F.split(F.trim(F.lower(text)), C.WS_SPLIT_RE), lambda x: x != ""
+    )
+
+
+def _grams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty array when the doc is
+    shorter than n (the when-guard keeps sequence() from counting down)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-(doc_id, n) repetition profile, long format:
+
+      top_cnt      occurrences of the most frequent n-gram
+      top_frac_e6  min(1e6, 1e6 * top_cnt * chars(top gram) div denom)
+      dup_frac_e6  min(1e6, 1e6 * sum(cnt * chars(gram) | cnt>=2) div denom)
+
+    denom = chars of the single-space-joined normalized words (>=1).  Docs
+    shorter than n words emit no row for that n (nothing to measure)."""
+    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    w = w.select(
+        "doc_id",
+        "words",
+        F.greatest(F.length(F.array_join("words", " ")), F.lit(1)).alias("denom"),
+    )
+    # NB: the tagging lambda MUST be single-arg — a two-arg lambda makes
+    # transform() pass the element INDEX as the second argument (the
+    # F.trim trap from contract.py, in closure form)
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    per_n = [F.transform(_grams(F.col("words"), n), _tag(n)) for n in C.REP_NS]
+    ex = w.select(
+        "doc_id", "denom", F.explode(F.concat(*per_n)).alias("s")
+    ).select("doc_id", "denom", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    cnt = ex.groupBy("doc_id", "denom", "n", "gram").agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    r = cnt.withColumn("rn", F.row_number().over(win))
+    per = r.groupBy("doc_id", "n", "denom").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_cnt"),
+        F.max(F.when(F.col("rn") == 1, F.length("gram"))).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    return per.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("top_cnt").cast("long").alias("top_cnt"),
+        F.expr("least((1000000 * top_cnt * top_chars) div denom, 1000000)")
+        .cast("long")
+        .alias("top_frac_e6"),
+        F.expr("least((1000000 * dup_chars) div denom, 1000000)")
+        .cast("long")
+        .alias("dup_frac_e6"),
+    )
+
+
+def _shingle_occurrences(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, nw, start_w, gram) for every k-word shingle, start_w
+    1-based.  Narrow: one scan, one explode."""
+    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    w = w.select("doc_id", "words", F.size("words").alias("nw")).where(
+        F.col("nw") >= k
+    )
+    sh = w.select(
+        "doc_id",
+        "nw",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nw") - k + 1),
+                lambda i: F.array_join(F.slice(F.col("words"), i, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    return sh.select(
+        "doc_id", "nw", (F.col("pos") + 1).alias("start_w"), "gram"
+    )
+
+
+def _passages(docs: DataFrame, k: int) -> DataFrame:
+    """Merged duplicated word intervals per doc: (doc_id, nw, start_word,
+    end_word, n_shingles)."""
+    sh = _shingle_occurrences(docs, k)
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .where(F.col("dfc") >= 2)
+        .select("gram")
+    )
+    occ = sh.join(dup, "gram").select("doc_id", "nw", "start_w")
+    win = Window.partitionBy("doc_id").orderBy("start_w")
+    prev = F.lag("start_w").over(win)
+    brk = F.when(prev.isNull() | (F.col("start_w") - prev > k), 1).otherwise(0)
+    isl = occ.withColumn(
+        "island",
+        F.sum(brk).over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "nw", "island").agg(
+        F.min("start_w").alias("start_word"),
+        (F.max("start_w") + k - 1).alias("end_word"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+def dup_passages(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
+    """Maximal duplicated passages (cross-doc k-word shingle evidence),
+    one row per (doc_id, passage): passage_seq numbers passages in reading
+    order within the doc."""
+    p = _passages(docs, k)
+    seq = Window.partitionBy("doc_id").orderBy("start_word")
+    return p.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(seq).cast("long").alias("passage_seq"),
+        F.col("start_word").cast("long").alias("start_word"),
+        F.col("end_word").cast("long").alias("end_word"),
+        (F.col("end_word") - F.col("start_word") + 1).cast("long").alias("n_words"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+def dup_passage_stats(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
+    """Per-doc rollup of duplicated coverage — the number a curation run
+    thresholds on (only docs that HAVE duplicated passages emit a row;
+    absent doc == coverage 0 by contract)."""
+    p = _passages(docs, k)
+    per = p.groupBy("doc_id", "nw").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("end_word") - F.col("start_word") + 1).alias("dup_words"),
+    )
+    return per.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.col("dup_words").cast("long").alias("dup_words"),
+        F.col("nw").cast("long").alias("total_words"),
+        F.expr("(1000000 * dup_words) div nw").cast("long").alias("coverage_e6"),
+    )

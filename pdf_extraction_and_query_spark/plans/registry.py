@@ -23,6 +23,7 @@ from .. import contract as C
 from ..core import boilerplate as bp
 from ..operators import dedup as D
 from ..operators import fulltext as FT
+from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import search as S
 from ..operators import stats as ST
@@ -325,6 +326,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
+    # --- repetition / duplicated-passage curation (SQL-verified) ---
+    "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
+    "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
+    "dup_passage_stats": lambda s, d: RP.dup_passage_stats(_docs(s, d)),
     # --- full-text + hybrid retrieval (SQL-verified) ---
     "bm25_topk_multi": lambda s, d: FT.bm25_topk_multi(_docs(s, d)),
     "fts_term_stats": lambda s, d: FT.term_stats(_docs(s, d)),
@@ -592,6 +597,36 @@ bm AS (
          row_number() OVER (PARTITION BY q_id
                             ORDER BY sum(term_score_e9) DESC, doc_id) AS rank
   FROM fts_scored GROUP BY q_id, doc_id)"""
+
+def _dup_passage_cte(k: int) -> str:
+    """Twin of repetition._passages: duplicated k-word shingle occurrences
+    merged into maximal per-doc passages (gaps-and-islands), ending in the
+    `p` CTE with (doc_id, nw, start_word, end_word, n_shingles)."""
+    return f"""
+w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                         x -> x <> '') AS words
+      FROM documents),
+d2 AS (SELECT doc_id, words, len(words) AS nw FROM w WHERE len(words) >= {k}),
+i2 AS (SELECT doc_id, nw, words,
+              unnest(range(1, nw - {k} + 2)) AS start_w FROM d2),
+sh AS (SELECT doc_id, nw, start_w,
+              array_to_string(words[start_w:start_w + {k} - 1], ' ') AS gram FROM i2),
+dup AS (SELECT gram FROM sh GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT doc_id, nw, start_w FROM sh JOIN dup USING (gram)),
+m AS (SELECT doc_id, nw, start_w,
+             CASE WHEN lag(start_w) OVER (PARTITION BY doc_id ORDER BY start_w) IS NULL
+                       OR start_w - lag(start_w) OVER (PARTITION BY doc_id ORDER BY start_w) > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM occ),
+isl AS (SELECT doc_id, nw, start_w,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start_w
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM m),
+p AS (SELECT doc_id, nw, island, min(start_w) AS start_word,
+             max(start_w) + {k} - 1 AS end_word, count(*) AS n_shingles
+      FROM isl GROUP BY 1, 2, 3)"""
+
 
 ORACLE_SQL: Dict[str, str] = {
     "clean_text": f"""
@@ -861,6 +896,48 @@ SELECT doc_id, cast(i - 1 as bigint) AS dim_i,
 FROM e, generate_series(1, {C.EMBED_DIM}) AS g(i)""",
     "get_document": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
+    "repetition_metrics": f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                              x -> x <> '') AS words
+           FROM documents),
+d AS (SELECT doc_id, words,
+             greatest(length(array_to_string(words, ' ')), 1) AS denom FROM w),
+ns(n) AS (VALUES {", ".join(f"({n})" for n in C.REP_NS)}),
+i AS (SELECT doc_id, denom, n, words,
+             unnest(range(1, greatest(len(words) - n + 2, 1))) AS start_w
+      FROM d, ns),
+g AS (SELECT doc_id, denom, n,
+             array_to_string(words[start_w:start_w + n - 1], ' ') AS gram FROM i),
+cnt AS (SELECT doc_id, denom, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY cnt DESC, gram) AS rn FROM cnt),
+per AS (SELECT doc_id, n, denom,
+               max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt,
+               max(CASE WHEN rn = 1 THEN length(gram) END) AS top_chars,
+               sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+        FROM r GROUP BY 1, 2, 3)
+SELECT cast(doc_id as bigint) AS doc_id, cast(n as bigint) AS n,
+       cast(top_cnt as bigint) AS top_cnt,
+       cast(least((1000000 * top_cnt * top_chars) // denom, 1000000) as bigint) AS top_frac_e6,
+       cast(least((1000000 * dup_chars) // denom, 1000000) as bigint) AS dup_frac_e6
+FROM per""",
+    "dup_passages": f"""
+WITH {_dup_passage_cte(C.DUP_PASSAGE_K)}
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY start_word) as bigint) AS passage_seq,
+       cast(start_word as bigint) AS start_word, cast(end_word as bigint) AS end_word,
+       cast(end_word - start_word + 1 as bigint) AS n_words,
+       cast(n_shingles as bigint) AS n_shingles
+FROM p""",
+    "dup_passage_stats": f"""
+WITH {_dup_passage_cte(C.DUP_PASSAGE_K)}
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(count(*) as bigint) AS n_passages,
+       cast(sum(end_word - start_word + 1) as bigint) AS dup_words,
+       cast(any_value(nw) as bigint) AS total_words,
+       cast((1000000 * sum(end_word - start_word + 1)) // any_value(nw) as bigint) AS coverage_e6
+FROM p GROUP BY doc_id""",
     "bm25_topk_multi": f"""
 WITH {_bm25_cte(C.FTS_QUERIES)}
 SELECT cast(q_id as bigint) AS q_id, cast(doc_id as bigint) AS doc_id,
