@@ -20,8 +20,9 @@ Scale notes (10^12 docs):
     build/search split as ``search.ivf_build``; ``fts_build`` below writes
     exactly that layout).
   * query terms are a BROADCAST list: candidate postings are pruned map-side
-    by a broadcast hash join before any wide operation, so the only
-    postings-sized shuffle is the (doc_id-keyed) join against doc lengths.
+    by a broadcast hash join; doc length rides each posting row via a doc_id
+    window (the only other postings-sized exchange), and per-term df is a
+    count window over the already-pruned candidate set.
   * corpus scalars (N, sum_dl, avgdl) ride the plan as a broadcast 1-row
     frame — no driver collect.
   * per-query top-k is one row_number window on q_id (bounded #queries),
@@ -58,12 +59,15 @@ def doc_lengths(post: DataFrame) -> DataFrame:
     return post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
 
-def corpus_stats(docs: DataFrame, dl: DataFrame) -> DataFrame:
+def corpus_stats(docs: DataFrame) -> DataFrame:
     """1-row (n_docs, sum_dl, avgdl_e3).  N counts ALL documents (empty-text
-    docs simply have no postings and can never match)."""
+    docs simply have no postings and can never match); sum_dl == the total
+    token count, derived from the narrow token stream directly (a global
+    count needs no dedup, so re-aggregating postings for it would buy an
+    extra corpus shuffle for nothing)."""
     return (
         docs.agg(F.count("*").alias("n_docs"))
-        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
+        .crossJoin(_tokens(docs).agg(F.count("*").alias("sum_dl")))
         .withColumn("avgdl_e3", F.expr("(1000 * sum_dl) div n_docs"))
     )
 
@@ -114,19 +118,25 @@ def bm25_topk_multi(
     9/10 scaled through 1000*avgdl), log-free idf; the DuckDB twin runs the
     identical arithmetic."""
     queries = queries or C.FTS_QUERIES
-    post = postings(docs)
-    dl = doc_lengths(post)
-    stats = corpus_stats(docs, dl)
     qt = _query_terms(docs, queries)
-
     qtok = qt.select("token").distinct()
-    tdf = post.join(F.broadcast(qtok), "token").groupBy("token").agg(
-        F.count("*").alias("df")
+
+    # ONE postings derivation consumed once (Spark's ReuseExchange does NOT
+    # canonicalize the separate dl/tdf/cand subtrees the naive DAG builds —
+    # measured 9 corpus scans for one query before this restructure):
+    # dl rides each posting row via a doc_id window (postings-sized exchange
+    # with per-partition size bounded by one doc's distinct-token count),
+    # then the broadcast query-term prune shrinks the stream to candidate
+    # rows only, and df is a count window over that PRUNED set (tiny).
+    post = postings(docs).withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
+    cand_docs = post.join(F.broadcast(qtok), "token").withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
+    stats = corpus_stats(docs)
     cand = (
-        post.join(F.broadcast(qt), "token")          # map-side prune to query terms
-        .join(F.broadcast(tdf), "token")             # tiny: <= #query terms rows
-        .join(dl, "doc_id")                          # the one postings-sized shuffle
+        cand_docs.join(F.broadcast(qt), "token")     # fan out per query id
         .crossJoin(F.broadcast(stats))
     )
     scored = cand.select(
@@ -218,13 +228,15 @@ def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
     buckets its terms hash to (PartitionFilters — the same pruning shape
     ``search.ivf_build`` demonstrates for vectors).  The scoring constants
     (N, sum_dl) land in a 1-row _stats table next to the postings."""
-    post = postings(docs)
+    spark = docs.sparkSession
     (
-        post.withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+        postings(docs)
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    dl = doc_lengths(post)
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
-    corpus_stats(docs, dl).write.mode("overwrite").parquet(f"{path}/_stats")
+    # derive doc lengths from the WRITTEN postings — no second corpus pass
+    written = spark.read.parquet(f"{path}/postings")
+    doc_lengths(written).write.mode("overwrite").parquet(f"{path}/doclen")
+    corpus_stats(docs).write.mode("overwrite").parquet(f"{path}/_stats")
