@@ -142,14 +142,7 @@ def bm25_topk_multi(
     scored = cand.select(
         "q_id",
         "doc_id",
-        F.expr(
-            f"(least((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1), "
-            f"       cast({C.FTS_IDF_CAP_E6} as bigint))"
-            f" * ((1000000 * 22 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3) div "
-            f"    (10 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3 + 3 * avgdl_e3 "
-            f"     + 9000 * dl))"
-            f") div 1000"
-        ).alias("term_score_e9"),
+        F.expr(_score_expr()).alias("term_score_e9"),
     )
     agg = scored.groupBy("q_id", "doc_id").agg(
         F.sum("term_score_e9").alias("score_e9")
@@ -222,6 +215,82 @@ def hybrid_rrf(
     )
 
 
+def _score_expr() -> str:
+    """The shared exact-int64 BM25 term-score expression (docstring of
+    ``bm25_topk_multi`` derives it) — one definition for the inline and
+    prebuilt paths so they cannot drift."""
+    return (
+        f"(least((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1), "
+        f"       cast({C.FTS_IDF_CAP_E6} as bigint))"
+        f" * ((1000000 * 22 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3) div "
+        f"    (10 * least(tf, {C.FTS_TF_CAP}) * avgdl_e3 + 3 * avgdl_e3 "
+        f"     + 9000 * dl))"
+        f") div 1000"
+    )
+
+
+def bm25_topk_prebuilt(
+    spark,
+    path: str,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = C.FTS_TOPK,
+) -> DataFrame:
+    """Search-many side of the ``fts_build`` split: identical scores to
+    ``bm25_topk_multi`` but the postings scan is PRUNED to the token-hash
+    buckets the query terms land in (PartitionFilters — asserted in
+    test_fulltext), so per-query IO is proportional to the matched buckets,
+    not the index.  The bucket list is a driver-side planning step over the
+    literal query terms (metadata, not data — same pattern as
+    ``search.ivf_topk_prebuilt``'s probe-list planning)."""
+    queries = queries or C.FTS_QUERIES
+    stats_row = spark.read.parquet(f"{path}/_stats").collect()[0]
+    n_buckets = int(stats_row["n_buckets"])
+    terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(queries.items()) for t in ts],
+        "q_id long, token string",
+    )
+    qtok = qt.select("token").distinct()
+    post = spark.read.parquet(f"{path}/postings").where(
+        F.col("bucket").isin(buckets)
+    )
+    cand = post.join(F.broadcast(qtok), "token").withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = (
+        spark.read.parquet(f"{path}/_stats")
+        .select("n_docs", "avgdl_e3")
+    )
+    scored = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qt), "token")
+        .select("q_id", "doc_id", F.expr(_score_expr()).alias("term_score_e9"))
+    )
+    agg = scored.groupBy("q_id", "doc_id").agg(
+        F.sum("term_score_e9").alias("score_e9")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score_e9").cast("long").alias("score_e9"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
     """Build-once side of the index: persist postings + doc lengths
     partitioned by a token hash bucket so a query-time reader scans only the
@@ -239,4 +308,9 @@ def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
     # derive doc lengths from the WRITTEN postings — no second corpus pass
     written = spark.read.parquet(f"{path}/postings")
     doc_lengths(written).write.mode("overwrite").parquet(f"{path}/doclen")
-    corpus_stats(docs).write.mode("overwrite").parquet(f"{path}/_stats")
+    (
+        corpus_stats(docs)
+        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/_stats")
+    )

@@ -176,3 +176,37 @@ def test_fts_build_bucketed_layout_roundtrip(spark, tmp_path):
     assert n_multi == 0
     stats = spark.read.parquet(f"{path}/_stats").collect()[0]
     assert stats["n_docs"] == 4 and stats["sum_dl"] == 8
+
+
+def test_bm25_prebuilt_prunes_and_matches_inline(spark, tmp_path):
+    import re
+
+    from pdf_extraction_and_query_spark.operators.fulltext import (
+        bm25_topk_prebuilt,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    path = str(tmp_path / "fts")
+    fts_build(docs, path, n_buckets=8)
+
+    qs = {0: ("apple", "cherry"), 1: ("banana", "nosuchtoken")}
+    got = bm25_topk_prebuilt(spark, path, queries=qs)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the postings scan must carry a bucket PartitionFilter (pruned read)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f for f in pf), plan
+    # and only the buckets the 4 query terms hash to survive (< n_buckets)
+    from pyspark.sql import functions as SF
+
+    n_query_buckets = (
+        spark.createDataFrame([(t,) for ts in qs.values() for t in ts], "token string")
+        .select(SF.pmod(SF.xxhash64("token"), SF.lit(8)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_query_buckets < 8
+
+    want = bm25_topk_multi(docs, queries=qs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
