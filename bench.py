@@ -120,6 +120,8 @@ def main() -> None:
         "stratified_sample",
         "embedding_near_pairs_lsh",
         "stub_embed",
+        "repetition_metrics",
+        "dup_passage_stats",
         "bm25_topk_multi",
         "hybrid_rrf",
         "vector_topk",
