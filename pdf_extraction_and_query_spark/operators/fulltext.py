@@ -229,49 +229,31 @@ def _score_expr() -> str:
     )
 
 
-def bm25_topk_prebuilt(
-    spark,
-    path: str,
-    queries: dict[int, tuple[str, ...]] | None = None,
-    k: int = C.FTS_TOPK,
+def score_candidates(
+    post: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int,
 ) -> DataFrame:
-    """Search-many side of the ``fts_build`` split: identical scores to
-    ``bm25_topk_multi`` but the postings scan is PRUNED to the token-hash
-    buckets the query terms land in (PartitionFilters — asserted in
-    test_fulltext), so per-query IO is proportional to the matched buckets,
-    not the index.  The bucket list is a driver-side planning step over the
-    literal query terms (metadata, not data — same pattern as
-    ``search.ivf_topk_prebuilt``'s probe-list planning)."""
-    queries = queries or C.FTS_QUERIES
-    stats_row = spark.read.parquet(f"{path}/_stats").collect()[0]
-    n_buckets = int(stats_row["n_buckets"])
-    terms = sorted({t for ts in queries.values() for t in ts})
-    buckets = sorted(
-        r["bucket"]
-        for r in spark.createDataFrame([(t,) for t in terms], "token string")
-        .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket"))
-        .distinct()
-        .collect()
-    )
+    """Shared scoring tail for every postings source (inline-derived,
+    prebuilt-bucketed, streaming-merged): broadcast query-term prune, df
+    count window over the pruned candidates, doc-length join, exact-int64
+    BM25, per-query top-k.  ``post`` must contain at most one row per
+    (doc_id, token); ``dl`` is (doc_id, dl) for at least every candidate
+    doc; ``stats`` is one row (n_docs, avgdl_e3)."""
+    spark = post.sparkSession
     qt = spark.createDataFrame(
         [(q, t) for q, ts in sorted(queries.items()) for t in ts],
         "q_id long, token string",
     )
     qtok = qt.select("token").distinct()
-    post = spark.read.parquet(f"{path}/postings").where(
-        F.col("bucket").isin(buckets)
-    )
     cand = post.join(F.broadcast(qtok), "token").withColumn(
         "df", F.count("*").over(Window.partitionBy("token"))
     )
-    dl = spark.read.parquet(f"{path}/doclen")
-    stats = (
-        spark.read.parquet(f"{path}/_stats")
-        .select("n_docs", "avgdl_e3")
-    )
     scored = (
         cand.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl_e3")))
         .join(F.broadcast(qt), "token")
         .select("q_id", "doc_id", F.expr(_score_expr()).alias("term_score_e9"))
     )
@@ -289,6 +271,46 @@ def bm25_topk_prebuilt(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def query_term_buckets(
+    spark, queries: dict[int, tuple[str, ...]], n_buckets: int
+) -> list[int]:
+    """The postings buckets the query terms hash to — computed with Spark's
+    own xxhash64 so it can never drift from the build-side partitioning.
+    Driver-side planning metadata, not data."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    return sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+
+
+def bm25_topk_prebuilt(
+    spark,
+    path: str,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = C.FTS_TOPK,
+) -> DataFrame:
+    """Search-many side of the ``fts_build`` split: identical scores to
+    ``bm25_topk_multi`` but the postings scan is PRUNED to the token-hash
+    buckets the query terms land in (PartitionFilters — asserted in
+    test_fulltext), so per-query IO is proportional to the matched buckets,
+    not the index.  The bucket list is a driver-side planning step over the
+    literal query terms (metadata, not data — same pattern as
+    ``search.ivf_topk_prebuilt``'s probe-list planning)."""
+    queries = queries or C.FTS_QUERIES
+    stats = spark.read.parquet(f"{path}/_stats")
+    n_buckets = int(stats.collect()[0]["n_buckets"])
+    buckets = query_term_buckets(spark, queries, n_buckets)
+    post = spark.read.parquet(f"{path}/postings").where(
+        F.col("bucket").isin(buckets)
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    return score_candidates(post, dl, stats, queries, k)
 
 
 def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
