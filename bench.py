@@ -35,16 +35,24 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def bench(fn, reps: int | None = None) -> tuple[float, int]:
+_MEDIANS: dict[str, float] = {}
+
+
+def bench(fn, reps: int | None = None, name: str | None = None) -> tuple[float, int]:
     """Warmup pass + reps (default $SPARK_GRAFT_BENCH_REPS) timed passes;
-    returns (best_sec, rows)."""
+    returns (best_sec, rows).  The per-query MEDIAN is also recorded (the
+    best-vs-median spread is the VM-noise indicator — see BENCH.md round-3
+    environment note; a wide spread means the box, not the plan)."""
     rows = fn()  # warmup: full pass, not limit() — see PLANS.md / memory trap 5
-    best = float("inf")
+    times = []
     for _ in range(reps or REPS):
         t0 = time.monotonic()
         rows = fn()
-        best = min(best, time.monotonic() - t0)
-    return best, rows
+        times.append(time.monotonic() - t0)
+    times.sort()
+    if name:
+        _MEDIANS[name] = round(times[len(times) // 2], 3)
+    return times[0], rows
 
 
 def main() -> None:
@@ -73,12 +81,12 @@ def main() -> None:
         paths.append(path)
         return 0
 
-    derive_sec, _ = bench(derive)
+    derive_sec, _ = bench(derive, name="derive_spans")
     spans = spark.read.parquet(paths[-1])
 
-    hybrid_sec, hybrid_rows = bench(lambda: extract_spans(spans, mode="hybrid").count())
-    staged_sec, staged_rows = bench(lambda: extract_spans(spans, mode="staged").count())
-    fused_sec, fused_rows = bench(lambda: extract_spans(spans, mode="fused").count())
+    hybrid_sec, hybrid_rows = bench(lambda: extract_spans(spans, mode="hybrid").count(), name="extract_hybrid")
+    staged_sec, staged_rows = bench(lambda: extract_spans(spans, mode="staged").count(), name="extract_staged")
+    fused_sec, fused_rows = bench(lambda: extract_spans(spans, mode="fused").count(), name="extract_fused")
 
     query_times: dict[str, float] = {
         "derive_spans": round(derive_sec, 3),
@@ -102,7 +110,7 @@ def main() -> None:
     # floor is wider than the 4-5 s the pass takes (round-3 probes measured
     # the identical call at 3.9-5.4 s minutes apart on a quiet box)
     synth_sec, synth_rows = bench(
-        lambda: extract_spans(synth, mode="hybrid").count(), reps=max(REPS, 5)
+        lambda: extract_spans(synth, mode="hybrid").count(), reps=max(REPS, 5), name="extract_hybrid_synth_skewed"
     )
     query_times["extract_hybrid_synth_skewed"] = round(synth_sec, 3)
     for name in (
@@ -138,7 +146,7 @@ def main() -> None:
         "doc_listing",
         "chunk_invariants",
     ):
-        sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count())
+        sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -167,6 +175,7 @@ def main() -> None:
                 "synth_skewed_out_rows": synth_rows,
                 "cpus": CPUS,
                 "reps": REPS,
+                "queries_median": _MEDIANS,
                 "methodology": "best-of-%d after 1 full warmup pass per query" % REPS,
             }
         )
