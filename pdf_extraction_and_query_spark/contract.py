@@ -137,6 +137,10 @@ CORPUS_FOOTER_PREFIX = "Confidential - Corp "  # + doc_id + " - page " + page
 # each shard targets ~PACK_TOKEN_BUDGET tokens
 PACK_TOKEN_BUDGET = 1000
 PACK_BAND = 4096  # docs per prefix-scan band (same pattern as SPAN_BAND)
+# fixed-length training-sequence packing (operators/packing.pack_sequences):
+# sequence s owns global tokens [s*SEQ_LEN, (s+1)*SEQ_LEN) of the doc_id-
+# ordered concatenated corpus; 2048 is the classic pretraining context
+SEQ_LEN = 2048
 
 # deterministic stratified sampling (operators/packing.stratified_sample):
 # keep a document iff md5_bits48(SAMPLE_SALT || doc_id) % 1e6 < rate_micro

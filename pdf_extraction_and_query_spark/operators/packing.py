@@ -24,13 +24,11 @@ from pyspark.sql import functions as F
 from .. import contract as C
 
 
-def shard_pack(docs: DataFrame, budget: int = C.PACK_TOKEN_BUDGET) -> DataFrame:
-    """(doc_id, n_tokens, shard_id): deterministic token-budget sharding.
-
-    ``shard_id = floor(tokens-before-this-doc / budget)`` — a document
-    whose tokens straddle a boundary belongs to the shard it started in,
-    so every shard holds >= budget tokens except the last (no empty
-    shards, no lookahead needed)."""
+def _prefix_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, prefix_excl): exclusive prefix sum of per-doc
+    token counts in doc_id order, via the banded distributed scan (local
+    sums inside doc_id bands + cumulated band totals joined back — the
+    band-totals window runs over #bands rows, never over documents)."""
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.split(F.trim(F.col("text")), C.WS_SPLIT_RE))
@@ -60,9 +58,21 @@ def shard_pack(docs: DataFrame, budget: int = C.PACK_TOKEN_BUDGET) -> DataFrame:
     return local.join(totals, "band").select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("band_before") + F.col("local_excl")) / budget)
-        .cast("long")
-        .alias("shard_id"),
+        (F.col("band_before") + F.col("local_excl")).alias("prefix_excl"),
+    )
+
+
+def shard_pack(docs: DataFrame, budget: int = C.PACK_TOKEN_BUDGET) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): deterministic token-budget sharding.
+
+    ``shard_id = floor(tokens-before-this-doc / budget)`` — a document
+    whose tokens straddle a boundary belongs to the shard it started in,
+    so every shard holds >= budget tokens except the last (no empty
+    shards, no lookahead needed)."""
+    return _prefix_tokens(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("prefix_excl") / budget).cast("long").alias("shard_id"),
     )
 
 
@@ -77,6 +87,60 @@ def shard_stats(docs: DataFrame, budget: int = C.PACK_TOKEN_BUDGET) -> DataFrame
             F.sum("n_tokens").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = C.SEQ_LEN) -> DataFrame:
+    """Pack the corpus into fixed-length training sequences with document
+    lineage — the loader-facing twin of ``shard_pack``: documents
+    concatenate in doc_id order into one global token stream, sequence s
+    owns tokens [s*L, (s+1)*L), and every (sequence, document) overlap
+    emits one lineage row:
+
+      (seq_id, doc_id, seq_tok_start, doc_tok_start, n_tokens)
+
+    A document straddling sequence boundaries emits one row per sequence it
+    touches (the cross-document attention-mask information a trainer
+    needs); the final sequence may be short.  Pure integer arithmetic on
+    the banded prefix scan — no data moves, only coordinates: the actual
+    token gather at training time is a parquet-range read per sequence."""
+    p = _prefix_tokens(docs)
+    e = p.select(
+        "doc_id",
+        "n_tokens",
+        "prefix_excl",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prefix_excl") / seq_len),
+                F.floor((F.col("prefix_excl") + F.col("n_tokens") - 1) / seq_len),
+            )
+        ).alias("seq_id"),
+    )
+    start = F.greatest(F.col("prefix_excl"), F.col("seq_id") * seq_len)
+    end = F.least(
+        F.col("prefix_excl") + F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len
+    )
+    return e.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (start - F.col("seq_id") * seq_len).cast("long").alias("seq_tok_start"),
+        (start - F.col("prefix_excl")).cast("long").alias("doc_tok_start"),
+        (end - start).cast("long").alias("n_tokens"),
+    )
+
+
+def sequence_stats(docs: DataFrame, seq_len: int = C.SEQ_LEN) -> DataFrame:
+    """Per-sequence manifest: every sequence is EXACTLY seq_len tokens
+    except possibly the last (the invariant the oracle pins)."""
+    return (
+        pack_sequences(docs, seq_len)
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
 

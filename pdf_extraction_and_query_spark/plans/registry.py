@@ -326,6 +326,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
+    "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
+    "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
     # --- repetition / duplicated-passage curation (SQL-verified) ---
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
@@ -598,6 +600,32 @@ bm AS (
                             ORDER BY sum(term_score_e9) DESC, doc_id) AS rank
   FROM fts_scored GROUP BY q_id, doc_id)"""
 
+def _pack_sequences_cte(seq_len: int) -> str:
+    """Twin of packing.pack_sequences: exclusive prefix sum over doc_id
+    order, explode to the sequences each doc overlaps, integer interval
+    intersection.  Ends in the `seqs` CTE."""
+    return f"""
+pt AS (SELECT doc_id,
+              cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                   as bigint) AS n
+       FROM documents),
+pp AS (SELECT doc_id, n,
+              cast(coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   as bigint) AS pre
+       FROM pt),
+pe AS (SELECT doc_id, n, pre,
+              unnest(range(pre // {seq_len}, (pre + n - 1) // {seq_len} + 1)) AS seq_id
+       FROM pp),
+seqs AS (
+  SELECT cast(seq_id as bigint) AS seq_id, cast(doc_id as bigint) AS doc_id,
+         cast(greatest(pre, seq_id*{seq_len}) - seq_id*{seq_len} as bigint) AS seq_tok_start,
+         cast(greatest(pre, seq_id*{seq_len}) - pre as bigint) AS doc_tok_start,
+         cast(least(pre + n, (seq_id+1)*{seq_len})
+              - greatest(pre, seq_id*{seq_len}) as bigint) AS n_tokens
+  FROM pe)"""
+
+
 def _dup_passage_cte(k: int) -> str:
     """Twin of repetition._passages: duplicated k-word shingle occurrences
     merged into maximal per-doc passages (gaps-and-islands), ending in the
@@ -795,6 +823,16 @@ SELECT cast(doc_id as bigint) AS doc_id, n_tokens,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / {C.PACK_TOKEN_BUDGET}) as bigint) AS shard_id
 FROM t""",
+    "pack_sequences": f"""
+WITH {_pack_sequences_cte(C.SEQ_LEN)}
+SELECT seq_id, doc_id, seq_tok_start, doc_tok_start, n_tokens FROM seqs""",
+    "sequence_stats": f"""
+WITH {_pack_sequences_cte(C.SEQ_LEN)}
+SELECT seq_id, cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS n_tokens,
+       cast(min(doc_id) as bigint) AS first_doc,
+       cast(max(doc_id) as bigint) AS last_doc
+FROM seqs GROUP BY seq_id""",
     "shard_stats": f"""
 WITH t AS (SELECT doc_id,
                   cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))

@@ -65,3 +65,43 @@ def test_stratified_sample_is_deterministic_and_stratified(spark):
     # rates: en 0.5, others 0.9 — allow hash noise at n=200
     assert abs(en - 0.5) < 0.15, en
     assert abs(de - 0.9) < 0.1, de
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    from pdf_extraction_and_query_spark.operators.packing import (
+        pack_sequences,
+        sequence_stats,
+    )
+
+    # L=5; docs of 3, 4, 2, 7 tokens -> stream of 16 tokens -> seqs 0..3
+    rows = [
+        (0, "a b c"),            # [0,3)   -> seq 0 only
+        (1, "d e f g"),          # [3,7)   -> seq 0 (tokens 3,4) + seq 1 (5,6)
+        (2, "h i"),              # [7,9)   -> seq 1
+        (3, "j k l m n o p"),    # [9,16)  -> seq 1 (9), seq 2 (10..14), seq 3 (15)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, pack_sequences(docs, seq_len=5).collect()))
+    # (seq_id, doc_id, seq_tok_start, doc_tok_start, n_tokens)
+    assert out == [
+        (0, 0, 0, 0, 3),
+        (0, 1, 3, 0, 2),
+        (1, 1, 0, 2, 2),
+        (1, 2, 2, 0, 2),
+        (1, 3, 4, 0, 1),
+        (2, 3, 0, 1, 5),
+        (3, 3, 0, 6, 1),
+    ]
+    # per-doc contributions are contiguous and cover the doc
+    by_doc = {}
+    for seq_id, doc_id, _, dstart, n in out:
+        by_doc.setdefault(doc_id, []).append((dstart, n))
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        pos = 0
+        for dstart, n in parts:
+            assert dstart == pos
+            pos += n
+    stats = sorted(map(tuple, sequence_stats(docs, seq_len=5).collect()))
+    # (seq_id, n_docs, n_tokens, first_doc, last_doc): all full except last
+    assert stats == [(0, 2, 5, 0, 1), (1, 3, 5, 1, 3), (2, 1, 5, 3, 3), (3, 1, 1, 3, 3)]
