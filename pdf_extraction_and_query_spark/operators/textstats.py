@@ -207,6 +207,53 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+def lm_fluency(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram LM fluency score — the KenLM-style perplexity
+    filter's exact-arithmetic analog: rare token transitions score low.
+
+    Model: MLE bigram probabilities trained on the scored corpus itself
+    (self-scoring, the standard first pass before an external LM exists);
+    P_e6(w2|w1) = (1e6 * count(w1 w2)) div count(w1 *). Per doc the score
+    is the ARITHMETIC mean of its bigram probabilities (fixed-point e6) —
+    perplexity's geometric mean needs logs, which are banned by the
+    cross-engine determinism contract (see the BM25 idf note in contract);
+    the arithmetic mean ranks the same tail of improbable-transition docs.
+    Docs with fewer than two tokens emit no row.
+
+    Scale: bigram-count aggregation is ONE stream shuffle with map-side
+    combine (a hot bigram moves one partial per map task); the left-token
+    totals derive from the already-aggregated bigram table (vocab-sized,
+    broadcast); scoring re-joins the stream to the counts on (w1, w2) and
+    the per-doc mean is a doc_id hash-agg."""
+    from .repetition import _words
+
+    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    bi = (
+        w.where(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> struct(words[i-1] as w1, words[i] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("p_e6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(p_e6) div count(*)").cast("long").alias("fluency_e6"),
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "fluency_e6")
+
+
 def length_histogram(docs: DataFrame) -> DataFrame:
     """Corpus length profile: fixed-width histogram over text length —
     the DB-stats companion a curation run reads before picking filter

@@ -328,6 +328,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
     "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
+    "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
     # --- repetition / duplicated-passage curation (SQL-verified) ---
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
@@ -934,6 +935,23 @@ SELECT doc_id, cast(i - 1 as bigint) AS dim_i,
 FROM e, generate_series(1, {C.EMBED_DIM}) AS g(i)""",
     "get_document": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
+    "lm_fluency": f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                              x -> x <> '') AS words
+           FROM documents),
+bi AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+       FROM (SELECT doc_id, words,
+                    unnest(range(1, greatest(len(words), 1))) AS i
+             FROM w)),
+c2 AS (SELECT w1, w2, cast(count(*) as bigint) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, cast(sum(c2) as bigint) AS c1 FROM c2 GROUP BY 1),
+s AS (SELECT bi.doc_id, (1000000 * c2.c2) // c1.c1 AS p_e6
+      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(count(*) as bigint) AS n_bigrams,
+       cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+FROM s GROUP BY doc_id""",
     "repetition_metrics": f"""
 WITH w AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),

@@ -115,3 +115,16 @@ def test_dup_passage_stats_coverage(spark):
 def test_contract_values_sane():
     assert C.DUP_PASSAGE_K >= 2
     assert all(n >= 2 for n in C.REP_NS)
+
+
+def test_lm_fluency_hand_computed(spark):
+    from pdf_extraction_and_query_spark.operators.textstats import lm_fluency
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_fluency(docs).collect()}
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3, b=2
+    # P(a,b)=1e6; P(b,a)=P(b,c)=5e5
+    assert (out[0].n_bigrams, out[0].fluency_e6) == (3, 833_333)  # (1e6+5e5+1e6)//3
+    assert (out[1].n_bigrams, out[1].fluency_e6) == (2, 750_000)
+    assert 2 not in out  # single-token doc has no transitions
