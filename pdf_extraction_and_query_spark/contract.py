@@ -142,6 +142,14 @@ PACK_BAND = 4096  # docs per prefix-scan band (same pattern as SPAN_BAND)
 # ordered concatenated corpus; 2048 is the classic pretraining context
 SEQ_LEN = 2048
 
+# full-composition curation thresholds (packing.curate_corpus_full) — set
+# from the measured gate-scale distributions so the filter is non-trivial
+# in BOTH directions (fluency spans ~30k-77k e6, median ~34.5k; dup-passage
+# coverage where present is >=90%): each threshold keeps some docs and
+# drops some
+CURATE_MAX_DUP_COVERAGE_E6 = 500_000
+CURATE_MIN_FLUENCY_E6 = 32_000
+
 # deterministic stratified sampling (operators/packing.stratified_sample):
 # keep a document iff md5_bits48(SAMPLE_SALT || doc_id) % 1e6 < rate_micro
 # for its language stratum — a pure function of the row, so re-runs and

@@ -222,3 +222,60 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         .where("_keeper")
         .select("doc_id", "lang", "n_words", "sample_bucket")
     )
+
+
+def curate_corpus_full(docs: DataFrame) -> DataFrame:
+    """Five-signal curation in one plan: per-row quality AND stratified
+    sample (narrow, pruned on the scan), corpus-evidence duplicated-passage
+    coverage <= CURATE_MAX_DUP_COVERAGE_E6, self-trained LM fluency >=
+    CURATE_MIN_FLUENCY_E6, exact-dedup keeper — the composition a real
+    pretraining pipeline ships.
+
+    Contract choices: the two aggregate signals (coverage, fluency) are
+    computed over the FULL corpus, not the per-row survivors — they are
+    corpus evidence, so the verdict on a document cannot depend on which
+    other documents the sampler happened to keep.  Coverage joins LEFT
+    (absent = 0 = no duplicated passage); fluency joins INNER (a doc with
+    no bigram is unscoreable and dropped).  The keeper window runs last,
+    over survivors only.
+
+    Scale: the narrow predicates never reach a shuffle; the signal joins
+    are doc_id-keyed against per-doc AGGREGATES (corpus-sized inputs, but
+    doc-sized join operands); the keeper shuffle carries a few scalar
+    columns per surviving doc."""
+    from .dedup import _norm
+    from .repetition import dup_passage_stats
+    from .textstats import lm_fluency
+
+    t = F.col("text")
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            words.cast("long").alias("n_words"),
+            ((words >= 10) & (stops / words <= 0.5)).alias("_q"),
+            (_sample_bucket() < _sample_rate()).alias("_s"),
+            F.md5(_norm(t)).alias("_h"),
+        )
+        .where(F.col("_q") & F.col("_s"))
+    )
+    cov = dup_passage_stats(docs).select("doc_id", "coverage_e6")
+    flu = lm_fluency(docs).select("doc_id", "fluency_e6")
+    j = (
+        base.join(cov, "doc_id", "left")
+        .withColumn(
+            "dup_coverage_e6",
+            F.coalesce(F.col("coverage_e6"), F.lit(0)).cast("long"),
+        )
+        .where(F.col("dup_coverage_e6") <= C.CURATE_MAX_DUP_COVERAGE_E6)
+        .join(flu, "doc_id")
+        .where(F.col("fluency_e6") >= C.CURATE_MIN_FLUENCY_E6)
+    )
+    w = Window.partitionBy("_h")
+    return (
+        j.withColumn("_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .where("_keeper")
+        .select("doc_id", "lang", "n_words", "dup_coverage_e6", "fluency_e6")
+    )

@@ -326,6 +326,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
+    "curate_corpus_full": lambda s, d: PK.curate_corpus_full(_docs(s, d)),
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
     "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
@@ -876,6 +877,47 @@ SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(n_words as bigint) AS n_words,
        cast(sample_bucket as bigint) AS sample_bucket
 FROM f
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
+    "curate_corpus_full": f"""
+WITH {_dup_passage_cte(C.DUP_PASSAGE_K)},
+cov AS (SELECT doc_id,
+               cast((1000000 * sum(end_word - start_word + 1)) // any_value(nw)
+                    as bigint) AS coverage_e6
+        FROM p GROUP BY doc_id),
+fw AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                          x -> x <> '') AS fwords
+       FROM documents),
+fbi AS (SELECT doc_id, fwords[i] AS w1, fwords[i + 1] AS w2
+        FROM (SELECT doc_id, fwords,
+                     unnest(range(1, greatest(len(fwords), 1))) AS i
+              FROM fw)),
+fc2 AS (SELECT w1, w2, cast(count(*) as bigint) AS c2 FROM fbi GROUP BY 1, 2),
+fc1 AS (SELECT w1, cast(sum(c2) as bigint) AS c1 FROM fc2 GROUP BY 1),
+fs AS (SELECT fbi.doc_id, (1000000 * fc2.c2) // fc1.c1 AS p_e6
+       FROM fbi JOIN fc2 USING (w1, w2) JOIN fc1 USING (w1)),
+flu AS (SELECT doc_id, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+        FROM fs GROUP BY doc_id),
+cb AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}')) AS stops,
+         ('0x' || substr(md5('{C.SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           % {C.SAMPLE_MOD} AS sample_bucket,
+         md5({_NORM}) AS h
+  FROM documents),
+cf AS (
+  SELECT cb.doc_id, cb.lang, cb.n_words, cb.h,
+         coalesce(cov.coverage_e6, 0) AS dup_coverage_e6, flu.fluency_e6
+  FROM cb LEFT JOIN cov USING (doc_id) JOIN flu USING (doc_id)
+  WHERE n_words >= 10 AND stops / n_words <= 0.5
+    AND sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END
+    AND coalesce(cov.coverage_e6, 0) <= {C.CURATE_MAX_DUP_COVERAGE_E6}
+    AND flu.fluency_e6 >= {C.CURATE_MIN_FLUENCY_E6})
+SELECT cast(doc_id as bigint) AS doc_id, lang,
+       cast(n_words as bigint) AS n_words,
+       cast(dup_coverage_e6 as bigint) AS dup_coverage_e6, fluency_e6
+FROM cf
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_SH_CTE},{_minhash_sig_sql()},

@@ -105,3 +105,35 @@ def test_pack_sequences_boundary_semantics(spark):
     stats = sorted(map(tuple, sequence_stats(docs, seq_len=5).collect()))
     # (seq_id, n_docs, n_tokens, first_doc, last_doc): all full except last
     assert stats == [(0, 2, 5, 0, 1), (1, 3, 5, 1, 3), (2, 1, 5, 3, 3), (3, 1, 1, 3, 3)]
+
+
+def test_curate_corpus_full_drops_each_violator_class(spark):
+    from pdf_extraction_and_query_spark import contract as C
+    from pdf_extraction_and_query_spark.operators.packing import (
+        curate_corpus_full,
+        stratified_sample,
+    )
+
+    rows = []
+    # fluency violators: 40 two-word docs sharing the left token -> each
+    # bigram P = 1e6//40 = 25_000 < CURATE_MIN_FLUENCY_E6
+    for i in range(40):
+        rows.append((i, "en", f"x u{i}"))
+    # coverage violators: an identical 12-word pair -> coverage 1e6 (also
+    # exact dups, but the coverage filter kills BOTH before the keeper)
+    dup = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    rows += [(100, "en", dup), (101, "en", dup)]
+    # quality violator: < 10 words (and fluent: unique bigrams)
+    rows.append((200, "en", "q1 q2 q3"))
+    # candidates that pass quality+coverage+fluency: 12 unique words each
+    for i in range(300, 310):
+        rows.append((i, "en", " ".join(f"w{i}_{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r.doc_id for r in curate_corpus_full(docs).collect()}
+    assert kept.isdisjoint(set(range(40))), "fluency violators kept"
+    assert kept.isdisjoint({100, 101}), "coverage violators kept"
+    assert 200 not in kept, "quality violator kept"
+    # every kept doc also passed the sampler (composition consistency)
+    sampled = {r.doc_id for r in stratified_sample(docs).collect()}
+    assert kept <= sampled
+    assert kept <= set(range(300, 310))
