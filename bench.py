@@ -125,7 +125,10 @@ def main() -> None:
         "dedup_clusters",
         "simhash",
         "shard_pack",
+        "pack_sequences",
         "stratified_sample",
+        "curate_corpus_full",
+        "lm_fluency",
         "embedding_near_pairs_lsh",
         "stub_embed",
         "repetition_metrics",
