@@ -60,7 +60,9 @@ def shingles_from_toks(toks: Column) -> Column:
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """Exploded DISTINCT shingles per doc: (doc_id, sh)."""
-    toked = docs.select(
+    from .util import fan_out
+
+    toked = fan_out(docs).select(
         "doc_id", F.split(_norm(F.col("text")), C.WS_SPLIT_RE).alias("toks")
     )
     return toked.select(
@@ -335,7 +337,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over all (frequency-weighted) tokens:
     per-bit signed vote -> sign bit. One groupBy; the B per-bit sums are
     map-side combinable."""
-    toks = docs.select(
+    from .util import fan_out
+
+    toks = fan_out(docs).select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), C.WS_SPLIT_RE)).alias("tok")
     ).withColumn("x", poly_hash(F.col("tok")))
     votes = [

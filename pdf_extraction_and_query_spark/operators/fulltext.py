@@ -42,6 +42,9 @@ from .. import contract as C
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, token) stream: lowercase whitespace tokens, empties dropped
     (same tokenization as textstats.vocab_topk — one contract, two users)."""
+    from .util import fan_out
+
+    docs = fan_out(docs)
     return docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)).alias("token"),

@@ -51,6 +51,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import contract as C
+from .util import fan_out
 
 
 def _words(text: Column) -> Column:
@@ -82,7 +83,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 
     denom = chars of the single-space-joined normalized words (>=1).  Docs
     shorter than n words emit no row for that n (nothing to measure)."""
-    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    w = fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
     w = w.select(
         "doc_id",
         "words",
@@ -124,7 +125,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 def _shingle_occurrences(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, nw, start_w, gram) for every k-word shingle, start_w
     1-based.  Narrow: one scan, one explode."""
-    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    w = fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
     w = w.select("doc_id", "words", F.size("words").alias("nw")).where(
         F.col("nw") >= k
     )

@@ -149,7 +149,9 @@ def vocab_topk(docs: DataFrame, k: int = C.VOCAB_TOPK) -> DataFrame:
     aggregation, so a stopword appearing 10^11 times moves one partial row
     per map task, not 10^11 rows; the final top-K is
     TakeOrderedAndProject (no global sort materialization)."""
-    tok = docs.select(
+    from .util import fan_out
+
+    tok = fan_out(docs).select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
@@ -226,8 +228,9 @@ def lm_fluency(docs: DataFrame) -> DataFrame:
     broadcast); scoring re-joins the stream to the counts on (w1, w2) and
     the per-doc mean is a doc_id hash-agg."""
     from .repetition import _words
+    from .util import fan_out
 
-    w = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    w = fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
     bi = (
         w.where(F.size("words") >= 2)
         .select(
