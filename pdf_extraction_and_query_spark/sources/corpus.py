@@ -276,7 +276,15 @@ def spans_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .packaging import ensure_shipped
 
     ensure_shipped(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from ..operators.util import fan_out
+
+    # the driver table is physically ONE small parquet file — without the
+    # fan-out the whole python-side derivation runs as a single task
+    # (PLANS.md #13; mapInPandas amplifies compute over bytes even harder
+    # than the gram explodes)
+    docs = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
     def derive(batches):
         import pandas as pd
