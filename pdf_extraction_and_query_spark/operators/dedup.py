@@ -337,9 +337,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over all (frequency-weighted) tokens:
     per-bit signed vote -> sign bit. One groupBy; the B per-bit sums are
     map-side combinable."""
-    from .util import fan_out
-
-    toks = fan_out(docs).select(
+    toks = docs.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), C.WS_SPLIT_RE)).alias("tok")
     ).withColumn("x", poly_hash(F.col("tok")))
     votes = [

@@ -41,10 +41,12 @@ from .. import contract as C
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, token) stream: lowercase whitespace tokens, empties dropped
-    (same tokenization as textstats.vocab_topk — one contract, two users)."""
-    from .util import fan_out
+    (same tokenization as textstats.vocab_topk — one contract, two users).
 
-    docs = fan_out(docs)
+    Deliberately NOT fan_out-guarded: a plain token explode amplifies so
+    little compute over bytes that the guard's extra exchanges measured
+    2.5 s SLOWER at gate scale (PLANS.md #13 — the guard pays off only
+    where the narrow stage builds heavy per-row structures)."""
     return docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)).alias("token"),

@@ -149,9 +149,9 @@ def vocab_topk(docs: DataFrame, k: int = C.VOCAB_TOPK) -> DataFrame:
     aggregation, so a stopword appearing 10^11 times moves one partial row
     per map task, not 10^11 rows; the final top-K is
     TakeOrderedAndProject (no global sort materialization)."""
-    from .util import fan_out
-
-    tok = fan_out(docs).select(
+    # plain token explode: deliberately not fan_out-guarded (PLANS.md #13 —
+    # the guard's exchanges cost more than single-task tokenization saves)
+    tok = docs.select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
