@@ -70,13 +70,13 @@ def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def _ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
-    """Nearest-centroid assignment (vec_id, ev, cent_id): broadcast the tiny
-    centroid set, score map-side, keep the argmax via one row_number window
-    (single shuffle on vec_id). Shared verbatim by the inline ivf_topk and
-    the persisted ivf_build so the two paths cannot drift."""
-    cents = _centroids(embeddings, n_centroids)
-    cand = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+def assign_to_centroids(cand: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against a GIVEN centroid set:
+    ``cand`` = (vec_id, ev), ``cents`` = (cent_id, cv), both fixed-point.
+    Broadcast the tiny centroid set, score map-side, keep the argmax via
+    one row_number window (single shuffle on vec_id).  Also the streaming
+    incremental-insert primitive (streaming/ivf.py): new vectors assign to
+    the FROZEN build-time centroids, the standard IVF insert rule."""
     scored = cand.join(F.broadcast(cents)).select(
         "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
     )
@@ -85,6 +85,15 @@ def _ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select("vec_id", "ev", "cent_id")
+    )
+
+
+def _ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Corpus-derived-centroid assignment — shared verbatim by the inline
+    ivf_topk and the persisted ivf_build so the two paths cannot drift."""
+    return assign_to_centroids(
+        embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev")),
+        _centroids(embeddings, n_centroids),
     )
 
 
