@@ -165,29 +165,13 @@ def bm25_topk_multi(
     )
 
 
-def hybrid_rrf(
-    embeddings: DataFrame,
-    docs: DataFrame,
-    k: int = C.TOPK,
-    pool: int = C.HYBRID_POOL,
-) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion of the vector top-`pool`
-    (query vec 0) and the BM25 top-`pool` (query set 0) over the shared
-    doc_id == vec_id key space (the same identity ``search.topk_enriched``
-    joins on).  rrf_e6 = sum over lists of 1e6 div (RRF_K + rank); a doc
-    absent from a list contributes 0 and reports rank 0 for that list.
-
-    Scale: both inputs are already top-`pool` lists (tiny) — the fusion is a
-    broadcast-sized full outer join + one TakeOrderedAndProject; all the
-    heavy lifting happened inside the two retrievers."""
-    from .search import vector_topk
-
-    vec = vector_topk(embeddings, k=pool).select(
-        F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
-    )
-    kw = bm25_topk_multi(docs, queries={0: C.FTS_QUERIES[0]}, k=pool).select(
-        F.col("doc_id").alias("id"), F.col("rank").alias("kw_rank")
-    )
+def rrf_fuse(vec: DataFrame, kw: DataFrame, k: int) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked id lists: ``vec`` = (id,
+    vec_rank), ``kw`` = (id, kw_rank).  rrf_e6 = sum over lists of
+    1e6 div (RRF_K + rank); absence contributes 0 and reports rank 0.
+    Both inputs are top-pool lists (tiny): full-outer join + one
+    TakeOrderedAndProject — the heavy lifting happened in the two
+    retrievers."""
     fused = (
         vec.join(kw, "id", "full_outer")
         .select(
@@ -218,6 +202,58 @@ def hybrid_rrf(
             "rank",
         )
     )
+
+
+def hybrid_rrf(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    k: int = C.TOPK,
+    pool: int = C.HYBRID_POOL,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the vector top-`pool`
+    (query vec 0) and the BM25 top-`pool` (query set 0) over the shared
+    doc_id == vec_id key space (the same identity ``search.topk_enriched``
+    joins on).  rrf_e6 = sum over lists of 1e6 div (RRF_K + rank); a doc
+    absent from a list contributes 0 and reports rank 0 for that list.
+
+    Scale: both inputs are already top-`pool` lists (tiny) — the fusion is a
+    broadcast-sized full outer join + one TakeOrderedAndProject; all the
+    heavy lifting happened inside the two retrievers."""
+    from .search import vector_topk
+
+    vec = vector_topk(embeddings, k=pool).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    kw = bm25_topk_multi(docs, queries={0: C.FTS_QUERIES[0]}, k=pool).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("kw_rank")
+    )
+    return rrf_fuse(vec, kw, k)
+
+
+def hybrid_rrf_prebuilt(
+    spark,
+    embeddings: DataFrame,
+    ivf_index_path: str,
+    fts_index_path: str,
+    k: int = C.TOPK,
+    pool: int = C.HYBRID_POOL,
+) -> DataFrame:
+    """The search-many production shape of hybrid retrieval: BOTH
+    retrievers run against their persisted indexes — BM25 over the
+    token-hash-bucket-pruned postings (``bm25_topk_prebuilt``) and the
+    vector side over the cent_id-partition-pruned IVF index
+    (``search.ivf_topk_prebuilt``) — then the same exact RRF fusion.  The
+    vector list is IVF-approximate by design (that IS the prebuilt scale
+    path); fusion semantics are identical to :func:`hybrid_rrf`."""
+    from .search import ivf_topk_prebuilt
+
+    vec = ivf_topk_prebuilt(spark, embeddings, ivf_index_path, k=pool).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    kw = bm25_topk_prebuilt(
+        spark, fts_index_path, queries={0: C.FTS_QUERIES[0]}, k=pool
+    ).select(F.col("doc_id").alias("id"), F.col("rank").alias("kw_rank"))
+    return rrf_fuse(vec, kw, k)
 
 
 def _score_expr() -> str:
