@@ -77,6 +77,16 @@ MULTI_TOPK = 5
 FIXED_POINT = 1_000_000  # float -> *_e6 bigint fixed point
 IVF_CENTROIDS = 8
 IVF_PROBE = 3
+# product quantization (IVFADC building block, Jégou et al. 2011): EMBED_DIM
+# split into PQ_M subspaces of PQ_SUB dims, PQ_K codewords per subspace —
+# codes are PQ_M small ints per vector (64x smaller than the fixed-point
+# vector). Codebook stand-in = subvectors of the first PQ_K corpus vectors
+# (the IVF_CENTROIDS first-N precedent; trained k-means is out of the
+# determinism contract). ADC shortlist of PQ_RERANK re-ranked exactly.
+PQ_M = 8
+PQ_SUB = EMBED_DIM // PQ_M
+PQ_K = 16
+PQ_RERANK = 32
 SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
 
 # --- embedding-cosine near-dup ---

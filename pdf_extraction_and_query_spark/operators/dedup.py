@@ -17,6 +17,8 @@ DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -225,10 +227,35 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
 def _pair_cos_r6(ea: Column, eb: Column) -> Column:
     """round(cosine, 6) from two fixed-point int64 vectors: exact integer
     dot and squared norms (search._dot/_sq_norm), IEEE sqrt/divide —
-    bit-stable across engines."""
+    bit-stable across engines. Expression (interpreted-HOF) form; the hot
+    paths use :func:`_pair_cos_r6_vec` (bit-identical, tested)."""
     from .search import _dot, _sq_norm
 
     return F.round(_dot(ea, eb) / (F.sqrt(_sq_norm(ea)) * F.sqrt(_sq_norm(eb))), 6)
+
+
+def _pair_cos_r6_vec(ea: Column, eb: Column) -> Column:
+    """Arrow-vectorized twin of :func:`_pair_cos_r6`. The int64 dots and
+    squared norms are exact (|dot| <= 64 * 1e6 * 1e6 = 6.4e13 < 2^53, so
+    even the int64->float64 conversion is exact); sqrt/multiply/divide are
+    IEEE-754 correctly rounded in both numpy and the JVM, so the raw
+    cosine double is bit-identical to the expression form. The final
+    6-decimal rounding stays a JVM ``F.round`` so the cross-engine
+    (Spark vs DuckDB) rounding contract is untouched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_raw(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.int64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.int64, copy=False)
+        dot = np.einsum("ij,ij->i", A, B).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+        return pd.Series(dot / (na * nb))
+
+    return F.round(cos_raw(ea, eb), 6)
 
 
 def embedding_near_pairs(
@@ -245,20 +272,19 @@ def embedding_near_pairs(
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        _pair_cos_r6(F.col("a.ev"), F.col("b.ev")).alias("cos_r6"),
+        _pair_cos_r6_vec(F.col("a.ev"), F.col("b.ev")).alias("cos_r6"),
     )
     return pairs.where(F.col("cos_r6") >= threshold)
 
 
-def srp_words(embeddings: DataFrame) -> DataFrame:
-    """Signed-random-projection sketch: SRP_BITS sign bits of the dot
-    products against deterministic integer hyperplanes (contract
-    srp_hyperplanes — identical planes in the DuckDB oracle), packed into
-    one int64 word. One narrow pass; the sketch is 8 bytes/vector."""
-    from .search import fixed_point_vec
-
+def _srp_word_expr() -> Column:
+    """Reference expression form of the SRP word over an ``ev`` column:
+    SRP_BITS aggregate-over-zip_with dot products. Higher-order functions
+    are evaluated INTERPRETED (no whole-stage codegen), which measured
+    ~12 ms/row for the 16 planes at EMBED_DIM=64 — a linear-but-monstrous
+    constant at corpus scale. Kept as the semantic spec for the vectorized
+    kernel below (tests assert bit-equality between the two paths)."""
     planes = C.srp_hyperplanes(C.EMBED_DIM, C.SRP_BITS)
-    c = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
     word = None
     for j, hp in enumerate(planes):
         dot_j = F.aggregate(
@@ -274,7 +300,42 @@ def srp_words(embeddings: DataFrame) -> DataFrame:
             F.lit(0).cast("long")
         )
         word = bit if word is None else word + bit
-    return c.select("vec_id", "ev", word.alias("srp"))
+    return word
+
+
+def srp_words(embeddings: DataFrame) -> DataFrame:
+    """Signed-random-projection sketch: SRP_BITS sign bits of the dot
+    products against deterministic integer hyperplanes (contract
+    srp_hyperplanes — identical planes in the DuckDB oracle), packed into
+    one int64 word. One narrow pass; the sketch is 8 bytes/vector.
+
+    The plane dots are one Arrow-batched int64 matrix multiply
+    (``E @ P.T``) in a scalar pandas UDF rather than SRP_BITS
+    aggregate-over-zip_with expressions: HOFs evaluate interpreted, and
+    the measured cost of the expression form (:func:`_srp_word_expr`)
+    was ~12 ms/row — a real scale term at 10^9 vectors. All arithmetic
+    stays exact int64 (|dot| <= 64 * 1e6 * 5e5 << 2^63), so the sketch is
+    bit-identical to the expression form and the DuckDB oracle
+    (test_curation_ops asserts both equalities)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .search import fixed_point_vec
+
+    planes_t = np.array(
+        C.srp_hyperplanes(C.EMBED_DIM, C.SRP_BITS), dtype=np.int64
+    ).T  # (EMBED_DIM, SRP_BITS)
+    bit_vals = np.int64(1) << np.arange(C.SRP_BITS, dtype=np.int64)
+
+    @pandas_udf("long")
+    def srp_word(ev: pd.Series) -> pd.Series:
+        if ev.empty:
+            return pd.Series([], dtype="int64")
+        E = np.stack(ev.to_numpy()).astype(np.int64, copy=False)
+        bits = (E @ planes_t) >= 0  # (n, SRP_BITS) sign bits
+        return pd.Series((bits * bit_vals).sum(axis=1), dtype="int64")
+
+    c = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    return c.select("vec_id", "ev", srp_word(F.col("ev")).alias("srp"))
 
 
 def embedding_near_pairs_lsh(
@@ -327,7 +388,7 @@ def embedding_near_pairs_lsh(
     )
     return (
         pairs.select(
-            "vec_a", "vec_b", _pair_cos_r6(F.col("ea"), F.col("eb")).alias("cos_r6")
+            "vec_a", "vec_b", _pair_cos_r6_vec(F.col("ea"), F.col("eb")).alias("cos_r6")
         )
         .where(F.col("cos_r6") >= threshold)
     )

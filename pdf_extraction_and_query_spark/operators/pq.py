@@ -1,0 +1,300 @@
+"""Product-quantization ANN — the IVFADC building block (Jégou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Reference parity: the reference's vector search is pgvector exact scan
+(src/vector_store/pgvector_client.py:199-221); PQ is the extension scale
+path the task brief asks for beyond IVF — at 10^12 vectors the raw
+fixed-point vectors are 512 bytes each, the PQ codes 8 small ints, so the
+ADC scan touches ~64x fewer bytes than the exact scan and the exact dot is
+paid only for the PQ_RERANK shortlist.
+
+Design (100 TB):
+  * codebook = PQ_M x PQ_K subvectors, a ~128-row table. For encoding it is
+    collected once (metadata-class, like ivf_topk_prebuilt's probe ids) and
+    closed over by an Arrow-vectorized kernel — exactly how a real cluster
+    ships a codebook to executors (broadcast constant).
+  * encoding is one narrow mapInArrow-style pass: argmin over PQ_K exact
+    int64 L2^2 distances per subspace, no shuffle.
+  * inline ADC scoring joins the exploded codes against the broadcast
+    (m, code, part)-LUT and sums per vector: map-side combine collapses the
+    PQ_M rows of a vector before the exchange, so the shuffle carries one
+    (vec_id, adot) row per vector — ids and longs, never vectors.
+  * the prebuilt path (pq_build / pq_topk_prebuilt) scores with a LITERAL
+    LUT folded into the scan projection — zero shuffle until the
+    TakeOrderedAndProject shortlist; the index scan reads (vec_id, codes)
+    only (ReadSchema asserted in test_pq_index).
+  * all quantities are exact int64 (|dot| <= 64 * 1e6 * 1e6 < 2^53), so the
+    DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import contract as C
+from .search import _dot, _rank_topk, fixed_point_vec
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """The (m, code, cw) codebook table: subvector ``m`` of each of the
+    first PQ_K corpus vectors (deterministic stand-in for per-subspace
+    k-means, the `_centroids` precedent). PQ_M * PQ_K rows."""
+    base = embeddings.where(F.col("vec_id") < C.PQ_K).select(
+        F.col("vec_id").cast("long").alias("code"),
+        fixed_point_vec(F.col("embedding")).alias("ev"),
+    )
+    parts = [
+        base.select(
+            F.lit(m).cast("long").alias("m"),
+            "code",
+            F.slice(F.col("ev"), m * C.PQ_SUB + 1, C.PQ_SUB).alias("cw"),
+        )
+        for m in range(C.PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _codebook_np(embeddings: DataFrame) -> np.ndarray:
+    """Collect the tiny codebook to a (PQ_M, PQ_K, PQ_SUB) int64 array —
+    query-planning metadata (PQ_M*PQ_K*PQ_SUB = 1024 ints), not a data
+    collect; the encode kernel closes over it."""
+    cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
+    for r in pq_codebook(embeddings).collect():
+        cb[r["m"], r["code"], :] = r["cw"]
+    return cb
+
+
+def pq_assign(embeddings: DataFrame) -> DataFrame:
+    """Encode every vector: (vec_id, codes array<int> of length PQ_M),
+    codes[m] = argmin_c L2^2(subvec_m, codebook[m][c]) with the smallest
+    code winning ties (np.argmin first-occurrence == the oracle's
+    ORDER BY d, code). One narrow Arrow pass, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = _codebook_np(embeddings)
+
+    @pandas_udf("array<int>")
+    def encode(ev: pd.Series) -> pd.Series:
+        if ev.empty:
+            return pd.Series([], dtype="object")
+        E = np.stack(ev.to_numpy()).astype(np.int64, copy=False)
+        S = E.reshape(E.shape[0], C.PQ_M, C.PQ_SUB)
+        # (n, M, K): exact int64 squared distances
+        d = ((S[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).select("vec_id", encode(F.col("ev")).alias("codes"))
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Driver/oracle surface of the encoding: one (vec_id, m, code) scalar
+    row per subspace."""
+    return pq_assign(embeddings).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("codes").alias("m", "code"),
+    ).select("vec_id", F.col("m").cast("long").alias("m"), F.col("code").cast("long").alias("code"))
+
+
+def _queries(embeddings: DataFrame, n_queries: int) -> DataFrame:
+    return embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+
+
+def _lut(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """Per-(q, m, code) partial dot: dot(q_subvec_m, codeword). Tiny —
+    n_queries * PQ_M * PQ_K rows — and broadcast to the scoring join."""
+    sub_q = F.slice(F.col("qv"), F.col("m").cast("int") * C.PQ_SUB + 1, C.PQ_SUB)
+    return (
+        pq_codebook(embeddings)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("cw"), sub_q, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("part"),
+        )
+    )
+
+
+def _adc_scores(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """(q_id, vec_id, adot_e12): asymmetric-distance (here: asymmetric
+    inner-product) score = sum over subspaces of LUT[q][m][code]. The
+    exploded codes join the broadcast LUT map-side; the groupBy's partial
+    aggregation collapses a vector's PQ_M rows before the exchange."""
+    ex = pq_assign(embeddings).select("vec_id", F.posexplode("codes").alias("m", "code"))
+    return (
+        ex.join(F.broadcast(_lut(embeddings, queries)), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part").cast("long").alias("adot_e12"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """PQ ADC search + exact re-rank: shortlist the ``rerank`` best vectors
+    by quantized score (TakeOrderedAndProject over one row per vector),
+    fetch ONLY the shortlist's true vectors, exact-dot re-rank to top-k.
+    Output (rank, vec_id, adot_e12, dot_e12) — the quantized score is kept
+    so the oracle pins the ADC arithmetic, not just the final order."""
+    qs = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+    shortlist = (
+        _adc_scores(embeddings, qs)
+        .orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id", "adot_e12")
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.crossJoin(F.broadcast(qs.select("qv"))).select(
+        "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    ranked = _rank_topk(hits, k)
+    return ranked.select("rank", "vec_id", "adot_e12", "dot_e12")
+
+
+def pq_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MULTI_TOPK,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """Batch PQ search: codes computed once, per-query LUTs in one broadcast,
+    per-query shortlist + exact re-rank via two q_id-partitioned windows —
+    the vector_topk_multi shape over quantized scores."""
+    qs = _queries(embeddings, n_queries)
+    ws = Window.partitionBy("q_id").orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+    shortlist = (
+        _adc_scores(embeddings, qs)
+        .withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= rerank)
+        .select("q_id", "vec_id", "adot_e12")
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.join(F.broadcast(qs), "q_id").select(
+        "q_id", "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "adot_e12", "dot_e12")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MULTI_TOPK,
+) -> DataFrame:
+    """Recall@k of the PQ path vs brute-force ground truth per query — the
+    ivf_recall evaluation re-aimed at the quantized index. Fixed-point
+    recall_micro."""
+    from .search import vector_topk_multi
+
+    brute = vector_topk_multi(embeddings, n_queries, k)
+    approx = pq_topk_multi(embeddings, n_queries, k)
+    found = brute.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    return (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("n_truth"))
+        .join(found.groupBy("q_id").agg(F.count("*").alias("n_hits")), "q_id", "left")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(F.coalesce("n_hits", F.lit(0)) * 1_000_000 / F.col("n_truth"))
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
+def pq_build(embeddings: DataFrame, index_path: str) -> None:
+    """Build phase: persist the code table (vec_id, codes — 8 small ints
+    per vector, the 64x-compressed index) and the tiny codebook sidecar.
+    Unpartitioned by design: ADC scans every code, there is no pruning
+    dimension — the compression IS the scan saving."""
+    from ..sources import tables
+
+    tables.replace_table(pq_assign(embeddings), f"{index_path}/codes")
+    tables.replace_table(pq_codebook(embeddings), f"{index_path}/codebook")
+
+
+def pq_topk_prebuilt(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """Search phase over a :func:`pq_build` index — the production
+    search-many shape: the codebook sidecar and the query vector are
+    planning metadata (1024 + 64 ints collected once per query batch); the
+    LUT folds into the code scan as LITERAL arrays, so scoring is a narrow
+    projection over (vec_id, codes) — zero shuffle before the
+    TakeOrderedAndProject shortlist — and only the shortlist joins back to
+    the true vectors for the exact re-rank. Results are identical to the
+    inline :func:`pq_topk` by construction (asserted in test_pq_index)."""
+    from ..sources import tables
+
+    cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
+    for r in tables.read_table(spark, f"{index_path}/codebook").collect():
+        cb[r["m"], r["code"], :] = r["cw"]
+    qrow = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select(fixed_point_vec(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    qv = np.array(qrow[0]["qv"], dtype=np.int64)
+    lut = np.einsum(
+        "mks,ms->mk", cb, qv.reshape(C.PQ_M, C.PQ_SUB)
+    )  # (M, K) exact int64 partial dots
+
+    codes = tables.read_table(spark, f"{index_path}/codes")
+    adot = None
+    for m in range(C.PQ_M):
+        lut_m = F.array(*[F.lit(int(v)).cast("long") for v in lut[m]])
+        term = F.element_at(lut_m, F.element_at(F.col("codes"), m + 1) + 1)
+        adot = term if adot is None else adot + term
+    shortlist = (
+        codes.select("vec_id", adot.cast("long").alias("adot_e12"))
+        .orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        fixed_point_vec(F.col("embedding")).alias("qv")
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")

@@ -25,6 +25,7 @@ from ..operators import dedup as D
 from ..operators import fulltext as FT
 from ..operators import repetition as RP
 from ..operators import packing as PK
+from ..operators import pq as PQ
 from ..operators import search as S
 from ..operators import stats as ST
 from ..operators import textstats as TX
@@ -346,6 +347,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
+    # --- product quantization (IVFADC building block, SQL-verified) ---
+    "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
+    "pq_topk": lambda s, d: PQ.pq_topk(_emb(s, d)),
+    "pq_recall": lambda s, d: PQ.pq_recall(_emb(s, d)),
     "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
     "cascade_delete": lambda s, d: ST.cascade_delete(_docs(s, d), _span_corpus(s, d)),
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
@@ -451,6 +456,29 @@ _DOT = (
 
 _SQNORM_EV = "cast(list_sum(list_transform(ev, x -> x * x)) as double)"
 _SQNORM_QV = "cast(list_sum(list_transform(qv, x -> x * x)) as double)"
+
+# product-quantization twin (operators/pq.py): codebook = subvector m of the
+# first PQ_K vectors; codes = per-(vec, subspace) argmin of exact int64 L2^2
+# with ties to the smallest code (mirrors np.argmin first-occurrence)
+_PQ_CTES = f"""c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+kv AS (SELECT vec_id AS code, {_FP_VEC} AS ev FROM embeddings
+       WHERE vec_id < {C.PQ_K}),
+cb AS (
+  SELECT ms.m, kv.code,
+         list_transform(generate_series(1, {C.PQ_SUB}),
+                        j -> kv.ev[ms.m * {C.PQ_SUB} + j]) AS cw
+  FROM kv, range(0, {C.PQ_M}) ms(m)),
+dist AS (
+  SELECT c.vec_id, cb.m, cb.code,
+         cast(list_sum(list_transform(generate_series(1, {C.PQ_SUB}),
+              j -> (c.ev[cb.m * {C.PQ_SUB} + j] - cb.cw[j])
+                 * (c.ev[cb.m * {C.PQ_SUB} + j] - cb.cw[j]))) as bigint) AS d
+  FROM c, cb),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM dist) WHERE rn = 1)"""
 
 
 def _minhash_sig_sql() -> str:
@@ -1199,6 +1227,73 @@ approx AS (
 agg AS (
   SELECT b.q_id, count(*) AS n_truth,
          count(a.vec_id) AS n_hits
+  FROM brute b LEFT JOIN approx a USING (q_id, vec_id)
+  GROUP BY b.q_id)
+SELECT cast(q_id as bigint) AS q_id,
+       cast(n_hits as bigint) AS n_hits,
+       cast(floor(n_hits * 1000000 / n_truth) as bigint) AS recall_micro
+FROM agg""",
+    "pq_codes": f"""
+WITH {_PQ_CTES}
+SELECT cast(vec_id as bigint) AS vec_id, cast(m as bigint) AS m,
+       cast(code as bigint) AS code
+FROM codes""",
+    "pq_topk": f"""
+WITH {_PQ_CTES},
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT m, code,
+         cast(list_sum(list_transform(generate_series(1, {C.PQ_SUB}),
+              j -> cw[j] * qv[m * {C.PQ_SUB} + j])) as bigint) AS part
+  FROM cb, q),
+adot AS (
+  SELECT vec_id, cast(sum(part) as bigint) AS adot_e12
+  FROM codes JOIN lut USING (m, code) GROUP BY vec_id),
+short AS (
+  SELECT vec_id, adot_e12 FROM adot
+  ORDER BY adot_e12 DESC, vec_id LIMIT {C.PQ_RERANK}),
+hits AS (
+  SELECT s.vec_id, s.adot_e12, {_DOT} AS dot_e12
+  FROM short s JOIN c ON c.vec_id = s.vec_id, q)
+SELECT cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank,
+       vec_id, adot_e12, dot_e12
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "pq_recall": f"""
+WITH {_PQ_CTES},
+qm AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+       WHERE vec_id < {C.MULTI_QUERY_N}),
+s AS (SELECT q_id, c.vec_id,
+             cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                  i -> ev[i] * qv[i])) as bigint) AS dot_e12
+      FROM c, qm),
+brute AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) AS rank
+    FROM s) WHERE rank <= {C.MULTI_TOPK}),
+lutm AS (
+  SELECT q_id, m, code,
+         cast(list_sum(list_transform(generate_series(1, {C.PQ_SUB}),
+              j -> cw[j] * qv[m * {C.PQ_SUB} + j])) as bigint) AS part
+  FROM cb, qm),
+adot AS (
+  SELECT q_id, vec_id, cast(sum(part) as bigint) AS adot_e12
+  FROM codes JOIN lutm USING (m, code) GROUP BY q_id, vec_id),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adot_e12 DESC, vec_id) AS srn
+    FROM adot) WHERE srn <= {C.PQ_RERANK}),
+phits AS (
+  SELECT sh.q_id, sh.vec_id, s.dot_e12
+  FROM short sh JOIN s ON s.q_id = sh.q_id AND s.vec_id = sh.vec_id),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) AS rank
+    FROM phits) WHERE rank <= {C.MULTI_TOPK}),
+agg AS (
+  SELECT b.q_id, count(*) AS n_truth, count(a.vec_id) AS n_hits
   FROM brute b LEFT JOIN approx a USING (q_id, vec_id)
   GROUP BY b.q_id)
 SELECT cast(q_id as bigint) AS q_id,

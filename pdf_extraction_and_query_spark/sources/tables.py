@@ -43,6 +43,16 @@ def append(df: DataFrame, ident: str) -> None:
         df.write.mode("append").parquet(ident)
 
 
+def replace_table(df: DataFrame, ident: str) -> None:
+    """Full-table replace for UNPARTITIONED artifacts (e.g. the PQ code
+    table, whose ADC scan always reads every code — there is no pruning
+    dimension to partition by)."""
+    if _is_iceberg():
+        df.writeTo(f"{CATALOG}.{ident}").createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(ident)
+
+
 def overwrite_partitions(df: DataFrame, ident: str, partition_cols: list[str]) -> None:
     """Replace exactly the partitions present in ``df`` (the idempotent
     checkpoint-wave write). The dynamic mode is a PER-WRITE option — never a

@@ -1,0 +1,52 @@
+"""SRP sketch kernel: the Arrow-vectorized int64-matmul pandas UDF in
+``srp_words`` must be BIT-IDENTICAL to the reference expression form
+(`_srp_word_expr`, SRP_BITS aggregate-over-zip_with dots) — the expression
+form is the semantic spec the DuckDB oracle replicates, the UDF is only a
+faster evaluation of the same exact integer arithmetic."""
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_and_query_spark.operators.dedup import _srp_word_expr, srp_words
+from pdf_extraction_and_query_spark.operators.search import fixed_point_vec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vectorized_srp_matches_expression_form(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    got = {r["vec_id"]: r["srp"] for r in srp_words(emb).select("vec_id", "srp").collect()}
+    want = {
+        r["vec_id"]: r["srp"]
+        for r in emb.select(
+            "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+        )
+        .select("vec_id", _srp_word_expr().alias("srp"))
+        .collect()
+    }
+
+    assert len(got) == emb.count()
+    assert got == want
+
+
+def test_vectorized_pair_cosine_matches_expression_form(spark):
+    """All brute pairs at sf0.001: the einsum+IEEE pandas kernel must equal
+    the aggregate-over-zip_with expression bit-for-bit (same doubles, same
+    round-6 values)."""
+    from pdf_extraction_and_query_spark.operators.dedup import (
+        _pair_cos_r6,
+        _pair_cos_r6_vec,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c = emb.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _pair_cos_r6(F.col("a.ev"), F.col("b.ev")).alias("cos_expr"),
+        _pair_cos_r6_vec(F.col("a.ev"), F.col("b.ev")).alias("cos_vec"),
+    )
+    n_pairs = pairs.count()
+    assert n_pairs > 1000
+    assert pairs.where(F.col("cos_expr") != F.col("cos_vec")).count() == 0
