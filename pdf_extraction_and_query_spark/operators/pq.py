@@ -70,14 +70,17 @@ def _codebook_np(embeddings: DataFrame) -> np.ndarray:
     return cb
 
 
-def pq_assign(embeddings: DataFrame) -> DataFrame:
+def pq_assign(embeddings: DataFrame, cb: np.ndarray | None = None) -> DataFrame:
     """Encode every vector: (vec_id, codes array<int> of length PQ_M),
     codes[m] = argmin_c L2^2(subvec_m, codebook[m][c]) with the smallest
     code winning ties (np.argmin first-occurrence == the oracle's
-    ORDER BY d, code). One narrow Arrow pass, no shuffle."""
+    ORDER BY d, code). One narrow Arrow pass, no shuffle. Pass ``cb`` to
+    encode against a FROZEN codebook (the streaming insert rule —
+    re-training the codebook is a rebuild, not maintenance)."""
     from pyspark.sql.functions import pandas_udf
 
-    cb = _codebook_np(embeddings)
+    if cb is None:
+        cb = _codebook_np(embeddings)
 
     @pandas_udf("array<int>")
     def encode(ev: pd.Series) -> pd.Series:
@@ -235,6 +238,25 @@ def pq_recall(
     )
 
 
+def _adc_literal_score(lut: np.ndarray) -> "F.Column":
+    """ADC score column over a ``codes`` array column with the query LUT
+    folded in as LITERAL arrays — a pure codegen projection (PQ_M
+    element_at lookups + adds), zero shuffle; shared by the prebuilt and
+    streaming-merged search paths."""
+    adot = None
+    for m in range(C.PQ_M):
+        lut_m = F.array(*[F.lit(int(v)).cast("long") for v in lut[m]])
+        term = F.element_at(lut_m, F.element_at(F.col("codes"), m + 1) + 1)
+        adot = term if adot is None else adot + term
+    return adot.cast("long")
+
+
+def query_lut(cb: np.ndarray, qv: np.ndarray) -> np.ndarray:
+    """(PQ_M, PQ_K) exact int64 partial dots of the query against every
+    codeword — the per-query planning table (1024 ints)."""
+    return np.einsum("mks,ms->mk", cb, qv.reshape(C.PQ_M, C.PQ_SUB))
+
+
 def pq_build(embeddings: DataFrame, index_path: str) -> None:
     """Build phase: persist the code table (vec_id, codes — 8 small ints
     per vector, the 64x-compressed index) and the tiny codebook sidecar.
@@ -273,18 +295,11 @@ def pq_topk_prebuilt(
         .collect()
     )
     qv = np.array(qrow[0]["qv"], dtype=np.int64)
-    lut = np.einsum(
-        "mks,ms->mk", cb, qv.reshape(C.PQ_M, C.PQ_SUB)
-    )  # (M, K) exact int64 partial dots
+    lut = query_lut(cb, qv)
 
     codes = tables.read_table(spark, f"{index_path}/codes")
-    adot = None
-    for m in range(C.PQ_M):
-        lut_m = F.array(*[F.lit(int(v)).cast("long") for v in lut[m]])
-        term = F.element_at(lut_m, F.element_at(F.col("codes"), m + 1) + 1)
-        adot = term if adot is None else adot + term
     shortlist = (
-        codes.select("vec_id", adot.cast("long").alias("adot_e12"))
+        codes.select("vec_id", _adc_literal_score(lut).alias("adot_e12"))
         .orderBy(F.desc("adot_e12"), F.asc("vec_id"))
         .limit(rerank)
     )

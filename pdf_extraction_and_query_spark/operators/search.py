@@ -20,6 +20,8 @@ per-query partition for multi-query, which shuffles once on q_id).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,12 +37,60 @@ def fixed_point_vec(v: Column, dim: int = C.EMBED_DIM) -> Column:
 
 
 def _dot(a: Column, b: Column, dim: int = C.EMBED_DIM) -> Column:
-    """Exact integer dot product of two fixed-point vectors."""
+    """Exact integer dot product of two fixed-point vectors. Expression
+    form — higher-order functions evaluate INTERPRETED (~0.2 ms/row at
+    dim 64), so this stays on TINY frames only (probe lists, shortlists,
+    centroid×query crosses, LUTs); corpus-sized scoring passes use the
+    bit-identical :func:`_dot_vec` (test_srp_kernel equality)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _dot_vec(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`_dot` for corpus-sized frames: one
+    int64 einsum per batch. Exact — |dot| <= 64 * 1e6 * 1e6 < 2^63 and
+    every term is integer, so the result is bit-identical to the
+    expression form and the DuckDB oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def dots(x: pd.Series, y: pd.Series) -> pd.Series:
+        if x.empty:
+            return pd.Series([], dtype="int64")
+        A = np.stack(x.to_numpy()).astype(np.int64, copy=False)
+        B = np.stack(y.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return dots(a, b)
+
+
+def _score_vec(a: Column, b: Column) -> Column:
+    """Vectorized (dot_e12, cos) struct for corpus-sized scoring passes
+    that also surface cosine: the int64 dot and squared norms are exact
+    (< 2^53, int64->float64 conversion exact), sqrt/multiply/divide are
+    IEEE correctly rounded in numpy and the JVM alike — both fields are
+    bit-identical to the expression forms (`_dot`/`_sq_norm` composition);
+    any display rounding stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<dot_e12:long,cos:double>")
+    def score(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        if x.empty:
+            return pd.DataFrame({"dot_e12": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        A = np.stack(x.to_numpy()).astype(np.int64, copy=False)
+        B = np.stack(y.to_numpy()).astype(np.int64, copy=False)
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+        return pd.DataFrame(
+            {"dot_e12": dot, "cos": dot.astype(np.float64) / (na * nb)}
+        )
+
+    return score(a, b)
 
 
 def _sq_norm(a: Column) -> Column:
@@ -78,7 +128,7 @@ def assign_to_centroids(cand: DataFrame, cents: DataFrame) -> DataFrame:
     incremental-insert primitive (streaming/ivf.py): new vectors assign to
     the FROZEN build-time centroids, the standard IVF insert rule."""
     scored = cand.join(F.broadcast(cents)).select(
-        "vec_id", "ev", "cent_id", _dot(F.col("ev"), F.col("cv")).alias("cdot")
+        "vec_id", "ev", "cent_id", _dot_vec(F.col("ev"), F.col("cv")).alias("cdot")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
     return (
@@ -116,7 +166,7 @@ def vector_topk(embeddings: DataFrame, k: int = C.TOPK, query_vec_id: int = 0) -
     TakeOrderedAndProject: per-partition partial top-k, driver merge of k*P
     rows — no full sort, no shuffle of the corpus."""
     scored = with_query(embeddings, query_vec_id).select(
-        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     return _rank_topk(scored, k)
 
@@ -138,7 +188,7 @@ def vector_topk_multi(
         "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
     )
     scored = cand.join(F.broadcast(qs)).select(
-        "q_id", "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "q_id", "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
     return (
@@ -167,10 +217,7 @@ def similarity_buckets(embeddings: DataFrame, query_vec_id: int = 0) -> DataFram
     integer dot + IEEE sqrt (bit-stable across engines)."""
     scored = with_query(embeddings, query_vec_id).select(
         "vec_id",
-        (
-            _dot(F.col("ev"), F.col("qv"))
-            / (F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv"))))
-        ).alias("cos"),
+        _score_vec(F.col("ev"), F.col("qv")).getField("cos").alias("cos"),
     )
     bucket = F.lit("minimal")
     for thr, name in reversed(C.SIM_BUCKETS):
@@ -227,7 +274,7 @@ def ivf_topk(
     )
     pruned = assigned.join(F.broadcast(probes), "cent_id")
     hits = pruned.crossJoin(F.broadcast(q)).select(
-        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     return _rank_topk(hits, k)
 
@@ -263,7 +310,7 @@ def ivf_topk_multi(
     )
     pruned = assigned.join(F.broadcast(probes), "cent_id")
     hits = pruned.join(F.broadcast(qs), "q_id").select(
-        "q_id", "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "q_id", "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
     return (
@@ -359,7 +406,7 @@ def ivf_topk_prebuilt(
     probe_ids = [r["cent_id"] for r in probe_rows]
     idx = tables.read_table(spark, index_path).where(F.col("cent_id").isin(probe_ids))
     hits = idx.crossJoin(F.broadcast(q)).select(
-        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     return _rank_topk(hits, k)
 
@@ -388,7 +435,7 @@ def vector_topk_filtered(
                 fixed_point_vec(F.col("embedding")).alias("qv")
             )
         )
-    ).select("vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12"))
+    ).select("vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12"))
     return _rank_topk(scored, k)
 
 
@@ -402,13 +449,11 @@ def search_response(
     similarity column is display surface, computed from the same integers
     through IEEE-deterministic sqrt/divide."""
     scored = with_query(embeddings, query_vec_id).select(
+        "vec_id", _score_vec(F.col("ev"), F.col("qv")).alias("s")
+    ).select(
         "vec_id",
-        _dot(F.col("ev"), F.col("qv")).alias("dot_e12"),
-        F.round(
-            _dot(F.col("ev"), F.col("qv"))
-            / (F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv")))),
-            6,
-        ).alias("similarity"),
+        F.col("s.dot_e12").alias("dot_e12"),
+        F.round(F.col("s.cos"), 6).alias("similarity"),
     )
     hits = _rank_topk(scored, k)
     return (

@@ -29,6 +29,7 @@ from .. import contract as C
 from ..operators.search import (
     _centroids,
     _dot,
+    _dot_vec,
     _rank_topk,
     assign_to_centroids,
     fixed_point_vec,
@@ -104,7 +105,7 @@ def ivf_topk_merged(
     )
     pruned = allv.join(F.broadcast(probes), "cent_id")
     hits = pruned.crossJoin(F.broadcast(q)).select(
-        "vec_id", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+        "vec_id", _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     return _rank_topk(hits, k)
 

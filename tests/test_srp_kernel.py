@@ -50,3 +50,35 @@ def test_vectorized_pair_cosine_matches_expression_form(spark):
     n_pairs = pairs.count()
     assert n_pairs > 1000
     assert pairs.where(F.col("cos_expr") != F.col("cos_vec")).count() == 0
+
+
+def test_vectorized_dot_and_score_match_expression_forms(spark):
+    """All (candidate, query) pairs at sf0.001: `_dot_vec` and both fields
+    of `_score_vec` must be bit-identical to the `_dot`/`_sq_norm`
+    expression composition."""
+    from pdf_extraction_and_query_spark.operators.search import (
+        _dot,
+        _dot_vec,
+        _score_vec,
+        _sq_norm,
+        with_query,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    scored = with_query(emb).select(
+        "vec_id",
+        _dot(F.col("ev"), F.col("qv")).alias("dot_expr"),
+        _dot_vec(F.col("ev"), F.col("qv")).alias("dot_vec"),
+        (
+            _dot(F.col("ev"), F.col("qv"))
+            / (F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv"))))
+        ).alias("cos_expr"),
+        _score_vec(F.col("ev"), F.col("qv")).alias("s"),
+    )
+    assert scored.count() == emb.count()
+    bad = scored.where(
+        (F.col("dot_expr") != F.col("dot_vec"))
+        | (F.col("dot_expr") != F.col("s.dot_e12"))
+        | (F.col("cos_expr") != F.col("s.cos"))
+    ).count()
+    assert bad == 0
