@@ -137,6 +137,8 @@ def main() -> None:
         "hybrid_rrf",
         "vector_topk",
         "vector_topk_multi",
+        "pq_topk",
+        "pq_recall",
         "topk_enriched",
         "similarity_buckets",
         "search_response",
