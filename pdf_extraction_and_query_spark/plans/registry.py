@@ -350,6 +350,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
     "pq_topk": lambda s, d: PQ.pq_topk(_emb(s, d)),
+    "pq_topk_multi": lambda s, d: PQ.pq_topk_multi(_emb(s, d)),
     "pq_recall": lambda s, d: PQ.pq_recall(_emb(s, d)),
     "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
     "cascade_delete": lambda s, d: ST.cascade_delete(_docs(s, d), _span_corpus(s, d)),
@@ -1258,6 +1259,33 @@ hits AS (
 SELECT cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank,
        vec_id, adot_e12, dot_e12
 FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "pq_topk_multi": f"""
+WITH {_PQ_CTES},
+qm AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+       WHERE vec_id < {C.MULTI_QUERY_N}),
+lutm AS (
+  SELECT q_id, m, code,
+         cast(list_sum(list_transform(generate_series(1, {C.PQ_SUB}),
+              j -> cw[j] * qv[m * {C.PQ_SUB} + j])) as bigint) AS part
+  FROM cb, qm),
+adot AS (
+  SELECT q_id, vec_id, cast(sum(part) as bigint) AS adot_e12
+  FROM codes JOIN lutm USING (m, code) GROUP BY q_id, vec_id),
+short AS (
+  SELECT q_id, vec_id, adot_e12 FROM (
+    SELECT q_id, vec_id, adot_e12,
+           row_number() OVER (PARTITION BY q_id ORDER BY adot_e12 DESC, vec_id) AS srn
+    FROM adot) WHERE srn <= {C.PQ_RERANK}),
+hits AS (
+  SELECT sh.q_id, sh.vec_id, sh.adot_e12,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * qv[i])) as bigint) AS dot_e12
+  FROM short sh JOIN c ON c.vec_id = sh.vec_id JOIN qm ON qm.q_id = sh.q_id),
+r AS (
+  SELECT q_id, vec_id, adot_e12, dot_e12,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+  FROM hits)
+SELECT q_id, vec_id, rank, adot_e12, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
     "pq_recall": f"""
 WITH {_PQ_CTES},
 qm AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings

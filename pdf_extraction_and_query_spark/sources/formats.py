@@ -109,3 +109,18 @@ def read_documents_csv(
 
 def write_documents_csv(docs: DataFrame, path: str) -> None:
     docs.select(*_COLS).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (columnar, self-describing — the warehouse-interchange
+    sibling of parquet; Spark's reader is built in). Typed/columnar
+    formats carry their schema in the footer, so there is no per-row parse
+    to quarantine — schema mismatches fail the SCAN, the correct behavior
+    for a typed interchange (vs the line formats above, where a bad ROW
+    must not kill the job). The contract schema is still enforced by
+    projection so extra columns are pruned and missing ones fail fast."""
+    return spark.read.orc(path).select(*_COLS)
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    docs.select(*_COLS).write.mode("overwrite").orc(path)

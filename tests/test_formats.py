@@ -68,3 +68,19 @@ def test_csv_quarantine_and_roundtrip(spark, tmp_path):
     good2, bad2 = read_documents_csv(spark, out)
     assert good2.count() == 50
     assert bad2.count() == 1 and bad2.collect()[0].reason == "malformed_row"
+
+
+def test_orc_roundtrip_real_documents(spark, tmp_path):
+    from pdf_extraction_and_query_spark.sources.formats import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, out)
+    back = read_documents_orc(spark, out)
+    assert back.schema == docs.select(*back.columns).schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select(*back.columns).collect())
+    )
