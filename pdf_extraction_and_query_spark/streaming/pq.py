@@ -31,7 +31,6 @@ from pyspark.sql.utils import AnalysisException
 from .. import contract as C
 from ..operators.pq import (
     _adc_literal_score,
-    _codebook_np,
     pq_assign,
     pq_codebook,
     query_lut,
