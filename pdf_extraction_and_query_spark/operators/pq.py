@@ -70,17 +70,11 @@ def _codebook_np(embeddings: DataFrame) -> np.ndarray:
     return cb
 
 
-def pq_assign(embeddings: DataFrame, cb: np.ndarray | None = None) -> DataFrame:
-    """Encode every vector: (vec_id, codes array<int> of length PQ_M),
-    codes[m] = argmin_c L2^2(subvec_m, codebook[m][c]) with the smallest
-    code winning ties (np.argmin first-occurrence == the oracle's
-    ORDER BY d, code). One narrow Arrow pass, no shuffle. Pass ``cb`` to
-    encode against a FROZEN codebook (the streaming insert rule —
-    re-training the codebook is a rebuild, not maintenance)."""
+def _encode_kernel(cb: np.ndarray):
+    """Arrow encode kernel over a fixed-point ``ev`` column: codes[m] =
+    argmin_c L2^2(subvec_m, codebook[m][c]), smallest code winning ties
+    (np.argmin first-occurrence == the oracle's ORDER BY d, code)."""
     from pyspark.sql.functions import pandas_udf
-
-    if cb is None:
-        cb = _codebook_np(embeddings)
 
     @pandas_udf("array<int>")
     def encode(ev: pd.Series) -> pd.Series:
@@ -93,6 +87,17 @@ def pq_assign(embeddings: DataFrame, cb: np.ndarray | None = None) -> DataFrame:
         codes = d.argmin(axis=2).astype(np.int32)
         return pd.Series(list(codes))
 
+    return encode
+
+
+def pq_assign(embeddings: DataFrame, cb: np.ndarray | None = None) -> DataFrame:
+    """Encode every vector: (vec_id, codes array<int> of length PQ_M).
+    One narrow Arrow pass, no shuffle. Pass ``cb`` to encode against a
+    FROZEN codebook (the streaming insert rule — re-training the codebook
+    is a rebuild, not maintenance)."""
+    if cb is None:
+        cb = _codebook_np(embeddings)
+    encode = _encode_kernel(cb)
     return embeddings.select(
         "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
     ).select("vec_id", encode(F.col("ev")).alias("codes"))
@@ -266,6 +271,143 @@ def pq_build(embeddings: DataFrame, index_path: str) -> None:
 
     tables.replace_table(pq_assign(embeddings), f"{index_path}/codes")
     tables.replace_table(pq_codebook(embeddings), f"{index_path}/codebook")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """IVFADC end-to-end (Jégou 2011 §IV) — the canonical billion-scale
+    layout, composed from this repo's two halves: the coarse quantizer
+    (IVF nearest-centroid assignment) prunes to the ``n_probe`` probed
+    lists, PQ codes score the survivors (asymmetric inner product against
+    the broadcast LUT), and only the ``rerank`` shortlist pays the exact
+    dot. At 10^12 vectors the scan touches n_probe/n_lists of the corpus
+    AND reads 8 small ints per survivor instead of the 512-byte vector —
+    the two savings multiply. Declarative inline form (oracle-paired);
+    :func:`ivfpq_build`/:func:`ivfpq_topk_prebuilt` are the persisted
+    shape where the probed lists are partition directories."""
+    from .search import _centroids, _ivf_assign
+
+    assigned = _ivf_assign(embeddings, n_centroids)  # (vec_id, ev, cent_id)
+    qs = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+    probes = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(qs.select("qv")))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    pruned = assigned.join(F.broadcast(probes), "cent_id")
+    cb = _codebook_np(embeddings)
+    coded = pruned.select("vec_id", _encode_kernel(cb)(F.col("ev")).alias("codes"))
+    ex = coded.select("vec_id", F.posexplode("codes").alias("m", "code"))
+    adot = (
+        ex.join(F.broadcast(_lut(embeddings, qs)), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("part").cast("long").alias("adot_e12"))
+    )
+    shortlist = (
+        adot.orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id", "adot_e12")
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.crossJoin(F.broadcast(qs.select("qv"))).select(
+        "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = C.IVF_CENTROIDS,
+) -> None:
+    """Build the persisted IVFADC index: (vec_id, codes) PARTITIONED BY
+    cent_id — probed lists become partition directories (the IVF pruning),
+    each storing 8 small ints per vector (the PQ compression) — plus the
+    codebook and frozen-centroid sidecars. No join: coding runs as a
+    narrow kernel over the assignment's ev before it is dropped."""
+    from ..sources import tables
+    from .search import _centroids, _ivf_assign
+
+    cb = _codebook_np(embeddings)
+    assigned = _ivf_assign(embeddings, n_centroids)
+    idx = assigned.select(
+        "vec_id", "cent_id", _encode_kernel(cb)(F.col("ev")).alias("codes")
+    )
+    tables.overwrite_partitions(idx, f"{index_path}/codes", ["cent_id"])
+    tables.replace_table(pq_codebook(embeddings), f"{index_path}/codebook")
+    tables.replace_table(
+        _centroids(embeddings, n_centroids), f"{index_path}/_centroids"
+    )
+
+
+def ivfpq_topk_prebuilt(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_probe: int = C.IVF_PROBE,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """Search the persisted IVFADC index: probe ids + codebook + query are
+    planning metadata; the scan reads ONLY the probed partition
+    directories (PartitionFilters) and ONLY (vec_id, codes) within them
+    (ReadSchema) — both prunings asserted in test_pq_index; literal-LUT
+    ADC, exact re-rank of the shortlist against the primary vectors.
+    Identical to :func:`ivfpq_topk` by construction."""
+    from ..sources import tables
+
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        fixed_point_vec(F.col("embedding")).alias("qv")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_ids = [r["cent_id"] for r in probe_rows]
+    cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
+    for r in spark.read.parquet(f"{index_path}/codebook").collect():
+        cb[r["m"], r["code"], :] = r["cw"]
+    qv = np.array(
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select(fixed_point_vec(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"],
+        dtype=np.int64,
+    )
+    lut = query_lut(cb, qv)
+    codes = tables.read_table(spark, f"{index_path}/codes").where(
+        F.col("cent_id").isin(probe_ids)
+    )
+    shortlist = (
+        codes.select("vec_id", _adc_literal_score(lut).alias("adot_e12"))
+        .orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")
 
 
 def pq_topk_prebuilt(

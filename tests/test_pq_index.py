@@ -37,6 +37,35 @@ def test_prebuilt_matches_inline_and_reads_codes_only(spark, tmp_path_factory):
         assert "ev" not in s and "embedding" not in s, s
 
 
+def test_ivfpq_prebuilt_matches_inline_with_both_prunings(spark, tmp_path_factory):
+    """IVFADC: the persisted index must (a) equal the inline declarative
+    form exactly, (b) prune to the probed partition directories
+    (PartitionFilters on cent_id), and (c) read only (vec_id, codes)
+    inside them — the two scan savings that multiply at 10^12 vectors."""
+    import re
+
+    from pdf_extraction_and_query_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_prebuilt,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    ivfpq_build(emb, path)
+    got = ivfpq_topk_prebuilt(spark, emb, path)
+    want = ivfpq_topk(emb)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cent_id" in p for p in pfs), plan
+    code_scans = [s for s in re.findall(r"ReadSchema: (struct<[^>]*>)", plan) if "codes" in s]
+    assert code_scans, plan
+    for s in code_scans:
+        assert "ev" not in s and "embedding" not in s, s
+
+
 def test_rebuild_idempotent_and_codes_total(spark, tmp_path_factory):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     path = str(tmp_path_factory.mktemp("pq") / "index")
