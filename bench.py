@@ -139,6 +139,7 @@ def main() -> None:
         "vector_topk_multi",
         "pq_topk",
         "pq_recall",
+        "ivfpq_topk",
         "topk_enriched",
         "similarity_buckets",
         "search_response",
