@@ -46,9 +46,11 @@ def pq_stream_init(embeddings: DataFrame, root: str) -> None:
     tables.replace_table(pq_assign(embeddings, cb), f"{root}/codes")
 
 
-def _read_codebook(spark: SparkSession, root: str) -> np.ndarray:
+def _read_codebook(
+    spark: SparkSession, root: str, name: str = "_codebook"
+) -> np.ndarray:
     cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
-    for r in spark.read.parquet(f"{root}/_codebook").collect():
+    for r in spark.read.parquet(f"{root}/{name}").collect():
         cb[r["m"], r["code"], :] = r["cw"]
     return cb
 
@@ -115,6 +117,113 @@ def pq_topk_merged(
         "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
     )
     return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")
+
+
+def ivfpq_stream_init(embeddings: DataFrame, root: str) -> None:
+    """Build the base IVFADC index + freeze codebook AND centroids (both
+    quantizers are maintenance-frozen; re-training either is a rebuild)."""
+    from ..operators.pq import ivfpq_build
+
+    ivfpq_build(embeddings, root)
+
+
+def make_ivfpq_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body: assign the batch's vectors to the frozen
+    centroids AND encode them against the frozen codebook, writing
+    (batch_id, cent_id) delta partitions — exactly-once via clear +
+    partition-overwrite, probe-prunable on cent_id like the base."""
+    from ..operators.pq import _encode_kernel
+    from ..operators.search import assign_to_centroids
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        cents = spark.read.parquet(f"{root}/_centroids")
+        cb = _read_codebook(spark, root, name="codebook")
+        cand = batch_df.select(
+            "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+        )
+        assigned = assign_to_centroids(cand, cents)
+        out = assigned.select(
+            "vec_id",
+            "cent_id",
+            _encode_kernel(cb)(F.col("ev")).alias("codes"),
+            F.lit(bid).cast("long").alias("batch_id"),
+        )
+        tables.clear_partitions(spark, f"{root}/delta", "batch_id", [bid])
+        tables.overwrite_partitions(out, f"{root}/delta", ["batch_id", "cent_id"])
+
+    return process_batch
+
+
+def ivfpq_topk_merged(
+    spark: SparkSession,
+    vectors: DataFrame,
+    root: str,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_probe: int = C.IVF_PROBE,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """IVFADC top-k over base ∪ deltas: probe prune on cent_id on BOTH
+    sides, literal-LUT ADC over the surviving codes, exact re-rank against
+    the primary ``vectors`` table."""
+    cents = spark.read.parquet(f"{root}/_centroids")
+    q = vectors.where(F.col("vec_id") == query_vec_id).select(
+        fixed_point_vec(F.col("embedding")).alias("qv")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_ids = [r["cent_id"] for r in probe_rows]
+    codes = (
+        spark.read.parquet(f"{root}/codes")
+        .where(F.col("cent_id").isin(probe_ids))
+        .select("vec_id", "codes")
+    )
+    delta = _read_delta(spark, f"{root}/delta")
+    if delta is not None:
+        codes = codes.unionByName(
+            delta.where(F.col("cent_id").isin(probe_ids)).select("vec_id", "codes")
+        )
+    cb = _read_codebook(spark, root, name="codebook")
+    qv = np.array(q.collect()[0]["qv"], dtype=np.int64)
+    lut = query_lut(cb, qv)
+    shortlist = (
+        codes.select("vec_id", _adc_literal_score(lut).alias("adot_e12"))
+        .orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    cand = vectors.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")
+
+
+def ivfpq_compact(spark: SparkSession, root: str) -> None:
+    """Fold delta codes into the base's cent_id partitions (partition-
+    aligned by construction — both sides assigned to the same frozen
+    centroids)."""
+    delta = _read_delta(spark, f"{root}/delta")
+    if delta is None:
+        return
+    base = spark.read.parquet(f"{root}/codes")
+    merged = base.select("vec_id", "cent_id", "codes").unionByName(
+        delta.select("vec_id", "cent_id", "codes")
+    )
+    tmp = f"{root}/codes__compact"
+    merged.write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    shutil.rmtree(f"{root}/codes")
+    shutil.move(tmp, f"{root}/codes")
+    shutil.rmtree(f"{root}/delta", ignore_errors=True)
+    spark.catalog.refreshByPath(root)
 
 
 def pq_compact(spark: SparkSession, root: str) -> None:

@@ -49,3 +49,30 @@ def test_replay_exactly_once_and_compact(spark, tmp_path):
     assert not os.path.exists(f"{root}/delta")
     assert sorted(map(tuple, pq_topk_merged(spark, emb, root).collect())) == once
     pq_compact(spark, root)  # idempotent when nothing to fold
+
+
+def test_ivfpq_merged_equals_one_shot_and_replay(spark, tmp_path):
+    """Streaming IVFADC: frozen-centroid assignment + frozen-codebook
+    encode per batch must reproduce the one-shot ivfpq_topk exactly; replay
+    is exactly-once; compaction preserves every ranking."""
+    from pdf_extraction_and_query_spark.operators.pq import ivfpq_topk
+    from pdf_extraction_and_query_spark.streaming.pq import (
+        ivfpq_compact,
+        ivfpq_stream_init,
+        ivfpq_topk_merged,
+        make_ivfpq_batch_processor,
+    )
+
+    emb, base, batch = _split(spark)
+    root = str(tmp_path / "ivfpq")
+    ivfpq_stream_init(base, root)
+    proc = make_ivfpq_batch_processor(root)
+    proc(batch, 0)
+    got = sorted(map(tuple, ivfpq_topk_merged(spark, emb, root).collect()))
+    want = sorted(map(tuple, ivfpq_topk(emb).collect()))
+    assert got == want and got
+    proc(batch, 0)  # crash replay
+    assert sorted(map(tuple, ivfpq_topk_merged(spark, emb, root).collect())) == got
+    ivfpq_compact(spark, root)
+    assert not os.path.exists(f"{root}/delta")
+    assert sorted(map(tuple, ivfpq_topk_merged(spark, emb, root).collect())) == got
