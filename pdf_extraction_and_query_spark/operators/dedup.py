@@ -459,23 +459,30 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = C.SIMHASH_MAX_HAMMING
     )
 
 
-def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, max_iters: int = 20, algorithm: str = "minlabel"
+) -> DataFrame:
     """Near-dup CLUSTER RESOLUTION: connected components over the
     MinHash-LSH candidate-pair graph — the step after pair generation in a
     production dedup pipeline (C4/RefinedWeb-style: each duplicate cluster
     keeps one representative; pairs alone can't tell you which docs to
     drop when duplicates chain A~B~C without A~C).
 
-    Algorithm: min-label propagation to fixpoint. Each round is one
-    edge-join + min-aggregate (a (dst)-keyed shuffle and a (src)-keyed
-    shuffle); lineage is truncated per round with localCheckpoint so the
-    plan stays O(1) deep. Rounds needed = graph diameter — LSH duplicate
-    clusters are near-cliques, so 2-3 in practice; ``max_iters`` bounds the
-    pathological chain. At 10^12-doc scale the same loop runs with the
-    alternating large-star/small-star optimization (Kiveris et al., "
-    Connected Components in MapReduce"), which shortcuts long chains in
-    O(log^2 n) rounds; min-label propagation is the identical-output
-    simple case and the right choice while components are small.
+    Algorithm (``algorithm='minlabel'``, default): min-label propagation to
+    fixpoint. Each round is one edge-join + min-aggregate (a (dst)-keyed
+    shuffle and a (src)-keyed shuffle); lineage is truncated per round with
+    localCheckpoint so the plan stays O(1) deep. Rounds needed = graph
+    diameter — LSH duplicate clusters are near-cliques, so 2-3 in practice;
+    ``max_iters`` bounds the pathological chain.
+
+    ``algorithm='star'`` runs the alternating large-star/small-star rounds
+    (:func:`connected_components_star`, Kiveris et al. SoCC 2014) — the
+    10^12-doc scale path that shortcuts pathological long chains in
+    O(log^2 n) rounds instead of O(diameter); output-identical on every
+    graph (tests/test_dedup_clusters.py pins equality on chain / star /
+    disjoint / LSH-derived fixtures).  minlabel stays the default because
+    gate-scale LSH components are near-cliques where its per-round cost is
+    lower; flip to star when duplicate chains are expected.
 
     Output: one row per document that appears in at least one candidate
     pair — (doc_id, cluster_rep = min doc_id of its component, is_keeper).
@@ -487,7 +494,8 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     closure — an independent algorithm, so parity checks the RESULT (the
     partition into components), not the propagation schedule.
     """
-    return connected_components(minhash_band_pairs(docs), max_iters=max_iters)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    return cc(minhash_band_pairs(docs), max_iters=max_iters)
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -541,6 +549,101 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             "(component diameter exceeds the bound — raise max_iters or "
             "switch to large-star/small-star)"
         )
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_rep"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """(count, xxhash64-XOR) of an edge set — the O(1)-row convergence
+    probe (an exceptAll comparison would shuffle both edge sets per round).
+    XOR, not sum: order-insensitive like sum but cannot overflow under
+    ANSI mode, and the working set is distinct so nothing cancels."""
+    r = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (r["n"], r["h"])
+
+
+def connected_components_star(pairs: DataFrame, max_iters: int = 60) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — the long-chain scale path with the
+    SAME (doc_id, cluster_rep, is_keeper) contract as
+    :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds (a 10^6-long duplicate
+    chain = 10^6 shuffles); the star rounds provably converge in
+    O(log^2 n) and empirically ~2·log2(n) on paths (each large-star round
+    rewires every node past its neighbor, roughly halving chain length —
+    tests/test_dedup_clusters.py pins <= 40 rounds on a 10k-node chain).
+
+    Per round: large-star connects every neighbor larger than ``u`` to
+    ``min(N(u) ∪ {u})`` (computed over the undirected view), small-star
+    re-points every smaller neighbor (and ``u`` itself) at the round's
+    minimum — two groupBy/join pairs over the current EDGE SET, which only
+    shrinks toward the final star forest (node -> component minimum).
+    Lineage is truncated per round with localCheckpoint; convergence is an
+    edge-set signature match (the fixpoint star is invariant under both
+    phases)."""
+    raw = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # every node that appears in ANY pair gets an output row — including a
+    # node whose only pair is a self-loop (same contract as minlabel)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # working set: oriented (big, small) distinct edges, self-loops dropped
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_signature(e)
+    for _ in range(max_iters):
+        # ---- large-star: over the undirected view, for each u connect
+        # every neighbor v > u to m = min(N(u) ∪ {u})
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        lg = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star: edges are (u > v)-oriented; for each u point
+        # every smaller neighbor and u itself at m = min(N(u) ∪ {u})
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("mn"))
+        sm_nbrs = (
+            lg.join(mins2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        sm_self = mins2.select("u", F.col("mn").alias("v"))
+        e = sm_nbrs.unionByName(sm_self).distinct().localCheckpoint()
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within {max_iters} rounds"
+        )
+    # fixpoint edge set is the star forest (node, component-min root);
+    # roots appear only on the v side — they label themselves
+    labels = nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("root")), "node", "left"
+    ).select("node", F.coalesce("root", F.col("node")).alias("label"))
     return labels.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("cluster_rep"),

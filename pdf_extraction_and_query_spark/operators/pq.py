@@ -63,9 +63,20 @@ def pq_codebook(embeddings: DataFrame) -> DataFrame:
 def _codebook_np(embeddings: DataFrame) -> np.ndarray:
     """Collect the tiny codebook to a (PQ_M, PQ_K, PQ_SUB) int64 array —
     query-planning metadata (PQ_M*PQ_K*PQ_SUB = 1024 ints), not a data
-    collect; the encode kernel closes over it."""
+    collect; the encode kernel closes over it.
+
+    Completeness is ASSERTED: a corpus with non-contiguous vec_ids would
+    yield fewer than PQ_K codewords, the encoder could then emit codes the
+    LUT/_adc_scores inner join silently drops, and scores would diverge
+    from the oracle — fail fast instead (round-3 ADVICE.md)."""
+    rows = pq_codebook(embeddings).collect()
+    if len(rows) != C.PQ_M * C.PQ_K:
+        raise ValueError(
+            f"pq codebook incomplete: {len(rows)} rows, expected "
+            f"{C.PQ_M * C.PQ_K} (corpus vec_ids must cover 0..{C.PQ_K - 1})"
+        )
     cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
-    for r in pq_codebook(embeddings).collect():
+    for r in rows:
         cb[r["m"], r["code"], :] = r["cw"]
     return cb
 
@@ -76,14 +87,24 @@ def _encode_kernel(cb: np.ndarray):
     (np.argmin first-occurrence == the oracle's ORDER BY d, code)."""
     from pyspark.sql.functions import pandas_udf
 
+    # per-code squared norms, precomputed once per kernel build (M, K)
+    c2 = np.einsum("mks,mks->mk", cb, cb)
+
     @pandas_udf("array<int>")
     def encode(ev: pd.Series) -> pd.Series:
         if ev.empty:
             return pd.Series([], dtype="object")
         E = np.stack(ev.to_numpy()).astype(np.int64, copy=False)
         S = E.reshape(E.shape[0], C.PQ_M, C.PQ_SUB)
-        # (n, M, K): exact int64 squared distances
-        d = ((S[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        # argmin_c ||x - c||^2 == argmin_c (-2 x.c + ||c||^2): the ||x||^2
+        # term is constant per (row, subspace) so dropping it preserves
+        # distances' relative order AND ties exactly (bit-equality with the
+        # broadcast-difference form is pinned in test_pq_index).  Memory:
+        # the old (n, M, K, SUB) difference tensor was ~8 KB/row and linear
+        # in K (a realistic K=256 would be ~1.3 GB per 10k Arrow batch,
+        # round-3 ADVICE.md); this is one (n, M, K) einsum — SUB-fold less.
+        # All terms stay exact int64 (|x.c| <= SUB * 1e12 << 2^63).
+        d = c2[None, :, :] - 2 * np.einsum("nms,mks->nmk", S, cb)
         codes = d.argmin(axis=2).astype(np.int32)
         return pd.Series(list(codes))
 
@@ -371,7 +392,10 @@ def ivfpq_topk_prebuilt(
     Identical to :func:`ivfpq_topk` by construction."""
     from ..sources import tables
 
-    cents = spark.read.parquet(f"{index_path}/_centroids")
+    # sidecars go through the table shim like the codes table: ivfpq_build
+    # writes them via replace_table, so a configured SPARK_GRAFT_CATALOG
+    # must route the reads to the same storage (round-3 ADVICE.md)
+    cents = tables.read_table(spark, f"{index_path}/_centroids")
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
         fixed_point_vec(F.col("embedding")).alias("qv")
     )
@@ -384,7 +408,7 @@ def ivfpq_topk_prebuilt(
     )
     probe_ids = [r["cent_id"] for r in probe_rows]
     cb = np.zeros((C.PQ_M, C.PQ_K, C.PQ_SUB), dtype=np.int64)
-    for r in spark.read.parquet(f"{index_path}/codebook").collect():
+    for r in tables.read_table(spark, f"{index_path}/codebook").collect():
         cb[r["m"], r["code"], :] = r["cw"]
     qv = np.array(
         embeddings.where(F.col("vec_id") == query_vec_id)

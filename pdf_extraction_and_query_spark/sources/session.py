@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # progress bars share the stdout the bench's one-line JSON contract
+        # depends on (the driver json-parses the tail of captured output)
+        .config("spark.ui.showConsoleProgress", "false")
         # 32m splits: measured sweet spot for the span corpus — 128m gave a
         # single task wave at 32 cores (stragglers pinned the wall), 8m paid
         # ~200ms/task fixed overhead; 32m = ~4 waves of ~1-3s tasks

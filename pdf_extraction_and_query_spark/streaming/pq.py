@@ -16,6 +16,15 @@ vectors; in production they live in the corpus table and the re-rank is a
 point-read of PQ_RERANK rows, which is exactly the split this module keeps.
 ``pq_compact`` folds deltas into the base. Append-only on vec_id, same
 contract as the FTS/IVF maintainers.
+
+PARQUET-BACKEND-ONLY: like the shutil-based compactors in the sibling
+maintainers, this module manages its LSM layout (delta/batch_id dirs,
+directory swaps) directly on the filesystem — reads and writes are raw
+parquet paths BY DESIGN and ``SPARK_GRAFT_CATALOG`` does not reroute them
+(the ``tables.clear_partitions``/``overwrite_partitions`` calls below are
+used purely for their parquet dynamic-overwrite semantics).  On the
+Iceberg backend the equivalent maintenance is native (MERGE INTO +
+rewrite_data_files); see sources/tables.py.
 """
 
 from __future__ import annotations
@@ -40,10 +49,14 @@ from ..sources import tables
 
 
 def pq_stream_init(embeddings: DataFrame, root: str) -> None:
-    """Encode the initial corpus and freeze the codebook."""
+    """Encode the initial corpus and freeze the codebook. Raw parquet
+    writes, matching this module's raw reads (parquet-backend-only — see
+    module docstring; the previous replace_table write was asymmetric with
+    the raw-parquet readers under a configured catalog, round-3
+    ADVICE.md)."""
     pq_codebook(embeddings).write.mode("overwrite").parquet(f"{root}/_codebook")
     cb = _read_codebook(embeddings.sparkSession, root)
-    tables.replace_table(pq_assign(embeddings, cb), f"{root}/codes")
+    pq_assign(embeddings, cb).write.mode("overwrite").parquet(f"{root}/codes")
 
 
 def _read_codebook(

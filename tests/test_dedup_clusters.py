@@ -5,11 +5,18 @@ diameter exceeds max_iters."""
 
 import pytest
 
-from pdf_extraction_and_query_spark.operators.dedup import connected_components
+from pdf_extraction_and_query_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _pairs(spark, edges):
     return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def _rows(df):
+    return {(r["doc_id"], r["cluster_rep"], r["is_keeper"]) for r in df.collect()}
 
 
 def test_chain_collapses_to_one_component(spark):
@@ -42,3 +49,42 @@ def test_max_iters_guard_trips_on_long_chains(spark):
         connected_components(
             _pairs(spark, [(i, i + 1) for i in range(8)]), max_iters=2
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star (the O(log^2 n)-round scale path) — must be
+# output-identical to min-label propagation on every graph shape
+# ---------------------------------------------------------------------------
+
+STAR_FIXTURES = {
+    "chain": [(i, i + 1) for i in range(6)],
+    "star": [(0, i) for i in range(1, 8)],
+    "disjoint": [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+    "clique": [(a, b) for a in range(5) for b in range(a + 1, 5)],
+    "two_chains_bridge": [(i, i + 1) for i in range(4)]
+    + [(10 + i, 11 + i) for i in range(4)]
+    + [(4, 10)],
+    "self_loop_and_dup": [(5, 5), (6, 7), (7, 6), (6, 7)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAR_FIXTURES))
+def test_star_matches_minlabel(spark, name):
+    pairs = _pairs(spark, STAR_FIXTURES[name])
+    assert _rows(connected_components_star(pairs)) == _rows(
+        connected_components(pairs)
+    )
+
+
+def test_star_bounded_rounds_on_10k_chain(spark):
+    """A 10k-node path converges within 40 alternating rounds (min-label
+    would need 10k) and labels every node with the component minimum."""
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = connected_components_star(pairs, max_iters=40)
+    agg = out.selectExpr(
+        "count(*) AS n",
+        "sum(cast(cluster_rep != 0 AS long)) AS bad",
+        "sum(cast(is_keeper AS long)) AS keepers",
+    ).collect()[0]
+    assert (agg["n"], agg["bad"], agg["keepers"]) == (n, 0, 1)

@@ -84,3 +84,36 @@ def test_rebuild_idempotent_and_codes_total(spark, tmp_path_factory):
     own = pq_assign(emb).where(F.col("vec_id") < C.PQ_K).collect()
     for r in own:
         assert list(r["codes"]) == [r["vec_id"]] * C.PQ_M
+
+
+def test_encode_expansion_bit_equal_to_difference_form():
+    """The shipped encode kernel drops the ||x||^2 term (argmin over
+    -2x.c + ||c||^2, one (n,M,K) einsum instead of the (n,M,K,SUB)
+    difference tensor — round-3 ADVICE.md memory item).  Pin bit-equality
+    of the chosen codes against the full ||x-c||^2 broadcast-difference
+    form on adversarial int inputs INCLUDING exact ties (argmin must keep
+    numpy's first-occurrence tie-break either way)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cb = rng.integers(-(10**6), 10**6, size=(C.PQ_M, C.PQ_K, C.PQ_SUB)).astype(
+        np.int64
+    )
+    # duplicate some codewords to force exact distance ties
+    cb[:, 5, :] = cb[:, 3, :]
+    cb[:, 11, :] = cb[:, 3, :]
+    X = rng.integers(-(10**6), 10**6, size=(257, C.PQ_M * C.PQ_SUB)).astype(np.int64)
+    # a few rows exactly ON a (duplicated) codeword: distance-0 ties
+    X[0] = cb[:, 3, :].reshape(-1)
+    X[1] = cb[:, 7, :].reshape(-1)
+    S = X.reshape(X.shape[0], C.PQ_M, C.PQ_SUB)
+
+    diff = ((S[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    want = diff.argmin(axis=2)
+
+    c2 = np.einsum("mks,mks->mk", cb, cb)
+    d = c2[None, :, :] - 2 * np.einsum("nms,mks->nmk", S, cb)
+    got = d.argmin(axis=2)
+
+    assert np.array_equal(got, want)
+    assert got[0].tolist() == [3] * C.PQ_M  # tie resolves to smallest code
