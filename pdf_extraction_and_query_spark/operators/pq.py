@@ -350,6 +350,69 @@ def ivfpq_topk(
     return _rank_topk(hits, k).select("rank", "vec_id", "adot_e12", "dot_e12")
 
 
+def ivfpq_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MULTI_TOPK,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+    rerank: int = C.PQ_RERANK,
+) -> DataFrame:
+    """Batch IVFADC — the production search-many shape of
+    :func:`ivfpq_topk`: coarse assignment computed ONCE for the whole
+    query set, per-query probe lists from the tiny broadcast
+    (centroids x queries) cross, PQ codes computed ONCE in a narrow Arrow
+    pass, ADC restricted to each query's probed lists against the
+    broadcast per-query LUT (map-side combine collapses a vector's PQ_M
+    rows before the exchange), and only each query's ``rerank`` shortlist
+    pays the exact dot.  Two q_id-keyed row_number shuffles — the
+    pq_topk_multi shape with the IVF pruning in front."""
+    from .search import _centroids, _ivf_assign
+
+    assigned = _ivf_assign(embeddings, n_centroids)  # (vec_id, ev, cent_id)
+    qs = _queries(embeddings, n_queries)
+    wp = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("cent_id"))
+    probes = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(qs))
+        .select("q_id", "cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= n_probe)
+        .select("q_id", "cent_id")
+    )
+    cb = _codebook_np(embeddings)
+    # narrow encode of the assignment's ev (no shuffle), then fan each
+    # vector's codes out to the queries probing its list
+    coded = assigned.select(
+        "vec_id", "cent_id", _encode_kernel(cb)(F.col("ev")).alias("codes")
+    )
+    pruned = coded.join(F.broadcast(probes), "cent_id")
+    ex = pruned.select("q_id", "vec_id", F.posexplode("codes").alias("m", "code"))
+    adot = (
+        ex.join(F.broadcast(_lut(embeddings, qs)), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part").cast("long").alias("adot_e12"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("adot_e12"), F.asc("vec_id"))
+    shortlist = (
+        adot.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= rerank)
+        .select("q_id", "vec_id", "adot_e12")
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    ).join(F.broadcast(shortlist), "vec_id")
+    hits = cand.join(F.broadcast(qs), "q_id").select(
+        "q_id", "vec_id", "adot_e12", _dot(F.col("ev"), F.col("qv")).alias("dot_e12")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "adot_e12", "dot_e12")
+    )
+
+
 def ivfpq_build(
     embeddings: DataFrame,
     index_path: str,

@@ -407,6 +407,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk_multi": lambda s, d: PQ.pq_topk_multi(_emb(s, d)),
     "pq_recall": lambda s, d: PQ.pq_recall(_emb(s, d)),
     "ivfpq_topk": lambda s, d: PQ.ivfpq_topk(_emb(s, d)),
+    "ivfpq_topk_multi": lambda s, d: PQ.ivfpq_topk_multi(_emb(s, d)),
     "delete_documents": lambda s, d: ST.delete_documents(_docs(s, d), s),
     "cascade_delete": lambda s, d: ST.cascade_delete(_docs(s, d), _span_corpus(s, d)),
     "topk_enriched": lambda s, d: S.topk_enriched(_emb(s, d), _docs(s, d)),
@@ -1383,6 +1384,58 @@ hits AS (
 SELECT cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank,
        vec_id, adot_e12, dot_e12
 FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "ivfpq_topk_multi": f"""
+WITH {_PQ_CTES},
+qm AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+       WHERE vec_id < {C.MULTI_QUERY_N}),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+cscored AS (
+  SELECT c.vec_id, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM cscored) WHERE rn = 1),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, cent_id) AS prn
+    FROM (SELECT qm.q_id, cents.cent_id,
+                 cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                      i -> cv[i] * qv[i])) as bigint) AS qdot
+          FROM cents, qm))
+  WHERE prn <= {C.IVF_PROBE}),
+pruned AS (SELECT p.q_id, a.vec_id FROM assigned a JOIN probes p USING (cent_id)),
+lutm AS (
+  SELECT q_id, m, code,
+         cast(list_sum(list_transform(generate_series(1, {C.PQ_SUB}),
+              j -> cw[j] * qv[m * {C.PQ_SUB} + j])) as bigint) AS part
+  FROM cb, qm),
+adot AS (
+  SELECT pruned.q_id, codes.vec_id, cast(sum(part) as bigint) AS adot_e12
+  FROM codes JOIN pruned USING (vec_id)
+  JOIN lutm ON lutm.q_id = pruned.q_id AND lutm.m = codes.m
+           AND lutm.code = codes.code
+  GROUP BY pruned.q_id, codes.vec_id),
+short AS (
+  SELECT q_id, vec_id, adot_e12 FROM (
+    SELECT q_id, vec_id, adot_e12,
+           row_number() OVER (PARTITION BY q_id ORDER BY adot_e12 DESC, vec_id) AS srn
+    FROM adot) WHERE srn <= {C.PQ_RERANK}),
+hits AS (
+  SELECT sh.q_id, sh.vec_id, sh.adot_e12,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * qv[i])) as bigint) AS dot_e12
+  FROM short sh JOIN c ON c.vec_id = sh.vec_id JOIN qm ON qm.q_id = sh.q_id),
+r AS (
+  SELECT q_id, vec_id, adot_e12, dot_e12,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+  FROM hits)
+SELECT q_id, vec_id, rank, adot_e12, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
     "pq_recall": f"""
 WITH {_PQ_CTES},
 qm AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
