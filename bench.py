@@ -125,8 +125,9 @@ def _emit(compact: dict, full: dict) -> None:
     """Write the full artifact to data/bench_full.json, then print the
     compact line, trimming low-signal query entries until it fits the
     driver's 2000-char tail buffer."""
-    os.makedirs("data", exist_ok=True)
-    with open("data/bench_full.json", "w") as fh:
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    os.makedirs(data_dir, exist_ok=True)
+    with open(os.path.join(data_dir, "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     line = json.dumps(compact)
     trim = list(_TRIM_ORDER)
