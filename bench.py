@@ -254,6 +254,7 @@ def main() -> None:
         "pq_topk",
         "pq_recall",
         "ivfpq_topk",
+        "ivfpq_topk_multi",
         "topk_enriched",
         "similarity_buckets",
         "search_response",

@@ -49,6 +49,7 @@ def extract_spans(
     mode: str = "staged",
     hybrid_threshold: int = HYBRID_SPAN_THRESHOLD,
     banded_stage1: bool | None = None,
+    probe_whales: bool = True,
 ) -> DataFrame:
     """Ordered output spans (doc_id, order, kind, text, media_ref).
 
@@ -57,7 +58,20 @@ def extract_spans(
     small docs), ``hybrid`` (size-aware routing: the skew treatment the
     north rule asks for — the long tail of small docs streams through the
     narrow path while oversized docs get intra-document page parallelism;
-    per-doc outputs are identical on every path, so the union is safe)."""
+    per-doc outputs are identical on every path, so the union is safe).
+
+    ``probe_whales`` (hybrid only, default on): one cheap codegen-only
+    ``max(size(spans))`` aggregate decides the routing BEFORE the plan is
+    built — a whale-free corpus gets the pure fused plan with no
+    ``size(spans)`` filter and NO planned-but-empty staged branch (whose
+    fixed cost is a second full source scan + empty shuffle stages).
+    Measured on the 25.6k-doc whale-free skewed bench corpus, interleaved
+    best-of-5 on a quiet local[32]: probe ON 3.27 s vs OFF 4.33 s — the
+    0.24 s probe buys back ~1.3 s of dead branch.  The probe snapshot is
+    per-invocation — a table that gains whales afterwards re-probes on the
+    next call; the ingest-time answer to the same problem is
+    :func:`write_spans_routed`, whose partition pruning needs no probe at
+    all."""
     from ..sources.packaging import ensure_shipped
 
     ensure_shipped(spans_df.sparkSession)
@@ -65,6 +79,10 @@ def extract_spans(
         return fused_extract(spans_df, cfg)
     if mode == "hybrid":
         n = F.size("spans")
+        if probe_whales:
+            mx = spans_df.agg(F.max(F.size("spans")).alias("mx")).collect()[0]["mx"]
+            if mx is None or mx <= hybrid_threshold:
+                return fused_extract(spans_df, cfg)
         small = fused_extract(spans_df.where(n <= hybrid_threshold), cfg)
         # the staged branch receives ONLY whale docs, so its stage 1 uses
         # the banded prefix scan (intra-doc parallelism from the first
