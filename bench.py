@@ -76,6 +76,7 @@ _TRIM_ORDER = [
     "eval_by_category",
     "search_response",
     "topk_enriched",
+    "html_extract",
 ]
 
 _MEDIANS: dict[str, float] = {}
@@ -266,6 +267,7 @@ def main() -> None:
         "page_text_map",
         "doc_listing",
         "chunk_invariants",
+        "html_extract",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

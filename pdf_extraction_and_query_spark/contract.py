@@ -142,6 +142,35 @@ CORPUS_FIG_EVERY = 7  # a figure span precedes line i when i % EVERY == PHASE
 CORPUS_FIG_PHASE = 3
 CORPUS_FOOTER_PREFIX = "Confidential - Corp "  # + doc_id + " - page " + page
 
+# --- driver-corpus HTML derivation (sources/htmlcorpus.html_from_text) ---
+# The north rule (BASELINE.json) names "HTML boilerplate strip ... DOM
+# heuristics" as part of the main-content extraction pipeline. The HTML
+# fixture wraps each document's text in a deterministic page template —
+# nav/header, link-list sidebar, cookie banner, share strip, footer,
+# script/style/title — around content paragraphs of HTML_WORDS_PER_PARA
+# words with a figure (<img>) cadence, an inline-link cadence, and an
+# entity cadence. Because every structural choice is integer arithmetic on
+# the word index, the EXPECTED main-content span sequence is exactly
+# expressible in ANSI SQL: the extractor sees only the HTML and must strip
+# exactly the boilerplate (structural tags + the link-density rule below)
+# to match the oracle.
+HTML_WORDS_PER_PARA = 12
+HTML_IMG_EVERY = 5  # a figure precedes paragraph i when i % EVERY == PHASE
+HTML_IMG_PHASE = 2
+HTML_LINK_EVERY = 3  # paragraph i opens with an inline <a> when triggered
+HTML_LINK_PHASE = 1
+HTML_LINK_WORDS = 2  # words wrapped by the inline link (only if para longer)
+HTML_AMP_EVERY = 4  # paragraph i carries an "&amp; more" entity suffix
+HTML_AMP_PHASE = 0
+# keep rule for non-structural blocks, integer form (no float compare):
+# drop iff HTML_LD_NUM * link_chars > HTML_LD_DEN * total_chars  (ld > 1/3)
+HTML_LD_NUM = 3
+HTML_LD_DEN = 1
+# boilerplate text-block counts emitted by the fixture template per doc —
+# the report oracle reconstructs drop counts from these
+HTML_NAV_ITEMS = ("Home", "Products", "Pricing", "Docs", "Blog", "Contact")
+HTML_SIDEBAR_LINKS = 8
+
 # training-shard packing (operators/packing.py + its oracle): documents are
 # assigned to shards by cumulative whitespace-token count in doc_id order;
 # each shard targets ~PACK_TOKEN_BUDGET tokens

@@ -1,0 +1,168 @@
+"""HTML main-content extraction kernel (DOM-heuristic boilerplate strip).
+
+The north rule (BASELINE.json ``north_rule``) names "HTML boilerplate
+strip ... DOM heuristics" as a first-class part of the main-content
+extraction pipeline; the reference repo itself is PDF-only, so this kernel
+is specified against the rule (and the public boilerplate-removal
+literature: Arc90 readability / boilerpipe-style link-density + structural
+signals), not against a reference file.
+
+Model: stream the document through the stdlib ``html.parser.HTMLParser``
+(tolerant of malformed markup, O(1) state per open-tag class — no DOM tree
+is materialized, so a 1 GB pathological page costs memory proportional to
+its largest text block, not its node count). Text is segmented into blocks
+at block-level tag boundaries; each block is kept or dropped by two
+DOM heuristics:
+
+1. **structural strip** — any text inside ``<nav>/<header>/<footer>/
+   <aside>`` is boilerplate by construction; ``<script>/<style>/
+   <noscript>/<title>`` content never enters a block at all;
+2. **link density** — a surviving block is dropped iff
+   ``HTML_LD_NUM * link_chars > HTML_LD_DEN * total_chars`` (chars counted
+   on the RAW character data, anchors attributed while an ``<a>`` is
+   open). The integer form keeps the rule exactly reproducible in ANSI
+   SQL (contract module), so the DuckDB oracle can re-derive the keep
+   decision per paragraph instead of trusting the kernel.
+
+``<img>`` inside surviving content emits an interleaved media span
+(kind='figure', text=alt, media_ref=src) at its DOM position — the
+"interleaved text + media" payload shape of the input hint.
+
+Entity references are decoded by the parser (``convert_charrefs=True``),
+and kept block text is whitespace-normalized (``" ".join(text.split())``).
+
+Malformed-markup stance: unclosed strip-tags (e.g. ``<nav>`` never closed)
+conservatively strip the rest of the document — boilerplate containers are
+template-emitted in real corpora and a false drop is the safe failure mode
+for training data. Depth counters never go negative on orphan end tags.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import List, Tuple
+
+from .. import contract as C
+
+# span tuple: (kind, text, media_ref) — media_ref '' for text spans
+Span = Tuple[str, str, str]
+
+_BLOCK_TAGS = frozenset(
+    (
+        "p div li ul ol dl dt dd h1 h2 h3 h4 h5 h6 figure figcaption table "
+        "thead tbody tfoot tr td th blockquote pre article section main "
+        "header footer nav aside form fieldset hr br"
+    ).split()
+)
+_STRIP_TAGS = frozenset({"nav", "header", "footer", "aside"})
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "title"})
+# void elements never push depth (they cannot contain text)
+_VOID_TAGS = frozenset({"img", "br", "hr", "meta", "link", "input", "source"})
+
+
+class _MainContentParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.spans: List[Span] = []
+        self.n_dropped_structural = 0
+        self.n_dropped_linkdense = 0
+        self._buf: List[str] = []
+        self._total_chars = 0
+        self._link_chars = 0
+        self._strip = 0
+        self._skip = 0
+        self._anchor = 0
+
+    # -- block lifecycle ---------------------------------------------------
+
+    def _flush(self) -> None:
+        if not self._buf:
+            self._link_chars = 0
+            self._total_chars = 0
+            return
+        total, link = self._total_chars, self._link_chars
+        text = " ".join("".join(self._buf).split())
+        self._buf = []
+        self._total_chars = 0
+        self._link_chars = 0
+        if not text:
+            return
+        if self._strip > 0:
+            self.n_dropped_structural += 1
+            return
+        if C.HTML_LD_NUM * link > C.HTML_LD_DEN * total:
+            self.n_dropped_linkdense += 1
+            return
+        self.spans.append(("text", text, ""))
+
+    # -- parser events -----------------------------------------------------
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "img":
+            self._flush()
+            if self._strip == 0 and self._skip == 0:
+                d = dict(attrs)
+                self.spans.append(
+                    ("figure", d.get("alt") or "", d.get("src") or "")
+                )
+            return
+        if tag == "a":
+            self._anchor += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _STRIP_TAGS:
+                self._strip += 1
+
+    def handle_endtag(self, tag) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+            return
+        if tag in _BLOCK_TAGS and tag not in _VOID_TAGS:
+            self._flush()
+            if tag in _STRIP_TAGS:
+                self._strip = max(0, self._strip - 1)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        # <tag/> — start semantics, then immediately undo any depth
+        self.handle_starttag(tag, attrs)
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+        elif tag in _STRIP_TAGS:
+            self._strip = max(0, self._strip - 1)
+
+    def handle_data(self, data) -> None:
+        if self._skip or not data:
+            return
+        self._buf.append(data)
+        self._total_chars += len(data)
+        if self._anchor:
+            self._link_chars += len(data)
+
+
+def extract_main_html(html: str) -> List[Span]:
+    """Parse one HTML document and return its main-content span sequence
+    in DOM order: ``[(kind, text, media_ref), ...]``."""
+    p = _MainContentParser()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return p.spans
+
+
+def extract_main_html_report(html: str):
+    """Like :func:`extract_main_html` but also returns the drop counters:
+    ``(spans, n_dropped_structural, n_dropped_linkdense)``."""
+    p = _MainContentParser()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return p.spans, p.n_dropped_structural, p.n_dropped_linkdense

@@ -1,0 +1,85 @@
+"""HTML main-content extraction as a Spark operator.
+
+North rule (BASELINE.json): the pipeline includes "HTML boilerplate strip
+... DOM heuristics". The kernel (``core/htmlmain.py``) is a streaming
+stdlib-parser pass — here it runs as one narrow ``mapInPandas`` stage over
+the (doc_id, html) table: Arrow-batched, zero shuffle, per-task memory
+bounded by the largest single page, embarrassingly parallel at 10^12 docs
+(partitioning comes from the source scan; the ``fan_out`` guard in the
+html corpus lift keeps small fixtures from collapsing to one python
+worker, and is a no-op on at-scale tables).
+
+Output schemas are scalar-only (driver canonicalizer contract):
+``html_extract``    -> (doc_id, span_order, kind, text, media_ref)
+``html_extract_report`` -> per-doc keep/drop counters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.htmlmain import extract_main_html_report
+
+_SPAN_SCHEMA = (
+    "doc_id string, span_order long, kind string, text string, media_ref string"
+)
+_REPORT_SCHEMA = (
+    "doc_id string, n_spans long, n_text long, n_figures long, "
+    "n_chars_main long, n_dropped_structural long, n_dropped_linkdense long"
+)
+
+
+def html_extract(html_df: DataFrame) -> DataFrame:
+    """Main-content span sequence per document, DOM order (0-based
+    ``span_order``); media spans carry (alt, src) as (text, media_ref)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "span_order": [], "kind": [], "text": [], "media_ref": []}
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                spans, _, _ = extract_main_html_report(h)
+                for j, (kind, text, ref) in enumerate(spans):
+                    out["doc_id"].append(str(d))
+                    out["span_order"].append(j)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(ref)
+            yield pd.DataFrame(out)
+
+    return html_df.mapInPandas(run, schema=_SPAN_SCHEMA)
+
+
+def html_extract_report(html_df: DataFrame) -> DataFrame:
+    """Per-document extraction report: kept text/figure counts, main-text
+    char total, and the two drop counters (structural strip vs link
+    density). One row per input document, including empty ones."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_spans": [],
+                "n_text": [],
+                "n_figures": [],
+                "n_chars_main": [],
+                "n_dropped_structural": [],
+                "n_dropped_linkdense": [],
+            }
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                spans, n_struct, n_dense = extract_main_html_report(h)
+                n_text = sum(1 for s in spans if s[0] == "text")
+                out["doc_id"].append(str(d))
+                out["n_spans"].append(len(spans))
+                out["n_text"].append(n_text)
+                out["n_figures"].append(len(spans) - n_text)
+                out["n_chars_main"].append(
+                    sum(len(s[1]) for s in spans if s[0] == "text")
+                )
+                out["n_dropped_structural"].append(n_struct)
+                out["n_dropped_linkdense"].append(n_dense)
+            yield pd.DataFrame(out)
+
+    return html_df.mapInPandas(run, schema=_REPORT_SCHEMA)

@@ -23,6 +23,7 @@ from .. import contract as C
 from ..core import boilerplate as bp
 from ..operators import dedup as D
 from ..operators import fulltext as FT
+from ..operators import htmlextract as HX
 from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import pq as PQ
@@ -47,6 +48,12 @@ def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.corpus import spans_table_from_documents
 
     return spans_table_from_documents(spark, sf_dir)
+
+
+def _html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.htmlcorpus import html_table_from_documents
+
+    return html_table_from_documents(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -445,6 +452,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_stats": lambda s, d: _chunk_stats(s, d),
     "chunks_of_document": lambda s, d: _chunks_of_document(s, d),
     "doc_meta_full": _doc_meta_full,
+    # --- HTML main-content extraction (north rule: "HTML boilerplate strip
+    #     ... DOM heuristics"; oracle-paired via the word-index-arithmetic
+    #     HTML derivation — contract HTML_* constants) ---
+    "html_extract": lambda s, d: HX.html_extract(_html_corpus(s, d)),
+    "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
 }
 
 
@@ -1703,3 +1715,93 @@ FROM nz""",
 # the star-rounds connected components must land on the SAME partition as
 # min-label propagation — one oracle, two algorithms under the gate
 ORACLE_SQL["dedup_clusters_star"] = ORACLE_SQL["dedup_clusters"]
+
+
+# --------------------------------------------------------------------------
+# HTML main-content extraction oracles — the EXPECTED span sequence is
+# re-derived from documents.text by the same integer arithmetic the fixture
+# generator uses (sources/htmlcorpus.html_from_text), so the extractor's
+# whole parse->strip->normalize path is value-checked, not trusted. The
+# keep decision for content paragraphs replays the link-density rule in its
+# integer form (contract.HTML_LD_NUM/DEN) — paragraphs whose inline link
+# head dominates the text are dropped by BOTH sides.
+# --------------------------------------------------------------------------
+
+_WPP = C.HTML_WORDS_PER_PARA
+_HTML_KEEP = (
+    f"{C.HTML_LD_NUM} * link_chars <= {C.HTML_LD_DEN} * length(ptext)"
+)
+_HTML_META = f"""
+  hw AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '{C.WS_SPLIT_RE}'),
+                       x -> x <> '') AS w
+    FROM documents),
+  hc AS (
+    SELECT doc_id, w, cast(len(w) as bigint) AS n_words,
+           cast(ceil(len(w) / {_WPP}.0) as bigint) AS n_paras
+    FROM hw),
+  hp AS (
+    SELECT doc_id, w, n_words, n_paras,
+           unnest(generate_series(0, n_paras - 1)) AS i
+    FROM hc WHERE n_words > 0),
+  ht AS (
+    SELECT doc_id, n_paras, i,
+           array_to_string(w[(i*{_WPP}+1):least((i+1)*{_WPP}, n_words)], ' ')
+             || CASE WHEN i % {C.HTML_AMP_EVERY} = {C.HTML_AMP_PHASE}
+                     THEN ' & more' ELSE '' END AS ptext,
+           CASE WHEN i % {C.HTML_LINK_EVERY} = {C.HTML_LINK_PHASE}
+                 AND least((i+1)*{_WPP}, n_words) - i*{_WPP} > {C.HTML_LINK_WORDS}
+                THEN length(array_to_string(
+                       w[(i*{_WPP}+1):(i*{_WPP}+{C.HTML_LINK_WORDS})], ' '))
+                ELSE 0 END AS link_chars,
+           CASE WHEN i % {C.HTML_IMG_EVERY} = {C.HTML_IMG_PHASE} THEN 1 ELSE 0 END
+             AS has_fig,
+           CASE WHEN i >= {C.HTML_IMG_PHASE}
+                THEN (i - {C.HTML_IMG_PHASE}) // {C.HTML_IMG_EVERY} + 1
+                ELSE 0 END AS fig_no
+    FROM hp)
+"""
+
+ORACLE_SQL["html_extract"] = f"""
+WITH {_HTML_META},
+sp AS (
+  SELECT doc_id, i, 0 AS pos, 'figure' AS kind,
+         'Figure ' || cast(fig_no as varchar) AS text,
+         'img://' || cast(doc_id as varchar) || '/' || cast(fig_no as varchar)
+           AS media_ref
+  FROM ht WHERE has_fig = 1
+  UNION ALL
+  SELECT doc_id, i, 1 AS pos, 'text' AS kind, ptext AS text, '' AS media_ref
+  FROM ht WHERE {_HTML_KEEP})
+SELECT cast(doc_id as varchar) AS doc_id,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY i, pos) - 1
+            as bigint) AS span_order,
+       kind, text, media_ref
+FROM sp"""
+
+# per-doc boilerplate drop counts are template constants: the nav items +
+# the footer paragraph are structural strips; the sidebar links + cookie
+# banner + share strip die on link density (plus any link-dense content
+# paragraph)
+_HTML_N_STRUCT = len(C.HTML_NAV_ITEMS) + 1
+_HTML_N_DENSE_FIXED = C.HTML_SIDEBAR_LINKS + 2
+
+ORACLE_SQL["html_extract_report"] = f"""
+WITH {_HTML_META},
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN {_HTML_KEEP} THEN 1 ELSE 0 END) AS kept,
+         sum(CASE WHEN {_HTML_KEEP} THEN length(ptext) ELSE 0 END) AS chars_main,
+         sum(has_fig) AS figs,
+         count(*) AS paras
+  FROM ht GROUP BY doc_id)
+SELECT cast(hc.doc_id as varchar) AS doc_id,
+       cast(coalesce(kept, 0) + coalesce(figs, 0) as bigint) AS n_spans,
+       cast(coalesce(kept, 0) as bigint) AS n_text,
+       cast(coalesce(figs, 0) as bigint) AS n_figures,
+       cast(coalesce(chars_main, 0) as bigint) AS n_chars_main,
+       cast({_HTML_N_STRUCT} as bigint) AS n_dropped_structural,
+       cast({_HTML_N_DENSE_FIXED} + coalesce(paras, 0) - coalesce(kept, 0)
+            as bigint) AS n_dropped_linkdense
+FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id"""

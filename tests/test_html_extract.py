@@ -1,0 +1,184 @@
+"""HTML main-content extraction: kernel heuristics + fixture contract.
+
+The Spark-vs-DuckDB value parity for ``html_extract`` /
+``html_extract_report`` runs in tests/test_oracle_parity.py (auto-discovered
+from the registry). Here: the DOM heuristics one by one, malformed-markup
+robustness, and the generator->extractor->arithmetic-oracle loop on the
+fixture corpus.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pdf_extraction_and_query_spark import contract as C
+from pdf_extraction_and_query_spark.core.htmlmain import (
+    extract_main_html,
+    extract_main_html_report,
+)
+from pdf_extraction_and_query_spark.sources.htmlcorpus import html_from_text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- DOM heuristics -------------------------------------------------------
+
+
+def test_structural_strip():
+    html = (
+        "<body><nav><ul><li><a href='/'>Home</a></li></ul></nav>"
+        "<p>Real content paragraph here.</p>"
+        "<footer>All rights reserved.</footer></body>"
+    )
+    assert extract_main_html(html) == [("text", "Real content paragraph here.", "")]
+
+
+def test_header_aside_stripped_and_counted():
+    html = (
+        "<header><p>Site title</p></header><aside><p>Related stuff</p></aside>"
+        "<p>Body.</p>"
+    )
+    spans, n_struct, n_dense = extract_main_html_report(html)
+    assert spans == [("text", "Body.", "")]
+    assert n_struct == 2 and n_dense == 0
+
+
+def test_link_density_drop_and_keep():
+    # pure-link block dies; prose with a short inline link survives
+    html = (
+        "<div><a href='#'>Share</a> <a href='#'>Tweet</a></div>"
+        "<p>See the <a href='/r'>full report</a> for the complete details "
+        "of the merger.</p>"
+    )
+    spans, n_struct, n_dense = extract_main_html_report(html)
+    assert spans == [
+        (
+            "text",
+            "See the full report for the complete details of the merger.",
+            "",
+        )
+    ]
+    assert n_dense == 1 and n_struct == 0
+
+
+def test_link_density_integer_boundary():
+    # drop iff LD_NUM * link > LD_DEN * total (3*link > total): total 12
+    # chars, link 4 -> 12 > 12 is false -> kept exactly at the boundary
+    kept = "<p><a href='#'>abcd</a>efghijkl</p>"
+    assert extract_main_html(kept) == [("text", "abcdefghijkl", "")]
+    dropped = "<p><a href='#'>abcde</a>fghijkl</p>"  # 15 > 12 -> dropped
+    assert extract_main_html(dropped) == []
+
+
+def test_script_style_title_never_leak():
+    html = (
+        "<head><title>T</title><style>p{color:red}</style>"
+        "<script>var x='<p>fake</p>';</script></head><body><p>Real.</p></body>"
+    )
+    assert extract_main_html(html) == [("text", "Real.", "")]
+
+
+def test_img_media_span_interleaved_and_stripped_in_boilerplate():
+    html = (
+        "<header><img src='img://logo' alt='Logo'></header>"
+        "<p>Before.</p><figure><img src='img://d/1' alt='Figure 1'></figure>"
+        "<p>After.</p>"
+    )
+    assert extract_main_html(html) == [
+        ("text", "Before.", ""),
+        ("figure", "Figure 1", "img://d/1"),
+        ("text", "After.", ""),
+    ]
+
+
+def test_entities_unescaped_and_whitespace_normalized():
+    html = "<p>  Tom &amp; Jerry \n\t &lt;3  caf&eacute; </p>"
+    assert extract_main_html(html) == [("text", "Tom & Jerry <3 café", "")]
+
+
+def test_malformed_markup_is_tolerated():
+    # unclosed p/div, stray end tags, self-closed nav
+    html = "</div><p>One<p>Two<div>Three<nav/><p>Four"
+    assert extract_main_html(html) == [
+        ("text", "One", ""),
+        ("text", "Two", ""),
+        ("text", "Three", ""),
+        ("text", "Four", ""),
+    ]
+
+
+def test_unclosed_strip_tag_drops_tail_conservatively():
+    html = "<p>Kept.</p><nav><p>Menu</p><p>Tail never closed</p>"
+    assert extract_main_html(html) == [("text", "Kept.", "")]
+
+
+def test_empty_inputs():
+    assert extract_main_html("") == []
+    assert extract_main_html(None) == []  # type: ignore[arg-type]
+    assert extract_main_html("<nav><a href='/'>Home</a></nav>") == []
+
+
+# --- fixture generator contract ------------------------------------------
+
+
+def test_generator_is_deterministic_and_escapes():
+    h1 = html_from_text("7", "alpha <beta> gamma & delta " * 5)
+    assert h1 == html_from_text("7", "alpha <beta> gamma & delta " * 5)
+    assert "&lt;beta&gt;" in h1 and "&amp; delta" in h1
+    spans = extract_main_html(h1)
+    text = " ".join(s[1] for s in spans if s[0] == "text")
+    assert "<beta>" in text and "gamma & delta" in text  # round-trip
+
+
+def test_generator_extractor_matches_arithmetic_oracle_on_fixture():
+    """Meet-in-the-middle loop on the real documents table: generate the
+    boilerplate-wrapped page, extract, and compare against the DuckDB
+    arithmetic oracle (which never sees any HTML)."""
+    from pdf_extraction_and_query_spark.plans.registry import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    docs = con.sql("SELECT doc_id, text FROM documents").fetchdf()
+
+    rows = []
+    for d, t in zip(docs.doc_id, docs.text):
+        spans = extract_main_html(html_from_text(str(d), t or ""))
+        rows.extend(
+            (str(d), j, k, tx, m) for j, (k, tx, m) in enumerate(spans)
+        )
+    py = pd.DataFrame(
+        rows, columns=["doc_id", "span_order", "kind", "text", "media_ref"]
+    )
+    ora = con.sql(ORACLE_SQL["html_extract"]).fetchdf()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    assert len(py) == len(ora) > 0
+    pd.testing.assert_frame_equal(canon(py), canon(ora), check_dtype=False)
+
+
+def test_density_rule_fires_both_ways_on_fixture():
+    """The link-density heuristic must be load-bearing on the fixture: some
+    content paragraphs dropped, some kept WITH their inline link."""
+    from pdf_extraction_and_query_spark.plans.registry import _HTML_KEEP, _HTML_META
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    total, dropped, kept_linked = con.sql(
+        f"WITH {_HTML_META} SELECT count(*),"
+        f" sum(CASE WHEN {_HTML_KEEP} THEN 0 ELSE 1 END),"
+        f" sum(CASE WHEN link_chars > 0 AND {_HTML_KEEP} THEN 1 ELSE 0 END)"
+        f" FROM ht"
+    ).fetchone()
+    assert dropped > 0, "density rule never dropped a content paragraph"
+    assert kept_linked > 0, "no linked paragraph survived the density rule"
+    assert dropped < total / 2, "density rule dropping most content"
