@@ -182,3 +182,23 @@ def test_density_rule_fires_both_ways_on_fixture():
     assert dropped > 0, "density rule never dropped a content paragraph"
     assert kept_linked > 0, "no linked paragraph survived the density rule"
     assert dropped < total / 2, "density rule dropping most content"
+
+
+def test_pathological_pages_bounded():
+    """Adversarial shapes the 10^12-doc crawl will contain: deep nesting,
+    megabyte single blocks, orphan anchors — must complete and stay
+    correct, never raise."""
+    import time
+
+    t0 = time.monotonic()
+    deep = "<div>" * 20000 + "<p>core</p>" + "</div>" * 20000
+    assert ("text", "core", "") in extract_main_html(deep)
+
+    big = "<p>" + "word " * 1_000_000 + "</p>"
+    spans = extract_main_html(big)
+    assert len(spans) == 1 and len(spans[0][1]) == 5_000_000 - 1
+
+    anchors = "<p>" + "<a href='#'>x</a>" * 5000 + " prose tail</p>"
+    # 5000 link chars vs 5011 total -> link-dense -> dropped, no crash
+    assert extract_main_html(anchors) == []
+    assert time.monotonic() - t0 < 30

@@ -79,3 +79,26 @@ def test_no_rdd_conversion_in_package():
         if ".rdd" in src:
             offenders.append(str(py.relative_to(pkg)))
     assert offenders == [], offenders
+
+
+def test_html_extract_is_single_narrow_pass(spark, tmp_path):
+    """HTML main-content extraction must stay one shuffle-free Arrow stage
+    over the source scan: any Exchange here would mean the 10^12-doc parse
+    pays a data movement it never needs."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        html_extract,
+        html_extract_report,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    _docs(spark).select(
+        "doc_id",
+        F.concat(F.lit("<p>body text for "), F.col("doc_id"), F.lit("</p>")).alias(
+            "html"
+        ),
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    for op in (html_extract, html_extract_report):
+        plan = op(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan, plan
