@@ -52,6 +52,42 @@ def html_extract(html_df: DataFrame) -> DataFrame:
     return html_df.mapInPandas(run, schema=_SPAN_SCHEMA)
 
 
+def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
+    """Adapter into the PDF-side pipeline: (doc_id, spans array) in the
+    span-corpus schema (``sources/corpus.SPANS_SCHEMA``), built in the SAME
+    Arrow pass as the parse — zero shuffle (a groupBy-collect_list over the
+    exploded rows would add a full exchange for nothing). HTML-sourced
+    documents then flow through the identical downstream plan
+    (``plans/extract.extract_spans``: boilerplate flagging, wrapped-line
+    fold, chunking, media interleave) as PDF-derived span corpora — one
+    pipeline, two source formats, per the north rule."""
+    from ..sources.corpus import SPANS_SCHEMA
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, arrs = [], []
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                spans, _, _ = extract_main_html_report(h)
+                ids.append(str(d))
+                arrs.append(
+                    [
+                        {
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": ref or None,
+                            "offset": j,
+                            "page": None,
+                            "font_size": None,
+                            "bold": None,
+                        }
+                        for j, (kind, text, ref) in enumerate(spans)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": ids, "spans": arrs})
+
+    return html_df.mapInPandas(run, schema=SPANS_SCHEMA)
+
+
 def html_extract_report(html_df: DataFrame) -> DataFrame:
     """Per-document extraction report: kept text/figure counts, main-text
     char total, and the two drop counters (structural strip vs link

@@ -56,6 +56,15 @@ def _html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_table_from_documents(spark, sf_dir)
 
 
+def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.htmlextract import html_extract_span_corpus
+    from .extract import extract_spans
+
+    return extract_spans(
+        html_extract_span_corpus(_html_corpus(spark, sf_dir)), mode="hybrid"
+    )
+
+
 # --------------------------------------------------------------------------
 # Spark side
 # --------------------------------------------------------------------------
@@ -457,6 +466,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     HTML derivation — contract HTML_* constants) ---
     "html_extract": lambda s, d: HX.html_extract(_html_corpus(s, d)),
     "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
+    # HTML source -> the SAME downstream chunking pipeline as PDF-derived
+    # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
+    # equality vs the eager kernel in tests/test_html_pipeline.py)
+    "html_chunks": _html_chunks,
 }
 
 

@@ -1,0 +1,110 @@
+"""HTML source through the FULL extraction pipeline: html parse ->
+span-corpus adapter -> staged/fused/hybrid chunking, all equal to the
+eager kernel on the adapter's output (the north rule's one-pipeline,
+two-source-formats contract)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pdf_extraction_and_query_spark.core.docpipe import ExtractConfig, extract_document
+from pdf_extraction_and_query_spark.core.htmlmain import extract_main_html
+from pdf_extraction_and_query_spark.operators.htmlextract import (
+    html_extract_span_corpus,
+)
+from pdf_extraction_and_query_spark.plans.extract import extract_spans
+from pdf_extraction_and_query_spark.sources.htmlcorpus import html_from_text
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = ExtractConfig()
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def html_docs():
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' LIMIT {N_DOCS}"
+    ).fetchall()
+    return [(str(d), html_from_text(str(d), t or "")) for d, t in rows]
+
+
+def _eager_spans(html: str):
+    return [
+        {
+            "kind": kind,
+            "text": text,
+            "media_ref": ref or None,
+            "offset": j,
+            "page": None,
+            "font_size": None,
+            "bold": None,
+        }
+        for j, (kind, text, ref) in enumerate(extract_main_html(html))
+    ]
+
+
+@pytest.fixture(scope="module")
+def oracle_out(html_docs):
+    return {
+        doc_id: [
+            (r["order"], r["kind"], r["text"], r["media_ref"])
+            for r in extract_document(_eager_spans(h), CFG)
+        ]
+        for doc_id, h in html_docs
+    }
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["order"], r["kind"], r["text"], r["media_ref"])
+        )
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_adapter_matches_kernel(spark, html_docs):
+    """The zero-shuffle span-corpus adapter reproduces the kernel's span
+    arrays exactly (schema lift included)."""
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in html_extract_span_corpus(df).collect()
+    }
+    for doc_id, h in html_docs:
+        expected = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in _eager_spans(h)
+        ]
+        assert got[doc_id] == expected, doc_id
+
+
+@pytest.mark.parametrize("mode", ["staged", "fused", "hybrid"])
+def test_html_pipeline_matches_oracle(spark, html_docs, oracle_out, mode):
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    out = _collect(extract_spans(html_extract_span_corpus(df), mode=mode))
+    assert set(out) == {d for d, v in oracle_out.items() if v}
+    for doc_id, expected in oracle_out.items():
+        got = out.get(doc_id, [])
+        assert got == expected, (
+            f"{doc_id}: got {len(got)} spans, expected {len(expected)}"
+        )
+
+
+def test_media_survives_end_to_end(spark, html_docs, oracle_out):
+    """Figures referenced in the HTML must appear interleaved in the final
+    chunk stream (media routed, never dropped)."""
+    n_media_expected = sum(
+        1 for v in oracle_out.values() for s in v if s[1] in ("figure", "table")
+    )
+    assert n_media_expected > 0
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    got = extract_spans(html_extract_span_corpus(df), mode="hybrid")
+    n_media = got.where("kind in ('figure','table')").count()
+    assert n_media == n_media_expected
