@@ -64,9 +64,14 @@ class _MainContentParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.spans: List[Span] = []
+        # (href, in_main) in document order; in_main = the enclosing text
+        # block survived BOTH heuristics (links in boilerplate or in
+        # link-dense blocks are navigation, not citations)
+        self.links: List[Tuple[str, bool]] = []
         self.n_dropped_structural = 0
         self.n_dropped_linkdense = 0
         self._buf: List[str] = []
+        self._blk_links: List[str] = []
         self._total_chars = 0
         self._link_chars = 0
         self._strip = 0
@@ -76,15 +81,21 @@ class _MainContentParser(HTMLParser):
     # -- block lifecycle ---------------------------------------------------
 
     def _flush(self) -> None:
-        if not self._buf:
+        if not self._buf and not self._blk_links:
             self._link_chars = 0
             self._total_chars = 0
             return
         total, link = self._total_chars, self._link_chars
         text = " ".join("".join(self._buf).split())
+        hrefs = self._blk_links
         self._buf = []
+        self._blk_links = []
         self._total_chars = 0
         self._link_chars = 0
+        kept = bool(text) and self._strip == 0 and not (
+            C.HTML_LD_NUM * link > C.HTML_LD_DEN * total
+        )
+        self.links.extend((h, kept) for h in hrefs)
         if not text:
             return
         if self._strip > 0:
@@ -111,6 +122,9 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "a":
             self._anchor += 1
+            href = dict(attrs).get("href")
+            if href:
+                self._blk_links.append(href)
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -156,6 +170,19 @@ def extract_main_html(html: str) -> List[Span]:
     p.close()
     p._flush()
     return p.spans
+
+
+def extract_links(html: str) -> List[Tuple[str, bool]]:
+    """All anchor hrefs in document order, each tagged ``in_main`` — True
+    iff the enclosing text block survived both keep heuristics. The
+    outbound-link view a crawl pipeline feeds into domain filtering /
+    link-graph construction: navigation chrome classifies False, citations
+    inside kept prose classify True."""
+    p = _MainContentParser()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return p.links
 
 
 def extract_main_html_report(html: str):

@@ -21,7 +21,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.htmlmain import extract_main_html_report
+from ..core.htmlmain import extract_links, extract_main_html_report
 
 _SPAN_SCHEMA = (
     "doc_id string, span_order long, kind string, text string, media_ref string"
@@ -50,6 +50,29 @@ def html_extract(html_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return html_df.mapInPandas(run, schema=_SPAN_SCHEMA)
+
+
+_LINKS_SCHEMA = "doc_id string, link_order long, href string, in_main boolean"
+
+
+def html_links(html_df: DataFrame) -> DataFrame:
+    """Outbound links per document in appearance order, classified
+    ``in_main`` (enclosing block survived both keep heuristics) — the
+    link-graph / domain-filter input of a crawl pipeline. Same zero-shuffle
+    Arrow pass shape as the extraction."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "link_order": [], "href": [], "in_main": []}
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                for j, (href, in_main) in enumerate(extract_links(h)):
+                    out["doc_id"].append(str(d))
+                    out["link_order"].append(j)
+                    out["href"].append(href)
+                    out["in_main"].append(in_main)
+            yield pd.DataFrame(out)
+
+    return html_df.mapInPandas(run, schema=_LINKS_SCHEMA)
 
 
 def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:

@@ -466,6 +466,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     HTML derivation — contract HTML_* constants) ---
     "html_extract": lambda s, d: HX.html_extract(_html_corpus(s, d)),
     "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
+    "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -1818,3 +1819,45 @@ SELECT cast(hc.doc_id as varchar) AS doc_id,
        cast({_HTML_N_DENSE_FIXED} + coalesce(paras, 0) - coalesce(kept, 0)
             as bigint) AS n_dropped_linkdense
 FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id"""
+
+# the fixture's boilerplate links are template constants in a fixed
+# document order: nav items, sidebar, cookie banner — then the content
+# links (cadence-triggered, i order), then the share strip
+_HTML_FIXED_LINKS = ", ".join(
+    [f"({k}, '/{item.lower()}')" for k, item in enumerate(C.HTML_NAV_ITEMS)]
+    + [
+        f"({len(C.HTML_NAV_ITEMS) + k}, '/t/{k}')"
+        for k in range(C.HTML_SIDEBAR_LINKS)
+    ]
+    + [
+        f"({len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS}, '#a')",
+        f"({len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS + 1}, '#d')",
+    ]
+)
+_HTML_N_FIXED_PRE = len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS + 2
+
+ORACLE_SQL["html_links"] = f"""
+WITH {_HTML_META},
+ctr AS (
+  SELECT doc_id, i,
+         cast(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+              as bigint) AS j,
+         {_HTML_KEEP} AS kept
+  FROM ht WHERE link_chars > 0),
+ncl AS (SELECT doc_id, cast(count(*) as bigint) AS c FROM ctr GROUP BY doc_id),
+alll AS (
+  SELECT hc.doc_id, v.k AS link_order, v.href, false AS in_main
+  FROM hc CROSS JOIN (VALUES {_HTML_FIXED_LINKS}) v(k, href)
+  UNION ALL
+  SELECT doc_id, {_HTML_N_FIXED_PRE} + j AS link_order,
+         '/ref/' || cast(i as varchar) AS href, kept AS in_main
+  FROM ctr
+  UNION ALL
+  SELECT hc.doc_id, {_HTML_N_FIXED_PRE} + coalesce(ncl.c, 0) + v.k AS link_order,
+         v.href, false AS in_main
+  FROM hc LEFT JOIN ncl ON hc.doc_id = ncl.doc_id
+  CROSS JOIN (VALUES (0, '#s'), (1, '#t')) v(k, href))
+SELECT cast(doc_id as varchar) AS doc_id,
+       cast(link_order as bigint) AS link_order,
+       href, in_main
+FROM alll"""

@@ -202,3 +202,33 @@ def test_pathological_pages_bounded():
     # 5000 link chars vs 5011 total -> link-dense -> dropped, no crash
     assert extract_main_html(anchors) == []
     assert time.monotonic() - t0 < 30
+
+
+def test_extract_links_classification():
+    from pdf_extraction_and_query_spark.core.htmlmain import extract_links
+
+    html = (
+        "<nav><a href='/home'>Home</a></nav>"
+        "<p>Read the <a href='/cite'>long cited source text</a> in this "
+        "long surrounding paragraph of prose.</p>"
+        "<div><a href='#s'>Share</a> <a href='#t'>Tweet</a></div>"
+        "<p><a>no href</a>anchor without target keeps no row</p>"
+    )
+    assert extract_links(html) == [
+        ("/home", False),   # structural boilerplate
+        ("/cite", True),    # citation inside kept prose
+        ("#s", False),      # link-dense block
+        ("#t", False),
+    ]
+
+
+def test_extract_links_fixture_orders_are_dense():
+    from pdf_extraction_and_query_spark.core.htmlmain import extract_links
+
+    links = extract_links(html_from_text("9", "alpha beta gamma " * 30))
+    # fixed prefix: 6 nav + 8 sidebar + 2 cookie, suffix: 2 share
+    assert [h for h, _ in links[:6]] == [
+        f"/{x.lower()}" for x in C.HTML_NAV_ITEMS
+    ]
+    assert links[-2:] == [("#s", False), ("#t", False)]
+    assert all(m is False for h, m in links[:16])
