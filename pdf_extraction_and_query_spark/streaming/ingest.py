@@ -77,3 +77,41 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_html(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig = ExtractConfig(),
+    mode: str = "hybrid",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+) -> StreamingQuery:
+    """Continuous HTML arrival: watch ``input_dir`` for (doc_id, html)
+    parquet; each micro-batch runs the DOM-heuristic main-content parse
+    (``operators/htmlextract.html_extract_span_corpus`` — zero-shuffle
+    Arrow pass) and then the IDENTICAL span pipeline + exactly-once
+    batch_id-overwrite sink as :func:`stream_extract` (the composition is
+    ``make_batch_processor`` with the adapter prepended, so the replay
+    idempotence contract carries over unchanged)."""
+    from ..operators.htmlextract import html_extract_span_corpus
+    from ..sources.htmlcorpus import HTML_SCHEMA
+
+    reader = spark.readStream.schema(HTML_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    process_spans = make_batch_processor(out_dir, cfg, mode)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_spans(html_extract_span_corpus(batch_df), batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
