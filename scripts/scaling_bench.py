@@ -65,6 +65,11 @@ if {mode!r} == "routed":
     # production table layout: corpus partitioned by is_whale at ingest,
     # both hybrid branches partition-pruned (PLANS.md #10)
     job = lambda: extract_spans_routed(spark, {corpus!r}).count()
+elif {mode!r} == "html":
+    # north-rule HTML surface: DOM-heuristic main-content parse over a
+    # (doc_id, html) page table — one shuffle-free Arrow stage
+    from pdf_extraction_and_query_spark.operators.htmlextract import html_extract
+    job = lambda: html_extract(df).count()
 else:
     job = lambda: extract_spans(df, mode={mode!r}).count()
 job()  # warm: codegen + python workers
@@ -123,6 +128,56 @@ def ensure_corpus(n_docs: int, routed: bool = False) -> str:
     return want
 
 
+def ensure_html_corpus(n_pages: int) -> str:
+    """Deterministic (doc_id, html) page table: the driver documents table
+    replicated to ~n_pages with distinct doc ids, each page generated by
+    the arithmetic fixture (sources/htmlcorpus.html_from_text)."""
+    path = os.path.join(REPO, "data", f"scaling_html_{n_pages}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_and_query_spark.sources.htmlcorpus import (
+        HTML_SCHEMA,
+        html_from_text,
+    )
+    from pdf_extraction_and_query_spark.sources.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    repl = max(1, n_pages // docs.count())
+    base = docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+    wide = base.select(
+        F.concat_ws(
+            "_", F.col("doc_id").cast("string"), F.col("rep").cast("string")
+        ).alias("doc_id"),
+        "text",
+    ).repartition(64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        html_from_text(d, t or "")
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wide.mapInPandas(gen, schema=HTML_SCHEMA).write.parquet(path)
+    spark.stop()
+    return path
+
+
 def run_level(
     corpus: str, cores: int, mode: str, runs: int,
     executors: bool = False, cores_per_exec: int = 4,
@@ -158,7 +213,10 @@ def main() -> None:
     if args.routed:
         args.mode = "routed"
 
-    corpus = ensure_corpus(args.docs, routed=args.routed)
+    if args.mode == "html":
+        corpus = ensure_html_corpus(args.docs)
+    else:
+        corpus = ensure_corpus(args.docs, routed=args.routed)
     cpe = args.cores_per_exec if args.executors else 1
     cal_lo = cpu_calibration(args.n * cpe)
     cal_hi = cpu_calibration(args.n * 4 * cpe)
