@@ -74,7 +74,11 @@ def synth_media_table(spark: SparkSession, refs_df: DataFrame) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs = list(pdf["media_ref"])
-            modality = ["image" if r.startswith("fig") else "video" for r in refs]
+            # fig:// (PDF figures) and img:// (HTML images) are images;
+            # tab:// table renders ride the video/duration branch
+            modality = [
+                "image" if r.startswith(("fig", "img")) else "video" for r in refs
+            ]
             yield pd.DataFrame(
                 {
                     "media_ref": refs,

@@ -108,3 +108,22 @@ def test_media_survives_end_to_end(spark, html_docs, oracle_out):
     got = extract_spans(html_extract_span_corpus(df), mode="hybrid")
     n_media = got.where("kind in ('figure','table')").count()
     assert n_media == n_media_expected
+
+
+def test_html_media_refs_join_multimodal_family(spark, html_docs):
+    """HTML <img> refs flow into the multimodal plumbing: media table
+    synthesized per distinct ref, decoded features classify as images."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import html_extract
+    from pdf_extraction_and_query_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    media_rows = html_extract(df).where("kind = 'figure'")
+    n_refs = media_rows.select("media_ref").distinct().count()
+    assert n_refs > 0
+    feats = extract_features(synth_media_table(spark, media_rows))
+    got = feats.collect()
+    assert len(got) == n_refs
+    assert all(r["modality"] == "image" and r["width"] > 0 for r in got)
