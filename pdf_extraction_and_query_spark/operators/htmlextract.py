@@ -3,11 +3,12 @@
 North rule (BASELINE.json): the pipeline includes "HTML boilerplate strip
 ... DOM heuristics". The kernel (``core/htmlmain.py``) is a streaming
 stdlib-parser pass — here it runs as one narrow ``mapInPandas`` stage over
-the (doc_id, html) table: Arrow-batched, zero shuffle, per-task memory
-bounded by the largest single page, embarrassingly parallel at 10^12 docs
-(partitioning comes from the source scan; the ``fan_out`` guard in the
-html corpus lift keeps small fixtures from collapsing to one python
-worker, and is a no-op on at-scale tables).
+the (doc_id, html) table: Arrow-batched, per-task memory bounded by the
+largest single page, embarrassingly parallel at 10^12 docs. The only
+possible exchange is the conditional ``_balanced`` fan-out below (a
+one-time round-robin of raw pages on under-split small corpora; a no-op
+whenever the scan itself guarantees enough partitions) — never a keyed
+shuffle.
 
 Output schemas are scalar-only (driver canonicalizer contract):
 ``html_extract``    -> (doc_id, span_order, kind, text, media_ref)
@@ -22,6 +23,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..core.htmlmain import extract_links, extract_main_html_report
+from .util import fan_out
+
+# The parse amplifies compute ~30x over input BYTES (~0.3 s/MB of python
+# parsing vs ~0.01 s/MB of scanning), so byte-sized scan splits schedule it
+# in ragged waves: the 36 MB / 64-file scaling corpus packed into 9 splits
+# and local[8] ran 8+1 tasks — 2.51x speedup for 4x cores (efficiency
+# 0.626 on a 0.98-ceiling box). Fanning to 4x cluster parallelism gives >=4
+# balanced waves; the guard is a no-op whenever the scan's own planning
+# cost already guarantees that many partitions (any at-scale table), and
+# when it fires the exchange moves each raw page exactly once.
+_WAVES = 4
+
+
+def _balanced(html_df: DataFrame) -> DataFrame:
+    sc = html_df.sparkSession.sparkContext
+    return fan_out(html_df, target=_WAVES * sc.defaultParallelism)
+
 
 _SPAN_SCHEMA = (
     "doc_id string, span_order long, kind string, text string, media_ref string"
@@ -49,7 +67,7 @@ def html_extract(html_df: DataFrame) -> DataFrame:
                     out["media_ref"].append(ref)
             yield pd.DataFrame(out)
 
-    return html_df.mapInPandas(run, schema=_SPAN_SCHEMA)
+    return _balanced(html_df).mapInPandas(run, schema=_SPAN_SCHEMA)
 
 
 _LINKS_SCHEMA = "doc_id string, link_order long, href string, in_main boolean"
@@ -58,8 +76,8 @@ _LINKS_SCHEMA = "doc_id string, link_order long, href string, in_main boolean"
 def html_links(html_df: DataFrame) -> DataFrame:
     """Outbound links per document in appearance order, classified
     ``in_main`` (enclosing block survived both keep heuristics) — the
-    link-graph / domain-filter input of a crawl pipeline. Same zero-shuffle
-    Arrow pass shape as the extraction."""
+    link-graph / domain-filter input of a crawl pipeline. Same single
+    Arrow-pass shape as the extraction."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,7 +90,7 @@ def html_links(html_df: DataFrame) -> DataFrame:
                     out["in_main"].append(in_main)
             yield pd.DataFrame(out)
 
-    return html_df.mapInPandas(run, schema=_LINKS_SCHEMA)
+    return _balanced(html_df).mapInPandas(run, schema=_LINKS_SCHEMA)
 
 
 def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
@@ -108,7 +126,7 @@ def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "spans": arrs})
 
-    return html_df.mapInPandas(run, schema=SPANS_SCHEMA)
+    return _balanced(html_df).mapInPandas(run, schema=SPANS_SCHEMA)
 
 
 def html_extract_report(html_df: DataFrame) -> DataFrame:
@@ -141,4 +159,4 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
                 out["n_dropped_linkdense"].append(n_dense)
             yield pd.DataFrame(out)
 
-    return html_df.mapInPandas(run, schema=_REPORT_SCHEMA)
+    return _balanced(html_df).mapInPandas(run, schema=_REPORT_SCHEMA)
