@@ -70,6 +70,10 @@ class _MainContentParser(HTMLParser):
         self.links: List[Tuple[str, bool]] = []
         self.n_dropped_structural = 0
         self.n_dropped_linkdense = 0
+        # head metadata a crawl pipeline keys on: first rel=canonical href
+        # (URL-level dedup key) and the robots-noindex directive
+        self.canonical: str = ""
+        self.noindex: bool = False
         self._buf: List[str] = []
         self._blk_links: List[str] = []
         self._total_chars = 0
@@ -111,6 +115,18 @@ class _MainContentParser(HTMLParser):
     def handle_starttag(self, tag, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
+            return
+        if tag == "link":
+            d = dict(attrs)
+            if (d.get("rel") or "").lower() == "canonical" and not self.canonical:
+                self.canonical = d.get("href") or ""
+            return
+        if tag == "meta":
+            d = dict(attrs)
+            if (d.get("name") or "").lower() == "robots" and "noindex" in (
+                d.get("content") or ""
+            ).lower():
+                self.noindex = True
             return
         if tag == "img":
             self._flush()
@@ -162,14 +178,20 @@ class _MainContentParser(HTMLParser):
             self._link_chars += len(data)
 
 
-def extract_main_html(html: str) -> List[Span]:
-    """Parse one HTML document and return its main-content span sequence
-    in DOM order: ``[(kind, text, media_ref), ...]``."""
+def parse_page(html: str) -> _MainContentParser:
+    """Run the full parse and return the parser state: ``spans``,
+    ``links``, drop counters, ``canonical``, ``noindex``."""
     p = _MainContentParser()
     p.feed(html or "")
     p.close()
     p._flush()
-    return p.spans
+    return p
+
+
+def extract_main_html(html: str) -> List[Span]:
+    """Parse one HTML document and return its main-content span sequence
+    in DOM order: ``[(kind, text, media_ref), ...]``."""
+    return parse_page(html).spans
 
 
 def extract_links(html: str) -> List[Tuple[str, bool]]:
@@ -178,18 +200,11 @@ def extract_links(html: str) -> List[Tuple[str, bool]]:
     outbound-link view a crawl pipeline feeds into domain filtering /
     link-graph construction: navigation chrome classifies False, citations
     inside kept prose classify True."""
-    p = _MainContentParser()
-    p.feed(html or "")
-    p.close()
-    p._flush()
-    return p.links
+    return parse_page(html).links
 
 
 def extract_main_html_report(html: str):
     """Like :func:`extract_main_html` but also returns the drop counters:
     ``(spans, n_dropped_structural, n_dropped_linkdense)``."""
-    p = _MainContentParser()
-    p.feed(html or "")
-    p.close()
-    p._flush()
+    p = parse_page(html)
     return p.spans, p.n_dropped_structural, p.n_dropped_linkdense

@@ -46,7 +46,8 @@ _SPAN_SCHEMA = (
 )
 _REPORT_SCHEMA = (
     "doc_id string, n_spans long, n_text long, n_figures long, "
-    "n_chars_main long, n_dropped_structural long, n_dropped_linkdense long"
+    "n_chars_main long, n_dropped_structural long, n_dropped_linkdense long, "
+    "canonical string, noindex boolean"
 )
 
 
@@ -131,8 +132,10 @@ def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
 
 def html_extract_report(html_df: DataFrame) -> DataFrame:
     """Per-document extraction report: kept text/figure counts, main-text
-    char total, and the two drop counters (structural strip vs link
-    density). One row per input document, including empty ones."""
+    char total, the two drop counters (structural strip vs link density),
+    and the head metadata a crawl pipeline keys on (canonical URL,
+    robots-noindex). One row per input document, including empty ones."""
+    from ..core.htmlmain import parse_page
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,19 +147,23 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
                 "n_chars_main": [],
                 "n_dropped_structural": [],
                 "n_dropped_linkdense": [],
+                "canonical": [],
+                "noindex": [],
             }
             for d, h in zip(pdf["doc_id"], pdf["html"]):
-                spans, n_struct, n_dense = extract_main_html_report(h)
-                n_text = sum(1 for s in spans if s[0] == "text")
+                p = parse_page(h)
+                n_text = sum(1 for s in p.spans if s[0] == "text")
                 out["doc_id"].append(str(d))
-                out["n_spans"].append(len(spans))
+                out["n_spans"].append(len(p.spans))
                 out["n_text"].append(n_text)
-                out["n_figures"].append(len(spans) - n_text)
+                out["n_figures"].append(len(p.spans) - n_text)
                 out["n_chars_main"].append(
-                    sum(len(s[1]) for s in spans if s[0] == "text")
+                    sum(len(s[1]) for s in p.spans if s[0] == "text")
                 )
-                out["n_dropped_structural"].append(n_struct)
-                out["n_dropped_linkdense"].append(n_dense)
+                out["n_dropped_structural"].append(p.n_dropped_structural)
+                out["n_dropped_linkdense"].append(p.n_dropped_linkdense)
+                out["canonical"].append(p.canonical)
+                out["noindex"].append(p.noindex)
             yield pd.DataFrame(out)
 
     return _balanced(html_df).mapInPandas(run, schema=_REPORT_SCHEMA)

@@ -1817,7 +1817,9 @@ SELECT cast(hc.doc_id as varchar) AS doc_id,
        cast(coalesce(chars_main, 0) as bigint) AS n_chars_main,
        cast({_HTML_N_STRUCT} as bigint) AS n_dropped_structural,
        cast({_HTML_N_DENSE_FIXED} + coalesce(paras, 0) - coalesce(kept, 0)
-            as bigint) AS n_dropped_linkdense
+            as bigint) AS n_dropped_linkdense,
+       '{C.HTML_CANONICAL_PREFIX}' || cast(hc.doc_id as varchar) AS canonical,
+       (hc.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE}) AS noindex
 FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id"""
 
 # the fixture's boilerplate links are template constants in a fixed

@@ -47,6 +47,14 @@ def html_from_text(doc_id: str, text: str) -> str:
     parts: List[str] = []
     parts.append("<!DOCTYPE html><html><head>")
     parts.append(f"<title>Document {doc_id}</title>")
+    parts.append(
+        f'<link rel="canonical" href="{C.HTML_CANONICAL_PREFIX}{doc_id}">'
+    )
+    if (
+        doc_id.isdigit()
+        and int(doc_id) % C.HTML_NOINDEX_EVERY == C.HTML_NOINDEX_PHASE
+    ):
+        parts.append('<meta name="robots" content="noindex,nofollow">')
     parts.append("<style>body{font:12px serif}.x{color:red}</style>")
     parts.append("<script>var tracking='never a span';</script>")
     parts.append("</head><body>")

@@ -232,3 +232,25 @@ def test_extract_links_fixture_orders_are_dense():
     ]
     assert links[-2:] == [("#s", False), ("#t", False)]
     assert all(m is False for h, m in links[:16])
+
+
+def test_head_metadata_canonical_and_noindex():
+    from pdf_extraction_and_query_spark.core.htmlmain import parse_page
+
+    p = parse_page(
+        '<head><link rel="canonical" href="https://x/y"><link rel="canonical" '
+        'href="https://second/ignored"><meta name="robots" '
+        'content="NOINDEX, nofollow"></head><body><p>Body.</p></body>'
+    )
+    assert p.canonical == "https://x/y"  # first wins
+    assert p.noindex is True
+    q = parse_page("<meta name='robots' content='index,follow'><p>A.</p>")
+    assert q.canonical == "" and q.noindex is False
+
+
+def test_generator_metadata_cadence():
+    h3 = html_from_text("3", "some words here")
+    h4 = html_from_text("4", "some words here")
+    assert 'content="noindex,nofollow"' in h3  # 3 % 7 == NOINDEX_PHASE
+    assert "noindex" not in h4
+    assert f'href="{C.HTML_CANONICAL_PREFIX}3"' in h3
