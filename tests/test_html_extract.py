@@ -254,3 +254,56 @@ def test_generator_metadata_cadence():
     assert 'content="noindex,nofollow"' in h3  # 3 % 7 == NOINDEX_PHASE
     assert "noindex" not in h4
     assert f'href="{C.HTML_CANONICAL_PREFIX}3"' in h3
+
+
+# --- property-based: third independent mirror of the arithmetic ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    # words: non-empty, no python-whitespace chars (str.split round-trip),
+    # markup-hostile charset (escaping, entities, unicode)
+    _word = st.text(
+        alphabet="abcdefgz01<>&'\"éñ日.:;!?-_/",
+        min_size=1,
+        max_size=12,
+    )
+
+    def _expected(doc_id, words):
+        """Pure-arithmetic expectation (independent of generator AND
+        DuckDB oracle): the span sequence html_extract must produce."""
+        wpp = C.HTML_WORDS_PER_PARA
+        n_paras = (len(words) + wpp - 1) // wpp
+        out, fig = [], 0
+        for i in range(n_paras):
+            if i % C.HTML_IMG_EVERY == C.HTML_IMG_PHASE:
+                fig += 1
+                out.append(
+                    ("figure", f"Figure {fig}", f"img://{doc_id}/{fig}")
+                )
+            pw = words[i * wpp : (i + 1) * wpp]
+            ptext = " ".join(pw)
+            if i % C.HTML_AMP_EVERY == C.HTML_AMP_PHASE:
+                ptext += " & more"
+            link = (
+                len(" ".join(pw[: C.HTML_LINK_WORDS]))
+                if i % C.HTML_LINK_EVERY == C.HTML_LINK_PHASE
+                and len(pw) > C.HTML_LINK_WORDS
+                else 0
+            )
+            if C.HTML_LD_NUM * link <= C.HTML_LD_DEN * len(ptext):
+                out.append(("text", ptext, ""))
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(words=st.lists(_word, max_size=80), doc_seed=st.integers(0, 10**6))
+    def test_property_generator_extractor_roundtrip(words, doc_seed):
+        doc_id = str(doc_seed)
+        spans = extract_main_html(html_from_text(doc_id, " ".join(words)))
+        assert spans == _expected(doc_id, words)
