@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,6 +97,7 @@ def run_checkpointed(
     max_waves: Optional[int] = None,
     cfg: ExtractConfig = ExtractConfig(),
     mode: str = "staged",
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> RunReport:
     """Extract ``spans_df`` to ``out_dir`` (parquet partitioned by bucket),
     resuming past completed buckets recorded in ``ledger_dir``.
@@ -104,7 +105,15 @@ def run_checkpointed(
     ``max_waves`` caps the number of waves this invocation runs (used by the
     kill/resume test to simulate a mid-job crash — a real crash between the
     data write and the ledger append is equivalent to stopping one step
-    earlier, because the bucket overwrite is idempotent)."""
+    earlier, because the bucket overwrite is idempotent).
+
+    ``transform`` overrides the per-wave extraction (default:
+    ``extract_spans(df, cfg, mode)``); it receives the wave's input rows
+    (bucket filter ALREADY applied — crucial when the input is a raw
+    source like (doc_id, html) whose per-doc derivation is expensive: the
+    wave pays parse cost only for its own buckets) and must return rows
+    carrying ``doc_id`` and ``kind``. Used by :func:`run_checkpointed_html`.
+    The input frame only needs a ``doc_id`` column."""
     from .extract import extract_spans
 
     run_id = uuid.uuid4().hex[:12]
@@ -127,7 +136,8 @@ def run_checkpointed(
     for wave in waves:
         t0 = time.monotonic()
         wave_in = bucketed.where(F.col("bucket").isin(wave))
-        out = extract_spans(wave_in.drop("bucket"), cfg, mode=mode).withColumn(
+        fn = transform or (lambda df: extract_spans(df, cfg, mode=mode))
+        out = fn(wave_in.drop("bucket")).withColumn(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
         # 1) idempotent data write. Dynamic overwrite only replaces buckets
@@ -168,3 +178,35 @@ def run_checkpointed(
         report.waves_run += 1
 
     return report
+
+
+def run_checkpointed_html(
+    spark: SparkSession,
+    html_df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    job_id: str,
+    cfg: ExtractConfig = ExtractConfig(),
+    mode: str = "hybrid",
+    **kwargs,
+) -> RunReport:
+    """North-rule resumability for the HTML surface: checkpointed waves
+    over a (doc_id, html) table. The bucket filter applies to the RAW page
+    rows, so a resumed run re-parses only its remaining buckets — the
+    parse (the expensive per-doc derivation) is never repeated for
+    completed work."""
+    from ..operators.htmlextract import html_extract_span_corpus
+    from .extract import extract_spans
+
+    return run_checkpointed(
+        spark,
+        html_df,
+        out_dir,
+        ledger_dir,
+        job_id,
+        cfg=cfg,
+        transform=lambda df: extract_spans(
+            html_extract_span_corpus(df), cfg, mode=mode
+        ),
+        **kwargs,
+    )

@@ -127,3 +127,52 @@ def test_html_media_refs_join_multimodal_family(spark, html_docs):
     got = feats.collect()
     assert len(got) == n_refs
     assert all(r["modality"] == "image" and r["width"] > 0 for r in got)
+
+
+def test_html_checkpoint_kill_resume(spark, html_docs, tmp_path_factory):
+    """North-rule resumability on the HTML surface: run 1 killed after one
+    wave, run 2 resumes past the completed buckets, final output equals
+    the straight-through pipeline; ledger carries per-bucket lineage."""
+    from pdf_extraction_and_query_spark.plans.checkpoint import (
+        completed_buckets,
+        read_ledger,
+        run_checkpointed_html,
+    )
+
+    def _spanset(frame):
+        return {
+            (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+            for r in frame.select(
+                "doc_id", "order", "kind", "text", "media_ref"
+            ).collect()
+        }
+
+    base = tmp_path_factory.mktemp("hckpt")
+    out_dir, ledger_dir = str(base / "out"), str(base / "ledger")
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+
+    r1 = run_checkpointed_html(
+        spark, df, out_dir, ledger_dir, "html-job",
+        n_buckets=6, buckets_per_wave=2, max_waves=1, cfg=CFG,
+    )
+    assert r1.waves_run == 1 and len(r1.processed_buckets) == 2
+    assert completed_buckets(spark, ledger_dir, "html-job") == sorted(
+        r1.processed_buckets
+    )
+
+    r2 = run_checkpointed_html(
+        spark, df, out_dir, ledger_dir, "html-job",
+        n_buckets=6, buckets_per_wave=2, cfg=CFG,
+    )
+    assert sorted(r2.skipped_buckets) == sorted(r1.processed_buckets)
+    assert sorted(r1.processed_buckets + r2.processed_buckets) == list(range(6))
+
+    expected = _spanset(
+        extract_spans(html_extract_span_corpus(df), CFG, mode="hybrid")
+    )
+    got = _spanset(spark.read.parquet(out_dir).drop("bucket"))
+    assert got == expected and got
+
+    led = read_ledger(spark, ledger_dir)
+    totals = led.groupBy().sum("n_out_spans").collect()[0][0]
+    assert totals == len(expected)
