@@ -170,10 +170,12 @@ HTML_LD_DEN = 1
 # the report oracle reconstructs drop counts from these
 HTML_NAV_ITEMS = ("Home", "Products", "Pricing", "Docs", "Blog", "Contact")
 HTML_SIDEBAR_LINKS = 8
-# head metadata: every page carries a canonical link (PREFIX + doc_id);
-# numeric doc_ids on the cadence below additionally carry a robots-noindex
-# meta directive
+# head metadata: every page carries a canonical link (PREFIX + doc_id %
+# CANONICAL_MOD for numeric ids — the modulus makes mirror pages SHARE a
+# canonical, so URL-level dedup is non-vacuous); numeric doc_ids on the
+# cadence below additionally carry a robots-noindex meta directive
 HTML_CANONICAL_PREFIX = "https://corp.example/doc/"
+HTML_CANONICAL_MOD = 97
 HTML_NOINDEX_EVERY = 7
 HTML_NOINDEX_PHASE = 3
 

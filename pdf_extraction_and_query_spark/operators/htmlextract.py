@@ -21,6 +21,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core.htmlmain import extract_links, extract_main_html_report
 from .util import fan_out
@@ -92,6 +93,25 @@ def html_links(html_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return _balanced(html_df).mapInPandas(run, schema=_LINKS_SCHEMA)
+
+
+def html_canonical_dups(html_df: DataFrame) -> DataFrame:
+    """URL-level dedup: pages sharing a ``rel=canonical`` target are
+    mirrors of one logical document — a crawl pipeline keeps one per
+    group before any content-level dedup runs. Group key comes from the
+    parse (head metadata), keeper = lexicographic min doc_id
+    (deterministic, resumable). Plan: the parse pass, then ONE hash
+    aggregation on canonical (map-side partial combine; the exchange
+    carries (canonical, count, min) triples, never pages)."""
+    return (
+        html_extract_report(html_df)
+        .groupBy("canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_pages") > 1)
+    )
 
 
 def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:

@@ -467,6 +467,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": lambda s, d: HX.html_extract(_html_corpus(s, d)),
     "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
     "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
+    "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -1818,7 +1819,8 @@ SELECT cast(hc.doc_id as varchar) AS doc_id,
        cast({_HTML_N_STRUCT} as bigint) AS n_dropped_structural,
        cast({_HTML_N_DENSE_FIXED} + coalesce(paras, 0) - coalesce(kept, 0)
             as bigint) AS n_dropped_linkdense,
-       '{C.HTML_CANONICAL_PREFIX}' || cast(hc.doc_id as varchar) AS canonical,
+       '{C.HTML_CANONICAL_PREFIX}' || cast(hc.doc_id % {C.HTML_CANONICAL_MOD}
+           as varchar) AS canonical,
        (hc.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE}) AS noindex
 FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id"""
 
@@ -1863,3 +1865,13 @@ SELECT cast(doc_id as varchar) AS doc_id,
        cast(link_order as bigint) AS link_order,
        href, in_main
 FROM alll"""
+
+ORACLE_SQL["html_canonical_dups"] = f"""
+WITH canon AS (
+  SELECT cast(doc_id as varchar) AS doc_id,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical
+  FROM documents)
+SELECT canonical, cast(count(*) as bigint) AS n_pages,
+       min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY canonical HAVING count(*) > 1"""

@@ -47,9 +47,10 @@ def html_from_text(doc_id: str, text: str) -> str:
     parts: List[str] = []
     parts.append("<!DOCTYPE html><html><head>")
     parts.append(f"<title>Document {doc_id}</title>")
-    parts.append(
-        f'<link rel="canonical" href="{C.HTML_CANONICAL_PREFIX}{doc_id}">'
+    cid = (
+        str(int(doc_id) % C.HTML_CANONICAL_MOD) if doc_id.isdigit() else doc_id
     )
+    parts.append(f'<link rel="canonical" href="{C.HTML_CANONICAL_PREFIX}{cid}">')
     if (
         doc_id.isdigit()
         and int(doc_id) % C.HTML_NOINDEX_EVERY == C.HTML_NOINDEX_PHASE
