@@ -76,6 +76,10 @@ class _MainContentParser(HTMLParser):
         self.noindex: bool = False
         self._buf: List[str] = []
         self._blk_links: List[str] = []
+        # media seen since the last flush, committed by the NEXT flush's
+        # keep decision: an <img> between link-dense runs (sidebar thumbs,
+        # share icons) is boilerplate chrome, not a content figure
+        self._pending_media: List[Span] = []
         self._total_chars = 0
         self._link_chars = 0
         self._strip = 0
@@ -85,27 +89,34 @@ class _MainContentParser(HTMLParser):
     # -- block lifecycle ---------------------------------------------------
 
     def _flush(self) -> None:
-        if not self._buf and not self._blk_links:
+        if not self._buf and not self._blk_links and not self._pending_media:
             self._link_chars = 0
             self._total_chars = 0
             return
         total, link = self._total_chars, self._link_chars
         text = " ".join("".join(self._buf).split())
         hrefs = self._blk_links
+        media = self._pending_media
         self._buf = []
         self._blk_links = []
+        self._pending_media = []
         self._total_chars = 0
         self._link_chars = 0
-        kept = bool(text) and self._strip == 0 and not (
-            C.HTML_LD_NUM * link > C.HTML_LD_DEN * total
-        )
+        dense = C.HTML_LD_NUM * link > C.HTML_LD_DEN * total
+        kept = bool(text) and self._strip == 0 and not dense
         self.links.extend((h, kept) for h in hrefs)
+        # media commit rule: a figure between text runs follows the flushed
+        # block's verdict; a standalone figure (no adjacent text) is content
+        # by default (structural/skip regions were already filtered at the
+        # <img> itself, where that state is known)
+        if not text or kept:
+            self.spans.extend(media)
         if not text:
             return
         if self._strip > 0:
             self.n_dropped_structural += 1
             return
-        if C.HTML_LD_NUM * link > C.HTML_LD_DEN * total:
+        if dense:
             self.n_dropped_linkdense += 1
             return
         self.spans.append(("text", text, ""))
@@ -132,7 +143,7 @@ class _MainContentParser(HTMLParser):
             self._flush()
             if self._strip == 0 and self._skip == 0:
                 d = dict(attrs)
-                self.spans.append(
+                self._pending_media.append(
                     ("figure", d.get("alt") or "", d.get("src") or "")
                 )
             return

@@ -17,6 +17,7 @@ Output schemas are scalar-only (driver canonicalizer contract):
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -36,10 +37,27 @@ from .util import fan_out
 # when it fires the exchange moves each raw page exactly once.
 _WAVES = 4
 
+_REPARTITION_RE = re.compile(r"Repartition (\d+), true")
 
-def _balanced(html_df: DataFrame) -> DataFrame:
-    sc = html_df.sparkSession.sparkContext
-    return fan_out(html_df, target=_WAVES * sc.defaultParallelism)
+
+def balance_for_parse(df: DataFrame) -> DataFrame:
+    """Conditional 4x-parallelism fan-out for python-amplified stages.
+
+    Skips when the plan ALREADY carries a shuffle repartition of at least
+    the target (e.g. the html corpus lift balances its RAW text input
+    before generation) — otherwise the derived frame would be round-robin
+    shuffled a second time, moving the generated pages for nothing
+    (review finding). Plan inspection is plan-time string matching on the
+    logical plan: no job runs."""
+    sc = df.sparkSession.sparkContext
+    target = _WAVES * sc.defaultParallelism
+    plan = df._jdf.queryExecution().logical().toString()
+    if any(int(n) >= target for n in _REPARTITION_RE.findall(plan)):
+        return df
+    return fan_out(df, target=target)
+
+
+_balanced = balance_for_parse
 
 
 _SPAN_SCHEMA = (
@@ -105,6 +123,9 @@ def html_canonical_dups(html_df: DataFrame) -> DataFrame:
     carries (canonical, count, min) triples, never pages)."""
     return (
         html_extract_report(html_df)
+        # pages WITHOUT a rel=canonical share canonical='' but are NOT
+        # mirrors of each other — never group them (review finding)
+        .where(F.col("canonical") != "")
         .groupBy("canonical")
         .agg(
             F.count("*").cast("long").alias("n_pages"),

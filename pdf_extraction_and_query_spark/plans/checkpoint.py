@@ -187,14 +187,16 @@ def run_checkpointed_html(
     ledger_dir: str,
     job_id: str,
     cfg: ExtractConfig = ExtractConfig(),
-    mode: str = "hybrid",
+    mode: str = "fused",
     **kwargs,
 ) -> RunReport:
     """North-rule resumability for the HTML surface: checkpointed waves
     over a (doc_id, html) table. The bucket filter applies to the RAW page
     rows, so a resumed run re-parses only its remaining buckets — the
     parse (the expensive per-doc derivation) is never repeated for
-    completed work."""
+    completed work. Default mode is fused: hybrid's whale probe would run
+    the wave's whole parse once extra per wave just to plan (HTML spans
+    are paragraph-granular, so whales cannot occur at sane page sizes)."""
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
 

@@ -60,8 +60,14 @@ def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
 
+    # fused, not hybrid: the hybrid whale probe (max span count) would
+    # EXECUTE the whole DOM parse once just to plan, then parse again for
+    # real — and HTML pages are paragraph-granular (a 200k-span whale is a
+    # >=100 MB page), so the fused single-reference single-parse plan is
+    # the right shape (review finding; equality across all three modes is
+    # pinned in tests/test_html_pipeline.py)
     return extract_spans(
-        html_extract_span_corpus(_html_corpus(spark, sf_dir)), mode="hybrid"
+        html_extract_span_corpus(_html_corpus(spark, sf_dir)), mode="fused"
     )
 
 

@@ -44,11 +44,17 @@ def html_from_text(doc_id: str, text: str) -> str:
     wpp = C.HTML_WORDS_PER_PARA
     n_paras = (len(words) + wpp - 1) // wpp
 
+    # interpolated ids are escaped (quote=True: they land in attribute
+    # values too); parser-side entity decoding round-trips them, so the
+    # arithmetic oracles keep seeing the raw id
+    did = _html.escape(doc_id, quote=True)
     parts: List[str] = []
     parts.append("<!DOCTYPE html><html><head>")
-    parts.append(f"<title>Document {doc_id}</title>")
+    parts.append(f"<title>Document {did}</title>")
     cid = (
-        str(int(doc_id) % C.HTML_CANONICAL_MOD) if doc_id.isdigit() else doc_id
+        str(int(doc_id) % C.HTML_CANONICAL_MOD)
+        if doc_id.isdigit()
+        else did
     )
     parts.append(f'<link rel="canonical" href="{C.HTML_CANONICAL_PREFIX}{cid}">')
     if (
@@ -82,7 +88,7 @@ def html_from_text(doc_id: str, text: str) -> str:
         if i % C.HTML_IMG_EVERY == C.HTML_IMG_PHASE:
             fig += 1
             parts.append(
-                f'<figure><img src="img://{doc_id}/{fig}" '
+                f'<figure><img src="img://{did}/{fig}" '
                 f'alt="Figure {fig}"></figure>'
             )
         pw = words[i * wpp : (i + 1) * wpp]
@@ -105,23 +111,16 @@ def html_from_text(doc_id: str, text: str) -> str:
     )
     # structural boilerplate: footer
     parts.append(
-        f"<footer><p>&copy; 2024 Corp. All rights reserved. {doc_id}</p></footer>"
+        f"<footer><p>&copy; 2024 Corp. All rights reserved. {did}</p></footer>"
     )
     parts.append("</body></html>")
     return "".join(parts)
 
 
-def html_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, html) derived from the driver's documents.parquet —
-    distributed derivation via mapInPandas, no driver-side loop."""
-    from .packaging import ensure_shipped
-
-    ensure_shipped(spark)
-    from ..operators.util import fan_out
-
-    docs = fan_out(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+def html_table_from_texts(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, html) from any (doc_id, text) frame — one Arrow pass, no
+    shuffle of its own (callers balance the INPUT; the generation is
+    python compute amplified over bytes just like the parse)."""
 
     def derive(batches):
         import pandas as pd
@@ -137,4 +136,22 @@ def html_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(derive, schema=HTML_SCHEMA)
+    return docs_df.mapInPandas(derive, schema=HTML_SCHEMA)
+
+
+def html_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, html) derived from the driver's documents.parquet —
+    distributed derivation via mapInPandas, no driver-side loop. The RAW
+    text rows are balanced to the parse target BEFORE generation, so the
+    one exchange in the whole html chain moves source text (lighter than
+    the generated pages); the downstream operators' ``_balanced`` guard
+    sees the repartition in the plan and becomes a no-op."""
+    from .packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    from ..operators.htmlextract import balance_for_parse
+
+    docs = balance_for_parse(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    return html_table_from_texts(docs)

@@ -85,14 +85,16 @@ def stream_extract_html(
     out_dir: str,
     checkpoint_dir: str,
     cfg: ExtractConfig = ExtractConfig(),
-    mode: str = "hybrid",
+    mode: str = "fused",
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
 ) -> StreamingQuery:
     """Continuous HTML arrival: watch ``input_dir`` for (doc_id, html)
     parquet; each micro-batch runs the DOM-heuristic main-content parse
-    (``operators/htmlextract.html_extract_span_corpus`` — zero-shuffle
-    Arrow pass) and then the IDENTICAL span pipeline + exactly-once
+    (``operators/htmlextract.html_extract_span_corpus`` — one Arrow pass;
+    default mode fused so hybrid's whale probe never re-executes the
+    batch's parse just to plan) and then the IDENTICAL span pipeline +
+    exactly-once
     batch_id-overwrite sink as :func:`stream_extract` (the composition is
     ``make_batch_processor`` with the adapter prepended, so the replay
     idempotence contract carries over unchanged)."""

@@ -140,8 +140,7 @@ def ensure_html_corpus(n_pages: int) -> str:
     from pyspark.sql import functions as F
 
     from pdf_extraction_and_query_spark.sources.htmlcorpus import (
-        HTML_SCHEMA,
-        html_from_text,
+        html_table_from_texts,
     )
     from pdf_extraction_and_query_spark.sources.session import get_spark
 
@@ -159,21 +158,7 @@ def ensure_html_corpus(n_pages: int) -> str:
         "text",
     ).repartition(64)
 
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "html": [
-                        html_from_text(d, t or "")
-                        for d, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    wide.mapInPandas(gen, schema=HTML_SCHEMA).write.parquet(path)
+    html_table_from_texts(wide).write.parquet(path)
     spark.stop()
     return path
 

@@ -307,3 +307,19 @@ if _HAVE_HYP:
         doc_id = str(doc_seed)
         spans = extract_main_html(html_from_text(doc_id, " ".join(words)))
         assert spans == _expected(doc_id, words)
+
+
+def test_img_in_link_dense_block_is_chrome_not_figure():
+    """Sidebar thumbnails / share icons: an <img> between link-dense runs
+    of the same block follows the block's verdict (review finding); a
+    standalone <figure> image stays content."""
+    chrome = (
+        '<div class="sidebar"><a href="#">A</a>'
+        '<img src="img://thumb" alt="t"><a href="#">B</a></div>'
+    )
+    assert extract_main_html(chrome) == []
+    kept = "<p>Prose.</p><figure><img src='img://d/1' alt='F'></figure>"
+    assert extract_main_html(kept) == [
+        ("text", "Prose.", ""),
+        ("figure", "F", "img://d/1"),
+    ]

@@ -176,3 +176,24 @@ def test_html_checkpoint_kill_resume(spark, html_docs, tmp_path_factory):
     led = read_ledger(spark, ledger_dir)
     totals = led.groupBy().sum("n_out_spans").collect()[0][0]
     assert totals == len(expected)
+
+
+def test_canonical_dups_never_groups_pages_without_canonical(spark):
+    """Pages lacking rel=canonical share canonical='' but are NOT mirrors
+    — they must never form a dedup group (review finding)."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        html_canonical_dups,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("a", "<p>alpha page</p>"),            # no canonical
+            ("b", "<p>beta page</p>"),             # no canonical
+            ("c", '<link rel="canonical" href="u"><p>c</p>'),
+            ("d", '<link rel="canonical" href="u"><p>d</p>'),
+        ],
+        schema="doc_id string, html string",
+    )
+    got = {r["canonical"]: (r["n_pages"], r["keeper_doc_id"])
+           for r in html_canonical_dups(pages).collect()}
+    assert got == {"u": (2, "c")}

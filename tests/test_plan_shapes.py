@@ -106,3 +106,21 @@ def test_html_extract_is_single_narrow_pass(spark, tmp_path):
         n_rr = plan.count("Exchange RoundRobinPartitioning")
         assert n_exchange == n_rr <= 1, plan  # fan-out only, never keyed
         assert "MapInPandas" in plan, plan
+
+
+def test_html_registry_chain_has_single_roundrobin_exchange(spark):
+    """Composed corpus-lift -> parse path: the corpus lift balances the
+    RAW text before generation, so the operators' balance guard must
+    detect the existing repartition and NOT shuffle the generated pages a
+    second time (review finding): exactly one round-robin exchange, zero
+    keyed exchanges, in the whole chain."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import html_extract
+    from pdf_extraction_and_query_spark.sources.htmlcorpus import (
+        html_table_from_documents,
+    )
+
+    df = html_extract(html_table_from_documents(spark, "/root/testdata/sf0.001"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ) == 1, plan
