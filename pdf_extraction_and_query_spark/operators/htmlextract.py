@@ -17,6 +17,7 @@ Output schemas are scalar-only (driver canonicalizer contract):
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Iterable, Iterator
 
@@ -66,8 +67,11 @@ _SPAN_SCHEMA = (
 _REPORT_SCHEMA = (
     "doc_id string, n_spans long, n_text long, n_figures long, "
     "n_chars_main long, n_dropped_structural long, n_dropped_linkdense long, "
-    "canonical string, noindex boolean"
+    "canonical string, noindex boolean, content_hash string"
 )
+
+# md5 of the empty string — the content_hash of a page with no kept text
+EMPTY_CONTENT_HASH = "d41d8cd98f00b204e9800998ecf8427e"
 
 
 def html_extract(html_df: DataFrame) -> DataFrame:
@@ -135,6 +139,26 @@ def html_canonical_dups(html_df: DataFrame) -> DataFrame:
     )
 
 
+def html_content_dups(html_df: DataFrame) -> DataFrame:
+    """Boilerplate-INDEPENDENT exact dedup: group pages by the hash of
+    their extracted main content — the reason main-content extraction
+    matters for dedup at all (the same article served under different
+    site chrome hashes identically here, while a raw-bytes hash never
+    matches). Empty-content pages are excluded: sharing 'no content' does
+    not make pages duplicates. Same single hash-agg shuffle shape as
+    :func:`html_canonical_dups`."""
+    return (
+        html_extract_report(html_df)
+        .where(F.col("content_hash") != EMPTY_CONTENT_HASH)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_pages") > 1)
+    )
+
+
 def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
     """Adapter into the PDF-side pipeline: (doc_id, spans array) in the
     span-corpus schema (``sources/corpus.SPANS_SCHEMA``), built in the SAME
@@ -190,10 +214,12 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
                 "n_dropped_linkdense": [],
                 "canonical": [],
                 "noindex": [],
+                "content_hash": [],
             }
             for d, h in zip(pdf["doc_id"], pdf["html"]):
                 p = parse_page(h)
                 n_text = sum(1 for s in p.spans if s[0] == "text")
+                main = "\n".join(s[1] for s in p.spans if s[0] == "text")
                 out["doc_id"].append(str(d))
                 out["n_spans"].append(len(p.spans))
                 out["n_text"].append(n_text)
@@ -205,6 +231,9 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
                 out["n_dropped_linkdense"].append(p.n_dropped_linkdense)
                 out["canonical"].append(p.canonical)
                 out["noindex"].append(p.noindex)
+                out["content_hash"].append(
+                    hashlib.md5(main.encode("utf-8")).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     return _balanced(html_df).mapInPandas(run, schema=_REPORT_SCHEMA)

@@ -474,6 +474,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
     "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
+    "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -1815,7 +1816,9 @@ agg AS (
          sum(CASE WHEN {_HTML_KEEP} THEN 1 ELSE 0 END) AS kept,
          sum(CASE WHEN {_HTML_KEEP} THEN length(ptext) ELSE 0 END) AS chars_main,
          sum(has_fig) AS figs,
-         count(*) AS paras
+         count(*) AS paras,
+         md5(coalesce(string_agg(ptext, chr(10) ORDER BY i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash
   FROM ht GROUP BY doc_id)
 SELECT cast(hc.doc_id as varchar) AS doc_id,
        cast(coalesce(kept, 0) + coalesce(figs, 0) as bigint) AS n_spans,
@@ -1827,7 +1830,8 @@ SELECT cast(hc.doc_id as varchar) AS doc_id,
             as bigint) AS n_dropped_linkdense,
        '{C.HTML_CANONICAL_PREFIX}' || cast(hc.doc_id % {C.HTML_CANONICAL_MOD}
            as varchar) AS canonical,
-       (hc.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE}) AS noindex
+       (hc.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE}) AS noindex,
+       coalesce(agg.content_hash, md5('')) AS content_hash
 FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id"""
 
 # the fixture's boilerplate links are template constants in a fixed
@@ -1881,3 +1885,15 @@ WITH canon AS (
 SELECT canonical, cast(count(*) as bigint) AS n_pages,
        min(doc_id) AS keeper_doc_id
 FROM canon GROUP BY canonical HAVING count(*) > 1"""
+
+ORACLE_SQL["html_content_dups"] = f"""
+WITH {_HTML_META},
+ch AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(ptext, chr(10) ORDER BY i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash
+  FROM ht GROUP BY doc_id)
+SELECT content_hash, cast(count(*) as bigint) AS n_pages,
+       min(cast(doc_id as varchar)) AS keeper_doc_id
+FROM ch WHERE content_hash <> md5('')
+GROUP BY content_hash HAVING count(*) > 1"""

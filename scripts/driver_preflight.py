@@ -48,6 +48,9 @@ ZERO_ROWS_OK = {
     "ngram_jaccard",
     "ngram_jaccard_pruned",
     "minhash_lsh_pairs",
+    # duplicate-content groups exist only where the corpus HAS duplicate
+    # texts (sf0.001 yes, sf0.01 none) — 0 groups is a true answer
+    "html_content_dups",
 }
 
 failures = []

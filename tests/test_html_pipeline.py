@@ -197,3 +197,28 @@ def test_canonical_dups_never_groups_pages_without_canonical(spark):
     got = {r["canonical"]: (r["n_pages"], r["keeper_doc_id"])
            for r in html_canonical_dups(pages).collect()}
     assert got == {"u": (2, "c")}
+
+
+def test_content_dups_are_boilerplate_independent(spark):
+    """The same article under DIFFERENT site chrome must hash identically
+    (the point of dedup-after-extraction); distinct articles must not.
+    Empty-content pages never group."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        html_content_dups,
+    )
+
+    article = "<p>The merger closed after the disclosure schedule review.</p>"
+    pages = spark.createDataFrame(
+        [
+            ("a", f"<nav><a href='/'>Home</a></nav>{article}<footer>A Corp</footer>"),
+            ("b", f"<header><p>Other site</p></header>{article}"
+                 "<div class='share'><a href='#'>Tweet</a></div>"),
+            ("c", "<p>A different article entirely.</p>"),
+            ("d", "<nav><a href='/'>Home</a></nav>"),   # no content
+            ("e", "<footer><p>chrome only</p></footer>"),  # no content
+        ],
+        schema="doc_id string, html string",
+    )
+    rows = html_content_dups(pages).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_pages"] == 2 and rows[0]["keeper_doc_id"] == "a"
