@@ -222,3 +222,36 @@ def test_content_dups_are_boilerplate_independent(spark):
     rows = html_content_dups(pages).collect()
     assert len(rows) == 1
     assert rows[0]["n_pages"] == 2 and rows[0]["keeper_doc_id"] == "a"
+
+
+def test_search_over_html_chunks_end_to_end(spark, html_docs):
+    """The reference's whole user story (ingest -> chunk -> search) over
+    the HTML source: BM25 retrieval on the chunk table produced by the
+    shared pipeline returns ranked, non-empty hits for terms that exist
+    in the extracted main content — and never matches boilerplate-only
+    terms (nav labels were stripped before indexing)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_and_query_spark.operators import fulltext as FT
+
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    chunks = extract_spans(html_extract_span_corpus(df), mode="fused").where(
+        "kind = 'text'"
+    )
+    # numeric chunk ids (the fulltext surface keys on long doc ids, like
+    # the reference's chunk table): doc_id * 1000 + chunk order
+    chunk_docs = chunks.select(
+        (F.col("doc_id").cast("long") * 1000 + F.col("order")).alias("doc_id"),
+        "text",
+    )
+    # corpus terms exist in extracted prose; 'pricing' exists ONLY in the
+    # stripped nav chrome so it must have zero hits
+    hits = FT.bm25_topk_multi(
+        chunk_docs, queries={0: ("table", "scan"), 1: ("pricing",)}
+    ).collect()
+    q0 = [r for r in hits if r["q_id"] == 0]
+    assert q0 and all(r["score_e9"] > 0 for r in q0)
+    assert [r["rank"] for r in sorted(q0, key=lambda r: r["rank"])] == list(
+        range(1, len(q0) + 1)
+    )
+    assert not [r for r in hits if r["q_id"] == 1]
