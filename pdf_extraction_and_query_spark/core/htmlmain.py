@@ -80,6 +80,13 @@ class _MainContentParser(HTMLParser):
         # keep decision: an <img> between link-dense runs (sidebar thumbs,
         # share icons) is boilerplate chrome, not a content figure
         self._pending_media: List[Span] = []
+        # density verdict of the last NON-EMPTY text run since the current
+        # block opened: media adjacent to link-dense text on EITHER side is
+        # chrome, and an empty flush alone must not launder it (a share
+        # strip's trailing icon flushes with no text of its own). Reset at
+        # every block START so a fresh container gets a clean context.
+        self._ctx_dense = False
+        self._canonical_seen = False
         self._total_chars = 0
         self._link_chars = 0
         self._strip = 0
@@ -106,11 +113,15 @@ class _MainContentParser(HTMLParser):
         kept = bool(text) and self._strip == 0 and not dense
         self.links.extend((h, kept) for h in hrefs)
         # media commit rule: a figure between text runs follows the flushed
-        # block's verdict; a standalone figure (no adjacent text) is content
-        # by default (structural/skip regions were already filtered at the
-        # <img> itself, where that state is known)
-        if not text or kept:
+        # block's verdict; with no text in THIS flush it follows the block's
+        # running context (_ctx_dense), so icons after a link-dense run are
+        # chrome while a standalone <figure> in a fresh container is content
+        # (structural/skip regions were already filtered at the <img>
+        # itself, where that state is known)
+        if kept or (not text and not self._ctx_dense):
             self.spans.extend(media)
+        if text:
+            self._ctx_dense = dense
         if not text:
             return
         if self._strip > 0:
@@ -129,7 +140,12 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "link":
             d = dict(attrs)
-            if (d.get("rel") or "").lower() == "canonical" and not self.canonical:
+            # rel is a space-separated token list per the HTML spec;
+            # first canonical tag wins even when its href is empty
+            if "canonical" in (d.get("rel") or "").lower().split() and not (
+                self._canonical_seen
+            ):
+                self._canonical_seen = True
                 self.canonical = d.get("href") or ""
             return
         if tag == "meta":
@@ -155,6 +171,7 @@ class _MainContentParser(HTMLParser):
             return
         if tag in _BLOCK_TAGS:
             self._flush()
+            self._ctx_dense = False
             if tag in _STRIP_TAGS:
                 self._strip += 1
 

@@ -18,7 +18,6 @@ Output schemas are scalar-only (driver canonicalizer contract):
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -38,24 +37,26 @@ from .util import fan_out
 # when it fires the exchange moves each raw page exactly once.
 _WAVES = 4
 
-_REPARTITION_RE = re.compile(r"Repartition (\d+), true")
+# attribute set on a DataFrame wrapper that was ALREADY balanced for the
+# parse (the corpus lift balances its raw text input before generation) —
+# an explicit marker, not plan-string sniffing: an upstream repartition in
+# the plan does not prove the CURRENT partitioning (a later keyed shuffle
+# re-partitions down), and plan toString formats are not a contract
+# (review finding). If the marker is lost through an intermediate
+# transformation the guard merely re-balances — the safe direction.
+_PRE_BALANCED_ATTR = "_spark_graft_pre_balanced"
 
 
 def balance_for_parse(df: DataFrame) -> DataFrame:
-    """Conditional 4x-parallelism fan-out for python-amplified stages.
-
-    Skips when the plan ALREADY carries a shuffle repartition of at least
-    the target (e.g. the html corpus lift balances its RAW text input
-    before generation) — otherwise the derived frame would be round-robin
-    shuffled a second time, moving the generated pages for nothing
-    (review finding). Plan inspection is plan-time string matching on the
-    logical plan: no job runs."""
-    sc = df.sparkSession.sparkContext
-    target = _WAVES * sc.defaultParallelism
-    plan = df._jdf.queryExecution().logical().toString()
-    if any(int(n) >= target for n in _REPARTITION_RE.findall(plan)):
+    """Conditional 4x-parallelism fan-out for python-amplified stages;
+    no-op when the frame is marked already-balanced or the scan itself
+    guarantees the target partition count."""
+    if getattr(df, _PRE_BALANCED_ATTR, False):
         return df
-    return fan_out(df, target=target)
+    sc = df.sparkSession.sparkContext
+    out = fan_out(df, target=_WAVES * sc.defaultParallelism)
+    setattr(out, _PRE_BALANCED_ATTR, True)
+    return out
 
 
 _balanced = balance_for_parse

@@ -74,11 +74,13 @@ def synth_media_table(spark: SparkSession, refs_df: DataFrame) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs = list(pdf["media_ref"])
-            # fig:// (PDF figures) and img:// (HTML images) are images;
-            # tab:// table renders ride the video/duration branch
-            modality = [
-                "image" if r.startswith(("fig", "img")) else "video" for r in refs
-            ]
+            # only tab:// table renders ride the video/duration branch;
+            # every other ref (fig://, img://, and real-world image URLs —
+            # https/…/x.png, data:) is an image. Defaulting the unknown
+            # case to image, not video, matches what an <img> src can be
+            # (review finding: the old fig-prefix test classified every
+            # non-fixture URL as video).
+            modality = ["video" if r.startswith("tab") else "image" for r in refs]
             yield pd.DataFrame(
                 {
                     "media_ref": refs,

@@ -149,9 +149,13 @@ def html_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .packaging import ensure_shipped
 
     ensure_shipped(spark)
-    from ..operators.htmlextract import balance_for_parse
+    from ..operators.htmlextract import _PRE_BALANCED_ATTR, balance_for_parse
 
     docs = balance_for_parse(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    return html_table_from_texts(docs)
+    out = html_table_from_texts(docs)
+    # the generation is a narrow map over the balanced input — carry the
+    # marker forward so the parse operators don't re-shuffle the pages
+    setattr(out, _PRE_BALANCED_ATTR, True)
+    return out

@@ -323,3 +323,36 @@ def test_img_in_link_dense_block_is_chrome_not_figure():
         ("text", "Prose.", ""),
         ("figure", "F", "img://d/1"),
     ]
+
+
+def test_img_after_dense_text_and_img_runs_are_chrome():
+    """Review round 2: the empty-flush path must not launder chrome media
+    — an icon AFTER the dense run, and trailing images in an img sequence,
+    follow the block's running density context."""
+    assert extract_main_html(
+        '<div class="share"><a href="#s">Share</a>'
+        '<img src="img://icon" alt="i"></div>'
+    ) == []
+    assert extract_main_html(
+        '<div><a href="#">A</a><img src="i1" alt="1">'
+        '<img src="i2" alt="2"><a href="#">B</a></div>'
+    ) == []
+    # fresh container after chrome: context resets, figure is content
+    assert extract_main_html(
+        '<div class="share"><a href="#">S</a></div>'
+        "<figure><img src='img://d/1' alt='F'></figure>"
+    ) == [("figure", "F", "img://d/1")]
+
+
+def test_canonical_rel_token_list_and_strict_first_wins():
+    from pdf_extraction_and_query_spark.core.htmlmain import parse_page
+
+    # rel is a space-separated token list per the HTML spec
+    p = parse_page('<link rel="canonical alternate" href="https://x/y"><p>A.</p>')
+    assert p.canonical == "https://x/y"
+    # first canonical wins even when its href is empty
+    q = parse_page(
+        '<link rel="canonical" href=""><link rel="canonical" href="https://b">'
+        "<p>A.</p>"
+    )
+    assert q.canonical == ""
