@@ -42,3 +42,54 @@ def dedup_stream(docs_stream: DataFrame, late_allowance: str = "1 hour") -> Data
         .withWatermark("ts", late_allowance)
         .dropDuplicatesWithinWatermark(["grp_hash"])
     )
+
+
+def dedup_html_stream(
+    pages_stream: DataFrame, late_allowance: str = "1 hour"
+) -> DataFrame:
+    """Horizon dedup of a continuous HTML crawl on the EXTRACTED main
+    content (``core/htmlmain``): the same article re-crawled under
+    different site chrome carries a different raw-byte hash but the same
+    content hash, so this drops re-crawls/mirrors a raw dedup cannot see.
+    Chrome-only pages (empty main content) are NOT duplicates of each
+    other — their key is salted per doc_id so they always pass. Same
+    bounded-state ``dropDuplicatesWithinWatermark`` contract as
+    :func:`dedup_stream`; the batch twin over the sink is
+    ``operators/htmlextract.html_content_dups``."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..core.htmlmain import parse_page
+    from ..operators.htmlextract import EMPTY_CONTENT_HASH
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for h in pdf["html"]:
+                p = parse_page(h)
+                main = "\n".join(s[1] for s in p.spans if s[0] == "text")
+                hashes.append(hashlib.md5(main.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(d) for d in pdf["doc_id"]],
+                    "ts": pdf["ts"],
+                    "content_hash": hashes,
+                }
+            )
+
+    hashed = pages_stream.mapInPandas(
+        run, "doc_id string, ts timestamp, content_hash string"
+    )
+    return (
+        hashed.withColumn(
+            "dedup_key",
+            F.when(
+                F.col("content_hash") == EMPTY_CONTENT_HASH,
+                F.concat(F.lit("empty:"), F.col("doc_id")),
+            ).otherwise(F.col("content_hash")),
+        )
+        .withWatermark("ts", late_allowance)
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+        .drop("dedup_key")
+    )
