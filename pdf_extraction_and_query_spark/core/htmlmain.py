@@ -109,6 +109,13 @@ class _MainContentParser(HTMLParser):
         self._pending_media = []
         self._total_chars = 0
         self._link_chars = 0
+        # anchor state never survives a block boundary: an UNCLOSED <a>
+        # (ubiquitous in real crawls) would otherwise count 100% link
+        # chars for the whole rest of the document and density-drop it
+        # all. The HTML5-legal <a><div>card</div></a> shape loses its
+        # link attribution — erring toward keeping content, the safe
+        # failure for extraction (review finding).
+        self._anchor = 0
         dense = C.HTML_LD_NUM * link > C.HTML_LD_DEN * total
         kept = bool(text) and self._strip == 0 and not dense
         self.links.extend((h, kept) for h in hrefs)
@@ -141,18 +148,24 @@ class _MainContentParser(HTMLParser):
         if tag == "link":
             d = dict(attrs)
             # rel is a space-separated token list per the HTML spec;
-            # first canonical tag wins even when its href is empty
-            if "canonical" in (d.get("rel") or "").lower().split() and not (
-                self._canonical_seen
+            # first canonical tag wins even when its href is empty; a tag
+            # inside a skip region (noscript/title) is not rendered head
+            # metadata (review finding)
+            if (
+                not self._skip
+                and "canonical" in (d.get("rel") or "").lower().split()
+                and not self._canonical_seen
             ):
                 self._canonical_seen = True
                 self.canonical = d.get("href") or ""
             return
         if tag == "meta":
             d = dict(attrs)
-            if (d.get("name") or "").lower() == "robots" and "noindex" in (
-                d.get("content") or ""
-            ).lower():
+            if (
+                not self._skip
+                and (d.get("name") or "").lower() == "robots"
+                and "noindex" in (d.get("content") or "").lower()
+            ):
                 self.noindex = True
             return
         if tag == "img":
@@ -164,14 +177,22 @@ class _MainContentParser(HTMLParser):
                 )
             return
         if tag == "a":
-            self._anchor += 1
+            if self._skip:
+                return
+            # depth capped at 1: HTML forbids nested anchors and browsers
+            # implicitly close the open one on a new <a> start
+            self._anchor = 1
             href = dict(attrs).get("href")
             if href:
                 self._blk_links.append(href)
             return
         if tag in _BLOCK_TAGS:
             self._flush()
-            self._ctx_dense = False
+            # <br>/<hr> are separators INSIDE a container, not fresh
+            # containers — resetting the density context there would
+            # re-open the chrome-media laundering hole (review finding)
+            if tag not in _VOID_TAGS:
+                self._ctx_dense = False
             if tag in _STRIP_TAGS:
                 self._strip += 1
 
@@ -180,7 +201,7 @@ class _MainContentParser(HTMLParser):
             self._skip = max(0, self._skip - 1)
             return
         if tag == "a":
-            self._anchor = max(0, self._anchor - 1)
+            self._anchor = 0
             return
         if tag in _BLOCK_TAGS and tag not in _VOID_TAGS:
             self._flush()
@@ -193,7 +214,7 @@ class _MainContentParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
         elif tag == "a":
-            self._anchor = max(0, self._anchor - 1)
+            self._anchor = 0
         elif tag in _STRIP_TAGS:
             self._strip = max(0, self._strip - 1)
 
@@ -236,3 +257,17 @@ def extract_main_html_report(html: str):
     ``(spans, n_dropped_structural, n_dropped_linkdense)``."""
     p = parse_page(html)
     return p.spans, p.n_dropped_structural, p.n_dropped_linkdense
+
+
+def main_content_hash(spans: List[Span]) -> str:
+    """THE content-dedup key: md5 of the kept text spans joined by
+    newline in DOM order. Single definition shared by the batch report
+    (``operators/htmlextract.html_extract_report`` /
+    ``html_content_dups``) and the streaming twin
+    (``streaming/dedup.dedup_html_stream``) so the two sides can never
+    drift; the DuckDB oracle replays the same ``md5(string_agg(ptext,
+    chr(10) ORDER BY i))`` arithmetic."""
+    import hashlib
+
+    main = "\n".join(s[1] for s in spans if s[0] == "text")
+    return hashlib.md5(main.encode("utf-8")).hexdigest()

@@ -17,7 +17,6 @@ Output schemas are scalar-only (driver canonicalizer contract):
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -201,7 +200,7 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
     char total, the two drop counters (structural strip vs link density),
     and the head metadata a crawl pipeline keys on (canonical URL,
     robots-noindex). One row per input document, including empty ones."""
-    from ..core.htmlmain import parse_page
+    from ..core.htmlmain import main_content_hash, parse_page
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,7 +219,6 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
             for d, h in zip(pdf["doc_id"], pdf["html"]):
                 p = parse_page(h)
                 n_text = sum(1 for s in p.spans if s[0] == "text")
-                main = "\n".join(s[1] for s in p.spans if s[0] == "text")
                 out["doc_id"].append(str(d))
                 out["n_spans"].append(len(p.spans))
                 out["n_text"].append(n_text)
@@ -232,9 +230,7 @@ def html_extract_report(html_df: DataFrame) -> DataFrame:
                 out["n_dropped_linkdense"].append(p.n_dropped_linkdense)
                 out["canonical"].append(p.canonical)
                 out["noindex"].append(p.noindex)
-                out["content_hash"].append(
-                    hashlib.md5(main.encode("utf-8")).hexdigest()
-                )
+                out["content_hash"].append(main_content_hash(p.spans))
             yield pd.DataFrame(out)
 
     return _balanced(html_df).mapInPandas(run, schema=_REPORT_SCHEMA)

@@ -56,20 +56,16 @@ def dedup_html_stream(
     bounded-state ``dropDuplicatesWithinWatermark`` contract as
     :func:`dedup_stream`; the batch twin over the sink is
     ``operators/htmlextract.html_content_dups``."""
-    import hashlib
-
     import pandas as pd
 
-    from ..core.htmlmain import parse_page
+    from ..core.htmlmain import main_content_hash, parse_page
     from ..operators.htmlextract import EMPTY_CONTENT_HASH
 
     def run(batches):
         for pdf in batches:
-            hashes = []
-            for h in pdf["html"]:
-                p = parse_page(h)
-                main = "\n".join(s[1] for s in p.spans if s[0] == "text")
-                hashes.append(hashlib.md5(main.encode("utf-8")).hexdigest())
+            hashes = [
+                main_content_hash(parse_page(h).spans) for h in pdf["html"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": [str(d) for d in pdf["doc_id"]],

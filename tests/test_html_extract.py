@@ -356,3 +356,62 @@ def test_canonical_rel_token_list_and_strict_first_wins():
         "<p>A.</p>"
     )
     assert q.canonical == ""
+
+
+def test_unclosed_anchor_never_poisons_following_blocks():
+    """Review round 3 (highest severity): an unclosed <a> must not count
+    100% link chars for the rest of the document — anchor state resets at
+    block boundaries, and a new <a> implicitly closes an open one."""
+    assert extract_main_html(
+        '<p><a href="/x">read more</p><p>Actual article text follows here.</p>'
+    ) == [("text", "Actual article text follows here.", "")]
+    # nested anchors: browsers auto-close; second link still recorded
+    from pdf_extraction_and_query_spark.core.htmlmain import extract_links
+
+    links = extract_links(
+        '<p><a href="/1">x<a href="/2">y</a> long surrounding prose text '
+        "continues for a while here.</p>"
+    )
+    assert [h for h, _ in links] == ["/1", "/2"]
+
+
+def test_br_between_chrome_runs_does_not_reset_density_context():
+    """Review round 3: <br>/<hr> are separators inside a container, not
+    fresh containers — a share strip's icon after a <br> stays chrome."""
+    assert extract_main_html(
+        '<div class="share"><a href="#s">Share</a><br>'
+        '<img src="img://icon" alt="i"></div>'
+    ) == []
+    assert extract_main_html(
+        '<div class="share"><a href="#s">Share</a><hr>'
+        '<img src="img://icon" alt="i"></div>'
+    ) == []
+
+
+def test_skip_regions_never_feed_links_or_head_metadata():
+    """Review round 3: noscript/title content is not rendered — anchors
+    and robots/canonical tags inside them must be invisible."""
+    from pdf_extraction_and_query_spark.core.htmlmain import (
+        extract_links,
+        parse_page,
+    )
+
+    assert extract_links("<noscript><a href='/ns'>x</a></noscript><p>A.</p>") == []
+    p = parse_page(
+        "<noscript><meta name='robots' content='noindex'>"
+        '<link rel="canonical" href="https://bad"></noscript>'
+        '<link rel="canonical" href="https://good"><p>A.</p>'
+    )
+    assert p.noindex is False and p.canonical == "https://good"
+
+
+def test_shared_content_hash_definition():
+    from pdf_extraction_and_query_spark.core.htmlmain import (
+        main_content_hash,
+        parse_page,
+    )
+    import hashlib
+
+    spans = parse_page("<p>alpha</p><figure><img src='s' alt='a'></figure><p>beta</p>").spans
+    assert main_content_hash(spans) == hashlib.md5(b"alpha\nbeta").hexdigest()
+    assert main_content_hash([]) == "d41d8cd98f00b204e9800998ecf8427e"
