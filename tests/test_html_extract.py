@@ -415,3 +415,34 @@ def test_shared_content_hash_definition():
     spans = parse_page("<p>alpha</p><figure><img src='s' alt='a'></figure><p>beta</p>").spans
     assert main_content_hash(spans) == hashlib.md5(b"alpha\nbeta").hexdigest()
     assert main_content_hash([]) == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+if _HAVE_HYP:
+    _FRAGMENTS = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<a>",
+        "<nav>", "</nav>", "<footer>", "</footer>", "<script>", "</script>",
+        "<style>", "</style>", "<noscript>", "</noscript>", "<title>",
+        "</title>", "<img src='s' alt='a'>", "<br>", "<hr>", "<li>", "</li>",
+        "<ul>", "</ul>", "<figure>", "</figure>", "<header>", "</header>",
+        "<link rel='canonical' href='u'>", "<meta name='robots' content='noindex'>",
+        "text words here", "&amp;", "&lt;", "&#x1F600;", "& broken entity",
+        "<", ">", "<!-- comment -->", "<!DOCTYPE html>", "<p", "=x>",
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from(_FRAGMENTS), max_size=40))
+    def test_fuzz_tag_soup_never_crashes(frags):
+        """A 10^12-page crawl WILL contain every malformed shape; the
+        kernel must never raise and always return well-typed state."""
+        from pdf_extraction_and_query_spark.core.htmlmain import parse_page
+
+        p = parse_page("".join(frags))
+        for kind, text, ref in p.spans:
+            assert kind in ("text", "figure")
+            assert isinstance(text, str) and isinstance(ref, str)
+            if kind == "text":
+                assert text == " ".join(text.split()) and text
+        for href, in_main in p.links:
+            assert isinstance(href, str) and isinstance(in_main, bool)
+        assert isinstance(p.canonical, str) and isinstance(p.noindex, bool)
+        assert p.n_dropped_structural >= 0 and p.n_dropped_linkdense >= 0
