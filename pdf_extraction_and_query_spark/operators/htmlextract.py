@@ -159,6 +159,70 @@ def html_content_dups(html_df: DataFrame) -> DataFrame:
     )
 
 
+def crawl_keep_latest(report_df: DataFrame) -> DataFrame:
+    """Recrawl resolution, keep-latest policy (CDX-style URL dedup): among
+    pages sharing a ``rel=canonical`` target, keep the MOST RECENT fetch —
+    the standard crawl-index rule (vs :func:`html_canonical_dups`' min-id
+    mirror listing, this picks the freshest version and reports how many
+    older fetches it supersedes). Emits one row per canonical URL,
+    including single-fetch URLs (n_superseded = 0), so the output IS the
+    deduplicated crawl index.
+
+    Input contract: ``report_df`` carries (doc_id, canonical,
+    fetched_at_ts) — canonical from the parse (head metadata), fetch time
+    a real column of the crawl (the registry query synthesizes it from
+    doc_id arithmetic, matching the ``doc_listing_full`` timestamp model).
+    Winner = max (fetched_at_ts, doc_id-string) — a total order, so the
+    pick is deterministic and resumable; the string tie-break only fires
+    on equal timestamps.
+
+    Plan: ONE hash aggregation on canonical (map-side partial combine);
+    the exchange carries (canonical, count, 2-field max-struct) triples,
+    never pages."""
+    win = F.max(
+        F.struct(
+            F.col("fetched_at_ts").cast("long").alias("ts"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    ).alias("w")
+    return (
+        report_df.where(F.col("canonical") != "")
+        .groupBy("canonical")
+        .agg(F.count("*").cast("long").alias("n_crawls"), win)
+        .select(
+            "canonical",
+            "n_crawls",
+            F.col("w.doc_id").alias("latest_doc_id"),
+            F.col("w.ts").alias("latest_fetched_at_ts"),
+            (F.col("n_crawls") - F.lit(1)).cast("long").alias("n_superseded"),
+        )
+    )
+
+
+def link_in_degree(html_df: DataFrame) -> DataFrame:
+    """Site link-graph in-degree: the outbound-link stream grouped by
+    target href — total inbound count and inbound-from-MAIN-content count
+    (the signal a crawl frontier ranks by: a link cited from article text
+    is worth more than one repeated in every page's chrome). One row per
+    distinct href.
+
+    Plan: the narrow link-extraction Arrow pass, then ONE hash aggregation
+    on href (map-side partial; the exchange carries (href, counts) pairs —
+    at 10^12 pages the reduce side is bounded by the number of DISTINCT
+    targets, and hot hrefs combine map-side so skewed targets like '/home'
+    never concentrate raw rows)."""
+    return (
+        html_links(html_df)
+        .groupBy("href")
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.sum(F.col("in_main").cast("long"))
+            .cast("long")
+            .alias("n_inlinks_main"),
+        )
+    )
+
+
 def html_extract_span_corpus(html_df: DataFrame) -> DataFrame:
     """Adapter into the PDF-side pipeline: (doc_id, spans array) in the
     span-corpus schema (``sources/corpus.SPANS_SCHEMA``), built in the SAME

@@ -56,6 +56,24 @@ def _html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_table_from_documents(spark, sf_dir)
 
 
+def _crawl_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl keep-latest over the HTML corpus: canonical comes from the
+    PARSE (head metadata — the meet-in-the-middle check, like
+    html_canonical_dups), the fetch timestamp is synthesized with the SAME
+    doc_id arithmetic as ``doc_listing_full``'s created_at_ts (testdata
+    carries no fetch time; in production it is a real crawl column)."""
+    from pyspark.sql import functions as F
+
+    rep = HX.html_extract_report(_html_corpus(spark, sf_dir))
+    did = F.col("doc_id").cast("long")
+    ts = (
+        F.lit(1704067200).cast("long")
+        + (did % 365) * 86400
+        + (did * 37) % 86400
+    )
+    return HX.crawl_keep_latest(rep.withColumn("fetched_at_ts", ts))
+
+
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
@@ -475,6 +493,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
+    "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
+    "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -1897,3 +1917,47 @@ SELECT content_hash, cast(count(*) as bigint) AS n_pages,
        min(cast(doc_id as varchar)) AS keeper_doc_id
 FROM ch WHERE content_hash <> md5('')
 GROUP BY content_hash HAVING count(*) > 1"""
+
+# recrawl keep-latest: the canonical target is doc_id % MOD arithmetic
+# (generator), the fetch timestamp the doc_listing_full created_at model;
+# the winner is the row_number-1 row under (ts DESC, doc_id-string DESC) —
+# the same total order the Spark side's max-struct computes. Ties on ts
+# break on the STRING form of doc_id in BOTH engines.
+ORACLE_SQL["crawl_keep_latest"] = f"""
+WITH canon AS (
+  SELECT cast(doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         cast(1704067200 + (doc_id % 365) * 86400
+              + (doc_id * 37) % 86400 as bigint) AS ts
+  FROM documents),
+r AS (
+  SELECT canonical, sid, ts,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn,
+         cast(count(*) OVER (PARTITION BY canonical) as bigint) AS c
+  FROM canon)
+SELECT canonical, c AS n_crawls, sid AS latest_doc_id,
+       ts AS latest_fetched_at_ts, cast(c - 1 as bigint) AS n_superseded
+FROM r WHERE rn = 1"""
+
+# link in-degree: every page contributes the fixed chrome links (nav,
+# sidebar, cookie banner, share strip) plus the cadence-triggered /ref/i
+# content links; in_main replays the keep rule exactly as html_links does
+ORACLE_SQL["link_in_degree"] = f"""
+WITH {_HTML_META},
+ctr AS (
+  SELECT doc_id, i, {_HTML_KEEP} AS kept
+  FROM ht WHERE link_chars > 0),
+alll AS (
+  SELECT v.href, false AS in_main
+  FROM hc CROSS JOIN (VALUES {_HTML_FIXED_LINKS}) v(k, href)
+  UNION ALL
+  SELECT '/ref/' || cast(i as varchar) AS href, kept AS in_main FROM ctr
+  UNION ALL
+  SELECT v.href, false AS in_main
+  FROM hc CROSS JOIN (VALUES (0, '#s'), (1, '#t')) v(k, href))
+SELECT href, cast(count(*) as bigint) AS n_inlinks,
+       cast(sum(CASE WHEN in_main THEN 1 ELSE 0 END) as bigint)
+         AS n_inlinks_main
+FROM alll GROUP BY href"""

@@ -224,6 +224,75 @@ def test_content_dups_are_boilerplate_independent(spark):
     assert rows[0]["n_pages"] == 2 and rows[0]["keeper_doc_id"] == "a"
 
 
+def test_crawl_keep_latest_policy(spark):
+    """Keep-latest recrawl resolution: the newest fetch wins; equal
+    timestamps break on the STRING form of doc_id (the documented total
+    order — same rule the DuckDB oracle replays); canonical-less pages are
+    excluded; single-fetch URLs appear with n_superseded = 0."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_keep_latest,
+    )
+
+    rep = spark.createDataFrame(
+        [
+            ("1", "u", 100),   # superseded by doc 2
+            ("2", "u", 200),   # winner: latest ts
+            ("3", "u", 150),
+            ("10", "v", 300),  # ts tie with doc 9: string '9' > '10'
+            ("9", "v", 300),
+            ("5", "w", 50),    # single fetch
+            ("6", "", 999),    # no canonical: excluded entirely
+        ],
+        schema="doc_id string, canonical string, fetched_at_ts long",
+    )
+    got = {
+        r["canonical"]: (
+            r["n_crawls"],
+            r["latest_doc_id"],
+            r["latest_fetched_at_ts"],
+            r["n_superseded"],
+        )
+        for r in crawl_keep_latest(rep).collect()
+    }
+    assert got == {
+        "u": (3, "2", 200, 2),
+        "v": (2, "9", 300, 1),
+        "w": (1, "5", 50, 0),
+    }
+
+
+def test_link_in_degree_equals_kernel_rollup(spark, html_docs):
+    """The distributed in-degree rollup must equal a driver-side
+    aggregation of the link kernel over the same pages — and chrome links
+    (nav/sidebar/share) must never count as main-content citations."""
+    from collections import defaultdict
+
+    from pdf_extraction_and_query_spark.core.htmlmain import extract_links
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        link_in_degree,
+    )
+
+    pages = html_docs[:20]
+    want_total: dict = defaultdict(int)
+    want_main: dict = defaultdict(int)
+    for _, h in pages:
+        for href, in_main in extract_links(h):
+            want_total[href] += 1
+            want_main[href] += int(in_main)
+
+    df = spark.createDataFrame(pages, schema="doc_id string, html string")
+    got = {
+        r["href"]: (r["n_inlinks"], r["n_inlinks_main"])
+        for r in link_in_degree(df).collect()
+    }
+    assert got == {h: (want_total[h], want_main[h]) for h in want_total}
+    # chrome targets exist on every page and are never main-content
+    assert got["/home"] == (len(pages), 0)
+    assert got["#s"][1] == 0 and got["#a"][1] == 0
+    # at least one cadence-triggered content link was classified in_main
+    assert any(h.startswith("/ref/") and m > 0 for h, (_, m) in got.items())
+
+
 def test_search_over_html_chunks_end_to_end(spark, html_docs):
     """The reference's whole user story (ingest -> chunk -> search) over
     the HTML source: BM25 retrieval on the chunk table produced by the

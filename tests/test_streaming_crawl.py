@@ -1,0 +1,107 @@
+"""Streaming crawl-index maintenance: the merged index must equal the
+one-shot batch operator over everything ingested (associative keep-latest
+merge), delta appends must be exactly-once under replay, and compaction
+must fold deltas without changing a row."""
+
+import os
+import time
+
+from pdf_extraction_and_query_spark import contract as C
+from pdf_extraction_and_query_spark.operators.htmlextract import (
+    crawl_keep_latest,
+)
+from pdf_extraction_and_query_spark.sources.htmlcorpus import html_from_text
+from pdf_extraction_and_query_spark.streaming.crawlindex import (
+    PAGES_TS_SCHEMA,
+    _canon_with_ts,
+    crawl_compact,
+    crawl_index_init,
+    crawl_index_merged,
+    make_crawl_batch_processor,
+    stream_crawl_maintenance,
+)
+
+_M = C.HTML_CANONICAL_MOD
+
+# doc_ids congruent mod HTML_CANONICAL_MOD share a canonical URL — i.e.
+# recrawls of one logical page. ts chosen so a BASE row sometimes stays
+# the winner (doc 1 ts=900) and sometimes a delta row supersedes it.
+_BASE = [
+    ("1", 900),           # canonical '1', stays winner over the recrawl
+    ("2", 100),           # canonical '2', superseded by batch doc 2+M
+    ("3", 300),           # single fetch
+]
+_BATCH1 = [
+    (str(1 + _M), 500),   # recrawl of '1' but OLDER pick order (ts 500<900)
+    (str(2 + _M), 700),   # recrawl of '2', newer — new winner
+    ("4", 50),            # brand-new URL
+]
+
+
+def _pages(spark, rows):
+    data = [
+        (d, html_from_text(d, f"alpha beta doc {d} gamma delta"), ts)
+        for d, ts in rows
+    ]
+    return spark.createDataFrame(data, PAGES_TS_SCHEMA)
+
+
+def _setup(spark, tmp_path):
+    root = str(tmp_path / "crawl")
+    crawl_index_init(_pages(spark, _BASE), root)
+    return root
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merged_equals_one_shot(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
+    got = _rows(crawl_index_merged(spark, root))
+    want = _rows(
+        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+    )
+    assert got == want and got
+    by_canon = {r[0]: r for r in got}
+    one = by_canon[f"{C.HTML_CANONICAL_PREFIX}1"]
+    two = by_canon[f"{C.HTML_CANONICAL_PREFIX}2"]
+    assert one[1:] == (2, "1", 900, 1)            # base fetch stays winner
+    assert two[1:] == (2, str(2 + _M), 700, 1)    # delta fetch supersedes
+    assert by_canon[f"{C.HTML_CANONICAL_PREFIX}4"][1:] == (1, "4", 50, 0)
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    proc = make_crawl_batch_processor(root)
+    proc(_pages(spark, _BATCH1), 0)
+    once = _rows(crawl_index_merged(spark, root))
+    proc(_pages(spark, _BATCH1), 0)  # crash-replay of the same micro-batch
+    assert _rows(crawl_index_merged(spark, root)) == once
+
+
+def test_compact_preserves_index_and_clears_deltas(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
+    before = _rows(crawl_index_merged(spark, root))
+    crawl_compact(spark, root)
+    assert not os.path.exists(f"{root}/delta")
+    assert _rows(crawl_index_merged(spark, root)) == before
+    crawl_compact(spark, root)  # idempotent when nothing to fold
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    inbox = str(tmp_path / "inbox")
+    _pages(spark, _BATCH1).write.parquet(inbox)
+    q = stream_crawl_maintenance(
+        spark, inbox, root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = _rows(crawl_index_merged(spark, root))
+    want = _rows(
+        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+    )
+    assert got == want
