@@ -108,6 +108,41 @@ def test_html_extract_is_single_narrow_pass(spark, tmp_path):
         assert "MapInPandas" in plan, plan
 
 
+def test_crawl_rollups_have_single_keyed_exchange(spark, tmp_path):
+    """crawl_keep_latest / link_in_degree are ONE hash aggregation over
+    the parse pass: exactly one keyed exchange (on canonical / href), with
+    a partial_ aggregate BELOW it (map-side combine — the exchange carries
+    summaries, never pages), plus at most the admissible round-robin
+    fan-out of raw pages."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_keep_latest,
+        html_extract_report,
+        link_in_degree,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    _docs(spark).select(
+        "doc_id",
+        F.concat(
+            F.lit('<link rel="canonical" href="u"><p>body <a href="/x">x</a> for '),
+            F.col("doc_id"),
+            F.lit("</p>"),
+        ).alias("html"),
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    rep = html_extract_report(pages).withColumn(
+        "fetched_at_ts", F.col("doc_id").cast("long")
+    )
+    for df, key in ((crawl_keep_latest(rep), "canonical"),
+                    (link_in_degree(pages), "href")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        keyed = plan.count("Exchange hashpartitioning")
+        rr = plan.count("Exchange RoundRobinPartitioning")
+        assert keyed == 1 and plan.count("Exchange") == keyed + rr, plan
+        assert f"Exchange hashpartitioning({key}" in plan, plan
+        assert "partial_" in plan.split("Exchange hashpartitioning")[1], plan
+
+
 def test_html_registry_chain_has_single_roundrobin_exchange(spark):
     """Composed corpus-lift -> parse path: the corpus lift balances the
     RAW text before generation, so the operators' balance guard must
