@@ -179,6 +179,16 @@ HTML_CANONICAL_MOD = 97
 HTML_NOINDEX_EVERY = 7
 HTML_NOINDEX_PHASE = 3
 
+# synthesized temporal metadata (doc_listing_full's created_at/upload_date
+# and crawl_keep_latest's fetch time share ONE model — testdata carries no
+# timestamps, so both derive them from doc_id by the same arithmetic,
+# anchored at epoch 2024-01-01):
+#   ts = SYNTH_TS_BASE + (doc_id % SYNTH_TS_DAYS) * 86400
+#        + (doc_id * SYNTH_TS_MIX) % 86400
+SYNTH_TS_BASE = 1704067200  # 2024-01-01T00:00:00Z (the DATE '2024-01-01' in oracles)
+SYNTH_TS_DAYS = 365
+SYNTH_TS_MIX = 37
+
 # training-shard packing (operators/packing.py + its oracle): documents are
 # assigned to shards by cumulative whitespace-token count in doc_id order;
 # each shard targets ~PACK_TOKEN_BUDGET tokens

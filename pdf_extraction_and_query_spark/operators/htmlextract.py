@@ -159,6 +159,39 @@ def html_content_dups(html_df: DataFrame) -> DataFrame:
     )
 
 
+# fetch time for a page whose crawl record carries none: int64 minimum, so
+# an untimed fetch loses to ANY timed one and untimed ties break on doc_id
+TS_UNKNOWN = -(2**63)
+
+
+def merge_keep_latest(summaries: DataFrame) -> DataFrame:
+    """Associative keep-latest merge over summary rows (canonical,
+    n_crawls, latest_doc_id, latest_fetched_at_ts): counts add, winner =
+    max (ts, doc_id-string) — the ONE definition of the total order.
+    :func:`crawl_keep_latest` is the singleton case and
+    ``streaming/crawlindex`` merges base ∪ delta summaries through this
+    same function, so the batch and incremental paths cannot drift
+    (review finding). ONE hash aggregation on canonical (map-side partial
+    combine); the exchange carries summaries, never pages."""
+    win = F.max(
+        F.struct(
+            F.col("latest_fetched_at_ts").alias("ts"),
+            F.col("latest_doc_id").alias("doc_id"),
+        )
+    ).alias("w")
+    return (
+        summaries.groupBy("canonical")
+        .agg(F.sum("n_crawls").cast("long").alias("n_crawls"), win)
+        .select(
+            "canonical",
+            "n_crawls",
+            F.col("w.doc_id").alias("latest_doc_id"),
+            F.col("w.ts").alias("latest_fetched_at_ts"),
+            (F.col("n_crawls") - F.lit(1)).cast("long").alias("n_superseded"),
+        )
+    )
+
+
 def crawl_keep_latest(report_df: DataFrame) -> DataFrame:
     """Recrawl resolution, keep-latest policy (CDX-style URL dedup): among
     pages sharing a ``rel=canonical`` target, keep the MOST RECENT fetch —
@@ -171,32 +204,20 @@ def crawl_keep_latest(report_df: DataFrame) -> DataFrame:
     Input contract: ``report_df`` carries (doc_id, canonical,
     fetched_at_ts) — canonical from the parse (head metadata), fetch time
     a real column of the crawl (the registry query synthesizes it from
-    doc_id arithmetic, matching the ``doc_listing_full`` timestamp model).
-    Winner = max (fetched_at_ts, doc_id-string) — a total order, so the
-    pick is deterministic and resumable; the string tie-break only fires
-    on equal timestamps.
-
-    Plan: ONE hash aggregation on canonical (map-side partial combine);
-    the exchange carries (canonical, count, 2-field max-struct) triples,
-    never pages."""
-    win = F.max(
-        F.struct(
-            F.col("fetched_at_ts").cast("long").alias("ts"),
-            F.col("doc_id").alias("doc_id"),
-        )
-    ).alias("w")
-    return (
-        report_df.where(F.col("canonical") != "")
-        .groupBy("canonical")
-        .agg(F.count("*").cast("long").alias("n_crawls"), win)
-        .select(
-            "canonical",
-            "n_crawls",
-            F.col("w.doc_id").alias("latest_doc_id"),
-            F.col("w.ts").alias("latest_fetched_at_ts"),
-            (F.col("n_crawls") - F.lit(1)).cast("long").alias("n_superseded"),
-        )
+    doc_id arithmetic, the ``doc_listing_full`` timestamp model —
+    registry._synth_ts_expr). A null fetch time coerces to
+    :data:`TS_UNKNOWN` (never wins against a timed fetch). Winner = max
+    (fetched_at_ts, doc_id-string) — see :func:`merge_keep_latest`, whose
+    singleton case this is."""
+    unit = report_df.where(F.col("canonical") != "").select(
+        "canonical",
+        F.lit(1).cast("long").alias("n_crawls"),
+        F.col("doc_id").alias("latest_doc_id"),
+        F.coalesce(
+            F.col("fetched_at_ts").cast("long"), F.lit(TS_UNKNOWN)
+        ).alias("latest_fetched_at_ts"),
     )
+    return merge_keep_latest(unit)
 
 
 def link_in_degree(html_df: DataFrame) -> DataFrame:

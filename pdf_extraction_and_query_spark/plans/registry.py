@@ -65,12 +65,7 @@ def _crawl_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     rep = HX.html_extract_report(_html_corpus(spark, sf_dir))
-    did = F.col("doc_id").cast("long")
-    ts = (
-        F.lit(1704067200).cast("long")
-        + (did % 365) * 86400
-        + (did * 37) % 86400
-    )
+    ts = _synth_ts_expr(F.col("doc_id").cast("long"))
     return HX.crawl_keep_latest(rep.withColumn("fetched_at_ts", ts))
 
 
@@ -223,6 +218,27 @@ def _doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_meta(spark, sf_dir).join(docs, "doc_id")
 
 
+def _synth_ts_expr(did) -> "DataFrame":
+    """The ONE synthesized-timestamp model (contract SYNTH_TS_*): used by
+    ``doc_listing_full``'s created_at AND ``crawl_keep_latest``'s fetch
+    time; the SQL twin is :func:`_synth_ts_sql` — four call sites, one
+    definition."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.lit(C.SYNTH_TS_BASE).cast("long")
+        + (did % C.SYNTH_TS_DAYS) * 86400
+        + (did * C.SYNTH_TS_MIX) % 86400
+    )
+
+
+def _synth_ts_sql(col: str) -> str:
+    return (
+        f"cast({C.SYNTH_TS_BASE} + ({col} % {C.SYNTH_TS_DAYS}) * 86400"
+        f" + ({col} * {C.SYNTH_TS_MIX}) % 86400 as bigint)"
+    )
+
+
 def _doc_listing_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE reference documents-listing row (schema.py:19-37 —
     filename, upload_date, created_at/updated_at, doc_metadata JSONB):
@@ -237,8 +253,7 @@ def _doc_listing_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     did = F.col("did")
-    base_ts = F.lit(1704067200).cast("long")  # 2024-01-01T00:00:00Z
-    created = base_ts + (did % 365) * 86400 + (did * 37) % 86400
+    created = _synth_ts_expr(did)
     meta = (
         _docs(spark, sf_dir)
         .select(
@@ -254,7 +269,10 @@ def _doc_listing_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".pdf")
             ).alias("filename"),
             F.date_format(
-                F.date_add(F.to_date(F.lit("2024-01-01")), (did % 365).cast("int")),
+                F.date_add(
+                    F.to_date(F.lit("2024-01-01")),
+                    (did % C.SYNTH_TS_DAYS).cast("int"),
+                ),
                 "yyyy-MM-dd",
             ).alias("upload_date"),
             created.cast("long").alias("created_at_ts"),
@@ -1721,12 +1739,11 @@ SELECT cast(d.doc_id as varchar) AS doc_id,
        d.source AS source,
        cast(d.n_chars as bigint) AS n_chars,
        d.source || '/doc_' || cast(d.doc_id as varchar) || '.pdf' AS filename,
-       strftime(DATE '2024-01-01' + CAST(d.doc_id % 365 AS INTEGER),
+       strftime(DATE '2024-01-01' + CAST(d.doc_id % {C.SYNTH_TS_DAYS} AS INTEGER),
                 '%Y-%m-%d') AS upload_date,
-       cast(1704067200 + (d.doc_id % 365) * 86400
-            + (d.doc_id * 37) % 86400 as bigint) AS created_at_ts,
-       cast(1704067200 + (d.doc_id % 365) * 86400
-            + (d.doc_id * 37) % 86400 + d.doc_id % 3600 as bigint) AS updated_at_ts,
+       {_synth_ts_sql('d.doc_id')} AS created_at_ts,
+       cast({_synth_ts_sql('d.doc_id')} + d.doc_id % 3600 as bigint)
+         AS updated_at_ts,
        '{{"lang":"' || d.lang || '","source":"' || d.source
             || '","n_chars":' || cast(d.n_chars as varchar) || '}}' AS doc_metadata
 FROM cm JOIN documents d ON cm.doc_id = d.doc_id
@@ -1928,8 +1945,7 @@ WITH canon AS (
   SELECT cast(doc_id as varchar) AS sid,
          '{C.HTML_CANONICAL_PREFIX}'
            || cast(doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
-         cast(1704067200 + (doc_id % 365) * 86400
-              + (doc_id * 37) % 86400 as bigint) AS ts
+         {_synth_ts_sql('doc_id')} AS ts
   FROM documents),
 r AS (
   SELECT canonical, sid, ts,

@@ -36,6 +36,17 @@ def read_table(spark: SparkSession, ident: str) -> DataFrame:
     return spark.read.parquet(ident)
 
 
+def read_optional(spark: SparkSession, ident: str) -> DataFrame | None:
+    """:func:`read_table`, or ``None`` when the table does not exist yet
+    (e.g. a streaming delta sidecar before the first micro-batch lands)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return read_table(spark, ident)
+    except AnalysisException:
+        return None
+
+
 def append(df: DataFrame, ident: str) -> None:
     if _is_iceberg():
         df.writeTo(f"{CATALOG}.{ident}").append()

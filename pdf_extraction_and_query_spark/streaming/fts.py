@@ -24,12 +24,11 @@ reader prunes both sides.
 from __future__ import annotations
 
 import shutil
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 from .. import contract as C
 from ..operators.fulltext import (
@@ -40,6 +39,7 @@ from ..operators.fulltext import (
     score_candidates,
 )
 from ..sources import tables
+from .util import read_parquet_optional as _read_delta
 from ..sources.formats import DOCUMENTS_SCHEMA
 
 
@@ -71,13 +71,6 @@ def make_fts_batch_processor(index_path: str) -> Callable[[DataFrame, int], None
             tables.overwrite_partitions(frame, f"{index_path}/{sub}", parts)
 
     return process_batch
-
-
-def _read_delta(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None  # no batches appended yet
 
 
 def _merged_stats(spark: SparkSession, index_path: str) -> DataFrame:

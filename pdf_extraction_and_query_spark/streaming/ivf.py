@@ -19,11 +19,10 @@ contract as the FTS maintainer.
 from __future__ import annotations
 
 import shutil
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from .. import contract as C
 from ..operators.search import (
@@ -35,6 +34,7 @@ from ..operators.search import (
     fixed_point_vec,
 )
 from ..sources import tables
+from .util import read_parquet_optional as _read_delta
 
 
 def ivf_stream_init(
@@ -68,13 +68,6 @@ def make_ivf_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
         tables.overwrite_partitions(out, f"{root}/delta", ["batch_id", "cent_id"])
 
     return process_batch
-
-
-def _read_delta(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
 
 
 def ivf_topk_merged(

@@ -30,12 +30,11 @@ rewrite_data_files); see sources/tables.py.
 from __future__ import annotations
 
 import shutil
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from .. import contract as C
 from ..operators.pq import (
@@ -46,6 +45,7 @@ from ..operators.pq import (
 )
 from ..operators.search import _dot, _rank_topk, fixed_point_vec
 from ..sources import tables
+from .util import read_parquet_optional as _read_delta
 
 
 def pq_stream_init(embeddings: DataFrame, root: str) -> None:
@@ -83,13 +83,6 @@ def make_pq_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
         tables.overwrite_partitions(out, f"{root}/delta", ["batch_id"])
 
     return process_batch
-
-
-def _read_delta(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
 
 
 def pq_topk_merged(

@@ -91,6 +91,52 @@ def test_compact_preserves_index_and_clears_deltas(spark, tmp_path):
     crawl_compact(spark, root)  # idempotent when nothing to fold
 
 
+def test_folded_delta_replay_never_double_counts(spark, tmp_path):
+    """The two count-corruption windows: (a) compact crashed AFTER the
+    base write but BEFORE clearing its deltas; (b) a micro-batch whose
+    delta was already folded gets replayed after a restart.  Both leave a
+    delta partition at batch_id <= folded_max on disk — the watermark must
+    make the merged reader and a re-run of compact ignore it (keep-latest
+    COUNTS are not idempotent under re-merge, unlike the max winner)."""
+    root = _setup(spark, tmp_path)
+    proc = make_crawl_batch_processor(root)
+    proc(_pages(spark, _BATCH1), 0)
+    want = _rows(crawl_index_merged(spark, root))
+    crawl_compact(spark, root)
+    # (b) checkpoint loss replays batch 0 — its delta re-lands on disk
+    proc(_pages(spark, _BATCH1), 0)
+    assert _rows(crawl_index_merged(spark, root)) == want
+    # (a) equivalently: compact re-run with the stale folded delta present
+    crawl_compact(spark, root)
+    assert _rows(crawl_index_merged(spark, root)) == want
+    # a genuinely NEW batch above the watermark still counts
+    proc(_pages(spark, [("5", 10)]), 1)
+    after = {r[0]: r for r in crawl_index_merged(spark, root).collect()}
+    assert after[f"{C.HTML_CANONICAL_PREFIX}5"][1:] == (1, "5", 10, 0)
+
+
+def test_null_fetch_time_tolerated_and_never_wins(spark):
+    """A crawl record without a timestamp must not kill the Arrow pass
+    (NaN -> int64 raises without the fill rule) and must lose to ANY timed
+    fetch of the same URL; untimed-only URLs tie-break on doc_id."""
+    rows = [("1", 500), (str(1 + _M), None), ("2", None), (str(2 + _M), None)]
+    data = [
+        (d, html_from_text(d, f"alpha beta doc {d} gamma delta"), ts)
+        for d, ts in rows
+    ]
+    pages = spark.createDataFrame(data, PAGES_TS_SCHEMA)
+    got = {
+        r["canonical"]: (r["n_crawls"], r["latest_doc_id"])
+        for r in crawl_keep_latest(_canon_with_ts(pages)).collect()
+    }
+    assert got[f"{C.HTML_CANONICAL_PREFIX}1"] == (2, "1")  # timed fetch wins
+    # both untimed: string-max doc_id wins deterministically
+    assert got[f"{C.HTML_CANONICAL_PREFIX}2"] == (
+        2,
+        max("2", str(2 + _M)),
+    )
+
+
 def test_streaming_end_to_end(spark, tmp_path):
     root = _setup(spark, tmp_path)
     inbox = str(tmp_path / "inbox")
