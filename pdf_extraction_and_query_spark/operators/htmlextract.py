@@ -220,6 +220,45 @@ def crawl_keep_latest(report_df: DataFrame) -> DataFrame:
     return merge_keep_latest(unit)
 
 
+def crawl_corpus(report_df: DataFrame) -> DataFrame:
+    """The crawl → indexable-corpus gate, end to end: resolve recrawls
+    keep-latest per canonical URL, then admit the winning fetch only if
+    it is indexable (no robots-noindex) and has extractable main content
+    — the version-selection + policy filter a training-data pipeline
+    runs between "crawled" and "corpus".  Policy applies to the WINNER:
+    a stale indexable fetch never resurrects a URL whose latest fetch
+    says noindex (the site's current directive governs — unit-tested).
+
+    Plan: the same ONE hash aggregation as :func:`crawl_keep_latest` —
+    the winner struct carries the policy payload (noindex, n_chars_main)
+    through the max (the (ts, doc_id) prefix is unique per group, so the
+    payload never influences the order), and the filter runs AFTER
+    resolution without any join back to the pages."""
+    win = F.max(
+        F.struct(
+            F.coalesce(
+                F.col("fetched_at_ts").cast("long"), F.lit(TS_UNKNOWN)
+            ).alias("ts"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("noindex").alias("noindex"),
+            F.col("n_chars_main").cast("long").alias("n_chars_main"),
+        )
+    ).alias("w")
+    return (
+        report_df.where(F.col("canonical") != "")
+        .groupBy("canonical")
+        .agg(F.count("*").cast("long").alias("n_crawls"), win)
+        .where((~F.col("w.noindex")) & (F.col("w.n_chars_main") > 0))
+        .select(
+            "canonical",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.ts").alias("fetched_at_ts"),
+            F.col("w.n_chars_main").alias("n_chars_main"),
+            "n_crawls",
+        )
+    )
+
+
 def link_in_degree(html_df: DataFrame) -> DataFrame:
     """Site link-graph in-degree: the outbound-link stream grouped by
     target href — total inbound count and inbound-from-MAIN-content count

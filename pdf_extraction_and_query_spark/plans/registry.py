@@ -69,6 +69,17 @@ def _crawl_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return HX.crawl_keep_latest(rep.withColumn("fetched_at_ts", ts))
 
 
+def _crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl → indexable-corpus gate over the HTML corpus: keep-latest
+    recrawl resolution + robots-noindex + non-empty-content policy on the
+    winning fetch (same synthesized fetch time as _crawl_keep_latest)."""
+    from pyspark.sql import functions as F
+
+    rep = HX.html_extract_report(_html_corpus(spark, sf_dir))
+    ts = _synth_ts_expr(F.col("doc_id").cast("long"))
+    return HX.crawl_corpus(rep.withColumn("fetched_at_ts", ts))
+
+
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
@@ -512,6 +523,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
+    "crawl_corpus": lambda s, d: _crawl_corpus(s, d),
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
@@ -1956,6 +1968,35 @@ r AS (
 SELECT canonical, c AS n_crawls, sid AS latest_doc_id,
        ts AS latest_fetched_at_ts, cast(c - 1 as bigint) AS n_superseded
 FROM r WHERE rn = 1"""
+
+# crawl -> indexable corpus: the keep-latest winner per canonical, then
+# the policy gate on the WINNER (noindex cadence arithmetic + extracted
+# main-content chars > 0, chars replaying the keep rule like the report)
+ORACLE_SQL["crawl_corpus"] = f"""
+WITH {_HTML_META},
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN {_HTML_KEEP} THEN length(ptext) ELSE 0 END)
+           AS chars_main
+  FROM ht GROUP BY doc_id),
+pages AS (
+  SELECT cast(hc.doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(hc.doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         {_synth_ts_sql('hc.doc_id')} AS ts,
+         (hc.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE})
+           AS noindex,
+         cast(coalesce(agg.chars_main, 0) as bigint) AS chars_main
+  FROM hc LEFT JOIN agg ON hc.doc_id = agg.doc_id),
+r AS (
+  SELECT pages.*,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn,
+         cast(count(*) OVER (PARTITION BY canonical) as bigint) AS c
+  FROM pages)
+SELECT canonical, sid AS doc_id, ts AS fetched_at_ts,
+       chars_main AS n_chars_main, c AS n_crawls
+FROM r WHERE rn = 1 AND NOT noindex AND chars_main > 0"""
 
 # link in-degree: every page contributes the fixed chrome links (nav,
 # sidebar, cookie banner, share strip) plus the cadence-triggered /ref/i

@@ -261,6 +261,37 @@ def test_crawl_keep_latest_policy(spark):
     }
 
 
+def test_crawl_corpus_policy_applies_to_winner(spark):
+    """The indexable-corpus gate judges the WINNING fetch: a URL whose
+    LATEST fetch is noindex is excluded even though an older indexable
+    fetch exists (the site's current directive governs — a stale fetch
+    never resurrects it); an empty-content winner is excluded; a clean
+    winner passes with its recrawl count."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_corpus,
+    )
+
+    rep = spark.createDataFrame(
+        [
+            # url u: old fetch indexable, NEW fetch noindex -> excluded
+            ("1", "u", 100, False, 50),
+            ("2", "u", 200, True, 60),
+            # url v: latest fetch indexable -> kept, n_crawls counts both
+            ("3", "v", 100, True, 40),
+            ("4", "v", 200, False, 70),
+            # url w: winner has no extractable content -> excluded
+            ("5", "w", 100, False, 0),
+        ],
+        schema=(
+            "doc_id string, canonical string, fetched_at_ts long, "
+            "noindex boolean, n_chars_main long"
+        ),
+    )
+    got = {r["canonical"]: tuple(r) for r in crawl_corpus(rep).collect()}
+    assert set(got) == {"v"}
+    assert got["v"] == ("v", "4", 200, 70, 2)
+
+
 def test_link_in_degree_equals_kernel_rollup(spark, html_docs):
     """The distributed in-degree rollup must equal a driver-side
     aggregation of the link kernel over the same pages — and chrome links
