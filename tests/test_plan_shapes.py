@@ -115,6 +115,7 @@ def test_crawl_rollups_have_single_keyed_exchange(spark, tmp_path):
     summaries, never pages), plus at most the admissible round-robin
     fan-out of raw pages."""
     from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_corpus,
         crawl_keep_latest,
         html_extract_report,
         link_in_degree,
@@ -134,6 +135,7 @@ def test_crawl_rollups_have_single_keyed_exchange(spark, tmp_path):
         "fetched_at_ts", F.col("doc_id").cast("long")
     )
     for df, key in ((crawl_keep_latest(rep), "canonical"),
+                    (crawl_corpus(rep), "canonical"),
                     (link_in_degree(pages), "href")):
         plan = df._jdf.queryExecution().executedPlan().toString()
         keyed = plan.count("Exchange hashpartitioning")
