@@ -76,6 +76,7 @@ _TRIM_ORDER = [
     "eval_by_category",
     "search_response",
     "topk_enriched",
+    "crawl_corpus",
     "html_extract",
 ]
 
@@ -268,6 +269,7 @@ def main() -> None:
         "doc_listing",
         "chunk_invariants",
         "html_extract",
+        "crawl_corpus",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

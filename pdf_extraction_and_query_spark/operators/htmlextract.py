@@ -164,6 +164,19 @@ def html_content_dups(html_df: DataFrame) -> DataFrame:
 TS_UNKNOWN = -(2**63)
 
 
+def _winner_struct(ts_col: str, id_col: str, *payload):
+    """THE keep-latest total order, as a max-able struct: (coalesced ts,
+    doc_id-string) prefix; optional payload columns ride along WITHOUT
+    influencing the order (the prefix is unique per group).  Every
+    keep-latest consumer (merge_keep_latest, crawl_corpus) builds its
+    winner through this one helper so the order cannot drift."""
+    return F.struct(
+        F.coalesce(F.col(ts_col).cast("long"), F.lit(TS_UNKNOWN)).alias("ts"),
+        F.col(id_col).alias("doc_id"),
+        *payload,
+    )
+
+
 def merge_keep_latest(summaries: DataFrame) -> DataFrame:
     """Associative keep-latest merge over summary rows (canonical,
     n_crawls, latest_doc_id, latest_fetched_at_ts): counts add, winner =
@@ -173,12 +186,9 @@ def merge_keep_latest(summaries: DataFrame) -> DataFrame:
     same function, so the batch and incremental paths cannot drift
     (review finding). ONE hash aggregation on canonical (map-side partial
     combine); the exchange carries summaries, never pages."""
-    win = F.max(
-        F.struct(
-            F.col("latest_fetched_at_ts").alias("ts"),
-            F.col("latest_doc_id").alias("doc_id"),
-        )
-    ).alias("w")
+    win = F.max(_winner_struct("latest_fetched_at_ts", "latest_doc_id")).alias(
+        "w"
+    )
     return (
         summaries.groupBy("canonical")
         .agg(F.sum("n_crawls").cast("long").alias("n_crawls"), win)
@@ -235,11 +245,9 @@ def crawl_corpus(report_df: DataFrame) -> DataFrame:
     payload never influences the order), and the filter runs AFTER
     resolution without any join back to the pages."""
     win = F.max(
-        F.struct(
-            F.coalesce(
-                F.col("fetched_at_ts").cast("long"), F.lit(TS_UNKNOWN)
-            ).alias("ts"),
-            F.col("doc_id").alias("doc_id"),
+        _winner_struct(
+            "fetched_at_ts",
+            "doc_id",
             F.col("noindex").alias("noindex"),
             F.col("n_chars_main").cast("long").alias("n_chars_main"),
         )

@@ -229,7 +229,7 @@ def _doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_meta(spark, sf_dir).join(docs, "doc_id")
 
 
-def _synth_ts_expr(did) -> "DataFrame":
+def _synth_ts_expr(did):
     """The ONE synthesized-timestamp model (contract SYNTH_TS_*): used by
     ``doc_listing_full``'s created_at AND ``crawl_keep_latest``'s fetch
     time; the SQL twin is :func:`_synth_ts_sql` — four call sites, one

@@ -21,6 +21,22 @@ merged reader ignores delta partitions with ``batch_id <= folded_max`` —
 a compaction that crashed after the base write but before clearing its
 deltas, or a replayed micro-batch re-landing an already-folded delta,
 can therefore never double-count (tested by restoring folded deltas).
+Compaction folds exactly ONE materialized snapshot of the unfolded
+deltas and clears exactly the batch ids present in that snapshot — a
+micro-batch landing mid-compact is neither silently folded without being
+watermarked nor deleted without being folded (within one checkpoint
+lineage, batch ids are monotone, so a mid-compact batch is always above
+the new watermark).
+
+Durability contract (the whole foreachBatch index family shares it):
+``root`` and the streaming checkpoint directory form ONE durable unit.
+Batch ids are only unique within a checkpoint lineage — re-creating the
+checkpoint against an existing index restarts them at 0, which the
+watermark would read as "already folded" (new fetches silently dropped).
+After checkpoint loss, rebuild with :func:`crawl_index_init` (or attach
+a FRESH root) — the same recovery rule the fts/ivf/pq maintainers have,
+made explicit here because the watermark turns the id collision into a
+silent drop instead of a double-count.
 
 Scale shape: the per-batch parse is one narrow Arrow pass carrying
 (doc_id, canonical, fetched_at_ts) — canonical extraction and the fetch
@@ -35,7 +51,6 @@ Iceberg catalog's transactional rewrite is the production path.
 
 from __future__ import annotations
 
-import shutil
 from typing import Callable, Iterable, Iterator
 
 import pandas as pd
@@ -119,10 +134,12 @@ def make_crawl_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
     return process_batch
 
 
-def _base_and_folded(spark: SparkSession, root: str) -> tuple[DataFrame, int]:
+def _base(spark: SparkSession, root: str) -> DataFrame:
     base = tables.read_table(spark, f"{root}/index")
-    row = base.agg(F.max("folded_max").alias("fm")).collect()[0]
-    return base.select(*_SUMMARY_COLS), (-1 if row["fm"] is None else int(row["fm"]))
+    if "folded_max" not in base.columns:
+        # index written before the watermark existed: nothing folded yet
+        base = base.withColumn("folded_max", F.lit(-1).cast("long"))
+    return base
 
 
 def crawl_index_merged(spark: SparkSession, root: str) -> DataFrame:
@@ -130,36 +147,83 @@ def crawl_index_merged(spark: SparkSession, root: str) -> DataFrame:
     row-identical to running ``crawl_keep_latest`` over every page ever
     ingested (append-only contract; equality tested in
     test_streaming_crawl).  Deltas at or below the folded_max watermark
-    are already inside the base and are skipped."""
-    base, folded = _base_and_folded(spark, root)
+    are already inside the base and are skipped — via a broadcast of the
+    1-row watermark aggregate, so the reader stays a single LAZY plan
+    (no driver-side collect per read; the second base scan is
+    column-pruned to folded_max)."""
+    base = _base(spark, root)
+    out = base.select(*_SUMMARY_COLS)
     delta = tables.read_optional(spark, f"{root}/delta")
     if delta is not None:
-        base = base.unionByName(
-            delta.where(F.col("batch_id") > folded).select(*_SUMMARY_COLS)
+        fm = base.agg(
+            F.coalesce(F.max("folded_max"), F.lit(-1)).alias("fm")
         )
-    return merge_keep_latest(base)
+        unfolded = (
+            delta.crossJoin(F.broadcast(fm))
+            .where(F.col("batch_id") > F.col("fm"))
+            .select(*_SUMMARY_COLS)
+        )
+        out = out.unionByName(unfolded)
+    return merge_keep_latest(out)
 
 
 def crawl_compact(spark: SparkSession, root: str) -> None:
     """Fold unfolded deltas into the base index (advancing folded_max in
-    the SAME write) and clear them; a no-op when no deltas exist.  The
-    merged frame is materialized (localCheckpoint) before the base is
-    overwritten — never read-and-overwrite in one plan.  A crash between
-    the base write and the delta clear leaves stale deltas that the
-    watermark silently ignores — re-running compact (or the merged
-    reader) never double-counts them."""
+    the SAME write) and clear exactly what was folded; a no-op when no
+    deltas exist.
+
+    Race/crash safety: the unfolded deltas are pinned with ONE eager
+    materialization; the watermark and the clear list both derive from
+    that SAME snapshot.  A micro-batch landing mid-compact gets a batch
+    id above every id in the snapshot (ids are monotone within the
+    checkpoint lineage), so it stays above the new watermark and its
+    partition is not in the clear list — never silently folded, never
+    deleted unfolded.  A crash between the base write and the clear
+    leaves folded deltas on disk that the watermark ignores forever.
+    The merged frame is materialized before the base is overwritten —
+    never read-and-overwrite in one plan."""
     delta = tables.read_optional(spark, f"{root}/delta")
     if delta is None:
         return
-    _, folded = _base_and_folded(spark, root)
-    top = delta.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
-    new_folded = folded if top is None else max(folded, int(top))
-    merged = crawl_index_merged(spark, root).localCheckpoint(eager=True)
+    base = _base(spark, root)
+    row = base.agg(F.max("folded_max").alias("fm")).collect()[0]
+    folded = -1 if row["fm"] is None else int(row["fm"])
+
+    unfolded = delta.where(F.col("batch_id") > folded).localCheckpoint(
+        eager=True
+    )
+    fold_bids = [
+        int(r["batch_id"])
+        for r in unfolded.select("batch_id").distinct().collect()
+    ]
+    stale_bids = [
+        int(r["batch_id"])
+        for r in delta.select("batch_id").distinct().collect()
+        if int(r["batch_id"]) <= folded
+    ]
+    if not fold_bids:
+        # nothing new — just drop already-folded leftovers from a prior
+        # crashed clear
+        if stale_bids:
+            tables.clear_partitions(
+                spark, f"{root}/delta", "batch_id", stale_bids
+            )
+            spark.catalog.refreshByPath(root)
+        return
+    merged = merge_keep_latest(
+        base.select(*_SUMMARY_COLS).unionByName(
+            unfolded.select(*_SUMMARY_COLS)
+        )
+    ).localCheckpoint(eager=True)
     tables.replace_table(
-        merged.withColumn("folded_max", F.lit(new_folded).cast("long")),
+        merged.withColumn(
+            "folded_max", F.lit(max(fold_bids)).cast("long")
+        ),
         f"{root}/index",
     )
-    shutil.rmtree(f"{root}/delta", ignore_errors=True)
+    tables.clear_partitions(
+        spark, f"{root}/delta", "batch_id", fold_bids + stale_bids
+    )
     spark.catalog.refreshByPath(root)
 
 

@@ -39,7 +39,7 @@ from ..operators.fulltext import (
     score_candidates,
 )
 from ..sources import tables
-from .util import read_parquet_optional as _read_delta
+from ..sources.tables import read_optional as _read_delta
 from ..sources.formats import DOCUMENTS_SCHEMA
 
 

@@ -34,7 +34,7 @@ from ..operators.search import (
     fixed_point_vec,
 )
 from ..sources import tables
-from .util import read_parquet_optional as _read_delta
+from ..sources.tables import read_optional as _read_delta
 
 
 def ivf_stream_init(

@@ -45,7 +45,7 @@ from ..operators.pq import (
 )
 from ..operators.search import _dot, _rank_topk, fixed_point_vec
 from ..sources import tables
-from .util import read_parquet_optional as _read_delta
+from ..sources.tables import read_optional as _read_delta
 
 
 def pq_stream_init(embeddings: DataFrame, root: str) -> None:

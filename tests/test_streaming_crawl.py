@@ -86,7 +86,9 @@ def test_compact_preserves_index_and_clears_deltas(spark, tmp_path):
     make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
     before = _rows(crawl_index_merged(spark, root))
     crawl_compact(spark, root)
-    assert not os.path.exists(f"{root}/delta")
+    # the folded partition is cleared (the delta ROOT may remain — compact
+    # clears exactly what it folded, so mid-compact arrivals survive)
+    assert not os.path.exists(f"{root}/delta/batch_id=0")
     assert _rows(crawl_index_merged(spark, root)) == before
     crawl_compact(spark, root)  # idempotent when nothing to fold
 
@@ -113,6 +115,50 @@ def test_folded_delta_replay_never_double_counts(spark, tmp_path):
     proc(_pages(spark, [("5", 10)]), 1)
     after = {r[0]: r for r in crawl_index_merged(spark, root).collect()}
     assert after[f"{C.HTML_CANONICAL_PREFIX}5"][1:] == (1, "5", 10, 0)
+
+
+def test_pre_watermark_index_migrates(spark, tmp_path):
+    """A base index written before the folded_max column existed (bare
+    5-column keep-latest output) must stay readable: merged treats it as
+    nothing-folded and compact upgrades it in place."""
+    from pdf_extraction_and_query_spark.streaming.crawlindex import (
+        _canon_with_ts as lift,
+    )
+
+    root = str(tmp_path / "crawl")
+    crawl_keep_latest(lift(_pages(spark, _BASE))).write.parquet(
+        f"{root}/index"
+    )
+    proc = make_crawl_batch_processor(root)
+    proc(_pages(spark, _BATCH1), 0)
+    want = _rows(
+        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+    )
+    assert _rows(crawl_index_merged(spark, root)) == want
+    crawl_compact(spark, root)
+    assert _rows(crawl_index_merged(spark, root)) == want
+
+
+def test_compact_clears_only_folded_partitions(spark, tmp_path):
+    """The clear list derives from the SAME snapshot the fold used: after
+    compact, the folded batch partitions are gone; a stale already-folded
+    leftover (crashed prior clear) is swept by the next compact even when
+    it has nothing new to fold."""
+    import os
+
+    root = _setup(spark, tmp_path)
+    proc = make_crawl_batch_processor(root)
+    proc(_pages(spark, _BATCH1), 0)
+    crawl_compact(spark, root)
+    assert not os.path.exists(f"{root}/delta/batch_id=0")
+    want = _rows(crawl_index_merged(spark, root))
+    # crashed-clear simulation: the folded delta re-lands (replay), then a
+    # fold-nothing compact must sweep it without touching the index
+    proc(_pages(spark, _BATCH1), 0)
+    assert os.path.exists(f"{root}/delta/batch_id=0")
+    crawl_compact(spark, root)
+    assert not os.path.exists(f"{root}/delta/batch_id=0")
+    assert _rows(crawl_index_merged(spark, root)) == want
 
 
 def test_null_fetch_time_tolerated_and_never_wins(spark):
