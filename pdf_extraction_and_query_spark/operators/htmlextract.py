@@ -230,6 +230,69 @@ def crawl_keep_latest(report_df: DataFrame) -> DataFrame:
     return merge_keep_latest(unit)
 
 
+def keep_latest_full_summaries(report_df: DataFrame) -> DataFrame:
+    """Singleton FULL keep-latest summaries: one row per fetch carrying
+    the winner-candidate's policy payload (noindex, n_chars_main) next to
+    the (ts, doc_id) order key — the streaming crawl index persists these
+    so the LIVE index can answer the corpus gate without re-parsing."""
+    return report_df.where(F.col("canonical") != "").select(
+        "canonical",
+        F.lit(1).cast("long").alias("n_crawls"),
+        F.col("doc_id").alias("latest_doc_id"),
+        F.coalesce(
+            F.col("fetched_at_ts").cast("long"), F.lit(TS_UNKNOWN)
+        ).alias("latest_fetched_at_ts"),
+        F.col("noindex").alias("latest_noindex"),
+        F.col("n_chars_main").cast("long").alias("latest_n_chars_main"),
+    )
+
+
+def merge_keep_latest_full(summaries: DataFrame) -> DataFrame:
+    """Payload-carrying twin of :func:`merge_keep_latest`: same total
+    order (same :func:`_winner_struct` prefix — the payload rides the max
+    without influencing it, since the (ts, doc_id) prefix is unique per
+    group), same single hash aggregation; the winner's policy payload
+    survives the merge so downstream gates need no join back."""
+    win = F.max(
+        _winner_struct(
+            "latest_fetched_at_ts",
+            "latest_doc_id",
+            F.col("latest_noindex").alias("noindex"),
+            F.col("latest_n_chars_main").cast("long").alias("n_chars_main"),
+        )
+    ).alias("w")
+    return (
+        summaries.groupBy("canonical")
+        .agg(F.sum("n_crawls").cast("long").alias("n_crawls"), win)
+        .select(
+            "canonical",
+            "n_crawls",
+            F.col("w.doc_id").alias("latest_doc_id"),
+            F.col("w.ts").alias("latest_fetched_at_ts"),
+            (F.col("n_crawls") - F.lit(1)).cast("long").alias("n_superseded"),
+            F.col("w.noindex").alias("latest_noindex"),
+            F.col("w.n_chars_main").alias("latest_n_chars_main"),
+        )
+    )
+
+
+def corpus_gate(full_summary: DataFrame) -> DataFrame:
+    """The indexability policy on RESOLVED winners: admit a canonical URL
+    only if its latest fetch is indexable (no robots-noindex) and has
+    extractable main content.  Shared by the batch :func:`crawl_corpus`
+    and the streaming index's ``crawl_corpus_merged`` — one definition of
+    the gate."""
+    return full_summary.where(
+        (~F.col("latest_noindex")) & (F.col("latest_n_chars_main") > 0)
+    ).select(
+        "canonical",
+        F.col("latest_doc_id").alias("doc_id"),
+        F.col("latest_fetched_at_ts").alias("fetched_at_ts"),
+        F.col("latest_n_chars_main").alias("n_chars_main"),
+        "n_crawls",
+    )
+
+
 def crawl_corpus(report_df: DataFrame) -> DataFrame:
     """The crawl → indexable-corpus gate, end to end: resolve recrawls
     keep-latest per canonical URL, then admit the winning fetch only if
@@ -239,31 +302,12 @@ def crawl_corpus(report_df: DataFrame) -> DataFrame:
     a stale indexable fetch never resurrects a URL whose latest fetch
     says noindex (the site's current directive governs — unit-tested).
 
-    Plan: the same ONE hash aggregation as :func:`crawl_keep_latest` —
-    the winner struct carries the policy payload (noindex, n_chars_main)
-    through the max (the (ts, doc_id) prefix is unique per group, so the
-    payload never influences the order), and the filter runs AFTER
-    resolution without any join back to the pages."""
-    win = F.max(
-        _winner_struct(
-            "fetched_at_ts",
-            "doc_id",
-            F.col("noindex").alias("noindex"),
-            F.col("n_chars_main").cast("long").alias("n_chars_main"),
-        )
-    ).alias("w")
-    return (
-        report_df.where(F.col("canonical") != "")
-        .groupBy("canonical")
-        .agg(F.count("*").cast("long").alias("n_crawls"), win)
-        .where((~F.col("w.noindex")) & (F.col("w.n_chars_main") > 0))
-        .select(
-            "canonical",
-            F.col("w.doc_id").alias("doc_id"),
-            F.col("w.ts").alias("fetched_at_ts"),
-            F.col("w.n_chars_main").alias("n_chars_main"),
-            "n_crawls",
-        )
+    Composition of the shared pieces (one definition each): singleton
+    full summaries → :func:`merge_keep_latest_full` (the same ONE hash
+    aggregation as :func:`crawl_keep_latest`, payload riding the winner
+    struct) → :func:`corpus_gate`.  No join back to the pages."""
+    return corpus_gate(
+        merge_keep_latest_full(keep_latest_full_summaries(report_df))
     )
 
 

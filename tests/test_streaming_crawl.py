@@ -13,7 +13,7 @@ from pdf_extraction_and_query_spark.operators.htmlextract import (
 from pdf_extraction_and_query_spark.sources.htmlcorpus import html_from_text
 from pdf_extraction_and_query_spark.streaming.crawlindex import (
     PAGES_TS_SCHEMA,
-    _canon_with_ts,
+    _parse_with_ts,
     crawl_compact,
     crawl_index_init,
     crawl_index_merged,
@@ -61,7 +61,7 @@ def test_merged_equals_one_shot(spark, tmp_path):
     make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
     got = _rows(crawl_index_merged(spark, root))
     want = _rows(
-        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+        crawl_keep_latest(_parse_with_ts(_pages(spark, _BASE + _BATCH1)))
     )
     assert got == want and got
     by_canon = {r[0]: r for r in got}
@@ -119,24 +119,48 @@ def test_folded_delta_replay_never_double_counts(spark, tmp_path):
 
 def test_pre_watermark_index_migrates(spark, tmp_path):
     """A base index written before the folded_max column existed (bare
-    5-column keep-latest output) must stay readable: merged treats it as
+    summary output) must stay readable: merged treats it as
     nothing-folded and compact upgrades it in place."""
     from pdf_extraction_and_query_spark.streaming.crawlindex import (
-        _canon_with_ts as lift,
+        _one_shot_summary,
     )
 
     root = str(tmp_path / "crawl")
-    crawl_keep_latest(lift(_pages(spark, _BASE))).write.parquet(
-        f"{root}/index"
-    )
+    _one_shot_summary(_pages(spark, _BASE)).write.parquet(f"{root}/index")
     proc = make_crawl_batch_processor(root)
     proc(_pages(spark, _BATCH1), 0)
     want = _rows(
-        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+        crawl_keep_latest(_parse_with_ts(_pages(spark, _BASE + _BATCH1)))
     )
     assert _rows(crawl_index_merged(spark, root)) == want
     crawl_compact(spark, root)
     assert _rows(crawl_index_merged(spark, root)) == want
+
+
+def test_corpus_merged_equals_one_shot_gate(spark, tmp_path):
+    """The LIVE indexable corpus answered from the maintained index (no
+    re-parse) must equal the batch crawl_corpus over everything ingested —
+    including after compaction; noindex-cadence pages really are gated
+    (non-vacuous)."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_corpus,
+    )
+    from pdf_extraction_and_query_spark.streaming.crawlindex import (
+        crawl_corpus_merged,
+    )
+
+    root = _setup(spark, tmp_path)
+    make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
+    want = _rows(crawl_corpus(_parse_with_ts(_pages(spark, _BASE + _BATCH1))))
+    assert _rows(crawl_corpus_merged(spark, root)) == want and want
+    crawl_compact(spark, root)
+    assert _rows(crawl_corpus_merged(spark, root)) == want
+    # doc 3 (noindex cadence: 3 % 7 == 3) is in the keep-latest index but
+    # NOT in the corpus — the gate is doing real work on the live index
+    canons = {r[0] for r in want}
+    assert f"{C.HTML_CANONICAL_PREFIX}3" not in canons
+    listed = {r[0] for r in _rows(crawl_index_merged(spark, root))}
+    assert f"{C.HTML_CANONICAL_PREFIX}3" in listed
 
 
 def test_compact_clears_only_folded_partitions(spark, tmp_path):
@@ -173,7 +197,7 @@ def test_null_fetch_time_tolerated_and_never_wins(spark):
     pages = spark.createDataFrame(data, PAGES_TS_SCHEMA)
     got = {
         r["canonical"]: (r["n_crawls"], r["latest_doc_id"])
-        for r in crawl_keep_latest(_canon_with_ts(pages)).collect()
+        for r in crawl_keep_latest(_parse_with_ts(pages)).collect()
     }
     assert got[f"{C.HTML_CANONICAL_PREFIX}1"] == (2, "1")  # timed fetch wins
     # both untimed: string-max doc_id wins deterministically
@@ -194,6 +218,6 @@ def test_streaming_end_to_end(spark, tmp_path):
     time.sleep(0.2)
     got = _rows(crawl_index_merged(spark, root))
     want = _rows(
-        crawl_keep_latest(_canon_with_ts(_pages(spark, _BASE + _BATCH1)))
+        crawl_keep_latest(_parse_with_ts(_pages(spark, _BASE + _BATCH1)))
     )
     assert got == want
