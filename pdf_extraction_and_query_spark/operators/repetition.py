@@ -201,3 +201,74 @@ def dup_passage_stats(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
         F.col("nw").cast("long").alias("total_words"),
         F.expr("(1000000 * dup_words) div nw").cast("long").alias("coverage_e6"),
     )
+
+
+def dup_excise(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
+    """The REWRITE step of exact substring deduplication (Lee et al. 2022
+    §4.1, public): remove every duplicated passage from the documents that
+    contain one and emit the surviving text.  ``dup_passages`` reports the
+    intervals; this operator applies them — the pair is detect + excise,
+    the two halves of the published ExactSubstr pipeline.
+
+    Contract: word-granular over the same ``_words`` normalization the
+    detection uses (lowercased, whitespace-split — the excised text is the
+    NORMALIZED form, exactly the coordinate system ``start_word/end_word``
+    live in).  Only affected documents emit a row (the rewrite is a DELTA:
+    at 10^12 docs you rewrite the partitions that changed, never the whole
+    corpus).  A fully-duplicated document emits ``kept_words = 0,
+    text_deduped = ''`` — the caller drops it, the row is the evidence.
+
+    Scale shape:
+      * the interval list per doc is tiny (merged maximal passages), so
+        the per-doc rollup exchange carries (doc_id, intervals) — never
+        words; the words re-derivation is a NARROW second scan joined to
+        that data-dependent affected set (AQE broadcasts it when small).
+      * intervals from ``_passages`` are disjoint and sorted per doc (the
+        gaps-and-islands merge guarantees consecutive islands are >= 2
+        words apart), so kept text is the concatenation of the gap slices
+        — built with one zip_with over O(n_intervals) slice calls per doc,
+        interpreted-HOF cost proportional to passages, NOT words.
+    """
+    p = _passages(docs, k)
+    ivs = p.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_word", "end_word"))
+        ).alias("ivs")
+    )
+    words = docs.select(
+        "doc_id", _words(F.col("text")).alias("words")
+    ).withColumn("nw", F.size("words"))
+    j = words.join(ivs, "doc_id")
+    # gap g_i between interval i-1 and i: [end_{i-1}+1, start_i - 1],
+    # with sentinels 1 and nw at the ends; empty gaps slice to length 0.
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.col("ivs"), lambda iv: iv["end_word"] + 1),
+    )
+    ends = F.concat(
+        F.transform(F.col("ivs"), lambda iv: iv["start_word"] - 1),
+        F.array(F.col("nw")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.slice(
+                F.col("words"), s, F.greatest(F.lit(0), e - s + 1)
+            ),
+        )
+    )
+    out = j.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nw").cast("long").alias("total_words"),
+        kept.alias("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "total_words",
+        F.size("kept").cast("long").alias("kept_words"),
+        (F.col("total_words") - F.size("kept")).cast("long").alias(
+            "removed_words"
+        ),
+        F.array_join("kept", " ").alias("text_deduped"),
+    )

@@ -458,6 +458,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
     "dup_passage_stats": lambda s, d: RP.dup_passage_stats(_docs(s, d)),
+    "dup_excise": lambda s, d: RP.dup_excise(_docs(s, d)),
     # --- full-text + hybrid retrieval (SQL-verified) ---
     "bm25_topk_multi": lambda s, d: FT.bm25_topk_multi(_docs(s, d)),
     "fts_term_stats": lambda s, d: FT.term_stats(_docs(s, d)),
@@ -1206,6 +1207,27 @@ SELECT cast(doc_id as bigint) AS doc_id,
        cast(any_value(nw) as bigint) AS total_words,
        cast((1000000 * sum(end_word - start_word + 1)) // any_value(nw) as bigint) AS coverage_e6
 FROM p GROUP BY doc_id""",
+    # dup_excise: independent formulation — per-word covered flag via a
+    # LEFT JOIN against the exploded interval ranges (p's intervals are
+    # disjoint per doc, so the join never multiplies), vs the Spark side's
+    # gap-slice concatenation.  string_agg FILTER keeps word order.
+    "dup_excise": f"""
+WITH {_dup_passage_cte(C.DUP_PASSAGE_K)},
+cov AS (SELECT doc_id, unnest(range(start_word, end_word + 1)) AS wi FROM p),
+aff AS (SELECT DISTINCT doc_id FROM p),
+wd AS (SELECT d2.doc_id, d2.nw, d2.words FROM d2 JOIN aff USING (doc_id)),
+wix AS (SELECT doc_id, nw, words, unnest(range(1, nw + 1)) AS wi FROM wd),
+k2 AS (SELECT wix.doc_id, wix.nw, wix.wi, wix.words[wix.wi] AS word,
+              CASE WHEN cov.wi IS NULL THEN 1 ELSE 0 END AS keep
+       FROM wix LEFT JOIN cov
+         ON wix.doc_id = cov.doc_id AND wix.wi = cov.wi)
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(any_value(nw) as bigint) AS total_words,
+       cast(sum(keep) as bigint) AS kept_words,
+       cast(any_value(nw) - sum(keep) as bigint) AS removed_words,
+       coalesce(string_agg(word, ' ' ORDER BY wi) FILTER (WHERE keep = 1),
+                '') AS text_deduped
+FROM k2 GROUP BY doc_id""",
     "bm25_topk_multi": f"""
 WITH {_bm25_cte(C.FTS_QUERIES)}
 SELECT cast(q_id as bigint) AS q_id, cast(doc_id as bigint) AS doc_id,
