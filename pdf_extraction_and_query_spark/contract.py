@@ -214,6 +214,15 @@ CURATE_MIN_FLUENCY_E6 = 32_000
 # hash): the keep rule needs a uniform coordinate, and base-31 poly
 # hashing of short id strings has no avalanche (see packing._sample_bucket)
 SAMPLE_SALT = "sample:"
+# temperature-scaled source mixing (operators/packing.source_mix): the
+# per-source target share is weight/sum(weight) with weight =
+# floor(sqrt(n_docs) * 1000) — alpha is FIXED at 1/2 because IEEE-754
+# requires sqrt (and only sqrt among the power family) to be correctly
+# rounded, so floor(sqrt(n)*1000) is bit-identical across Spark and
+# DuckDB; an arbitrary-alpha pow() is not, and would need fixed-point
+# exp/log to stay oracle-exact.  MIX_SALT keeps the per-doc sampling
+# coordinate decorrelated from stratified_sample's.
+MIX_SALT = "mix:"
 SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000
 SAMPLE_MOD = 1_000_000

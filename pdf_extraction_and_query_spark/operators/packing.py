@@ -187,6 +187,82 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixing weights — the data-mixing step a
+    multi-source training pipeline runs before sampling (the Pile's
+    per-set epochs, Gopher/DoReMi's domain weights, public): flatten the
+    natural source distribution toward uniform with weight =
+    floor(sqrt(n_docs) * 1000), i.e. share ∝ n^alpha at alpha = 1/2
+    (contract.MIX_SALT note: sqrt is the one IEEE-correctly-rounded
+    power, so the weight is bit-identical across engines — arbitrary
+    alpha would need fixed-point pow and is deliberately out of
+    contract).  ``keep_rate_e6`` realizes the mix by DOWNSAMPLING
+    overrepresented sources only (capped at 1e6 = keep everything):
+    upsampling is a training-loader concern (repeat epochs), not a
+    corpus rewrite.
+
+    Scale shape (10^12 docs, 10^7 sources): ONE map-side-combined hash
+    aggregation on source; the totals are a second aggregate over the
+    per-source frame reduced to ONE row and broadcast back — no
+    unpartitioned window ever runs over the per-source frame (the
+    paginate lesson: |sources| can be millions at web scale)."""
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    per = per.withColumn(
+        "weight_e3", F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tn"), F.sum("weight_e3").alias("tw")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    j = j.select(
+        "source",
+        "n_docs",
+        "weight_e3",
+        F.expr("(1000000 * n_docs) div tn").cast("long").alias(
+            "natural_share_e6"
+        ),
+        F.expr("(1000000 * weight_e3) div tw").cast("long").alias(
+            "target_share_e6"
+        ),
+    )
+    return j.withColumn(
+        "keep_rate_e6",
+        F.least(
+            F.lit(1_000_000),
+            F.expr(
+                "(1000000 * target_share_e6) div greatest(natural_share_e6, 1)"
+            ),
+        ).cast("long"),
+    )
+
+
+def source_mix_sample(docs: DataFrame) -> DataFrame:
+    """Apply :func:`source_mix`'s per-source keep rates with the same
+    deterministic md5-bucket rule as :func:`stratified_sample` (salt
+    ``MIX_SALT`` keeps the two samples independent).  Pure per-row keep
+    decision against a broadcast per-source rate table — re-runs,
+    executors and the DuckDB oracle select the identical sample, and a
+    resumed job never re-decides a doc differently."""
+    rates = source_mix(docs).select("source", "keep_rate_e6")
+    s = F.concat(F.lit(C.MIX_SALT), F.col("doc_id").cast("string"))
+    bucket = (
+        F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        % C.SAMPLE_MOD
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("sample_bucket", bucket.cast("long"))
+        .where(F.col("sample_bucket") < F.col("keep_rate_e6"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            "sample_bucket",
+        )
+    )
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """End-to-end corpus curation in ONE plan: quality filter AND
     stratified sample AND exact-dedup keeper — the composition a

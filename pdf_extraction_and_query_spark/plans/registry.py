@@ -449,6 +449,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
+    "source_mix": lambda s, d: PK.source_mix(_docs(s, d)),
+    "source_mix_sample": lambda s, d: PK.source_mix_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
     "curate_corpus_full": lambda s, d: PK.curate_corpus_full(_docs(s, d)),
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
@@ -1031,6 +1033,43 @@ SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(sample_bucket as bigint) AS sample_bucket
 FROM b
 WHERE sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END""",
+    # source_mix: floor(sqrt(n)*1000) is bit-identical across engines
+    # (IEEE requires sqrt correctly rounded — contract.MIX_SALT note);
+    # everything downstream is integer div on bigints.
+    "source_mix": """
+WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, cast(n as bigint) AS n_docs,
+             cast(floor(sqrt(n) * 1000) as bigint) AS weight_e3 FROM per),
+t AS (SELECT cast(sum(n_docs) as bigint) AS tn,
+             cast(sum(weight_e3) as bigint) AS tw FROM w),
+sh AS (SELECT source, n_docs, weight_e3,
+              cast((1000000 * n_docs) // tn as bigint) AS natural_share_e6,
+              cast((1000000 * weight_e3) // tw as bigint) AS target_share_e6
+       FROM w, t)
+SELECT source, n_docs, weight_e3, natural_share_e6, target_share_e6,
+       cast(least(1000000, (1000000 * target_share_e6)
+                           // greatest(natural_share_e6, 1)) as bigint)
+         AS keep_rate_e6
+FROM sh""",
+    "source_mix_sample": f"""
+WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, cast(n as bigint) AS n_docs,
+             cast(floor(sqrt(n) * 1000) as bigint) AS weight_e3 FROM per),
+t AS (SELECT cast(sum(n_docs) as bigint) AS tn,
+             cast(sum(weight_e3) as bigint) AS tw FROM w),
+r AS (SELECT source,
+             least(1000000, (1000000 * ((1000000 * weight_e3) // tw))
+                            // greatest((1000000 * n_docs) // tn, 1))
+               AS keep_rate_e6
+      FROM w, t),
+b AS (SELECT doc_id, documents.source,
+             ('0x' || substr(md5('{C.MIX_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+               % {C.SAMPLE_MOD} AS sample_bucket,
+             keep_rate_e6
+      FROM documents JOIN r ON documents.source = r.source)
+SELECT cast(doc_id as bigint) AS doc_id, source,
+       cast(sample_bucket as bigint) AS sample_bucket
+FROM b WHERE sample_bucket < keep_rate_e6""",
     "curate_corpus": f"""
 WITH b AS (
   SELECT doc_id, lang,

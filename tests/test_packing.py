@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from pdf_extraction_and_query_spark import contract as C
 from pdf_extraction_and_query_spark.operators.packing import (
     shard_pack,
+    source_mix,
+    source_mix_sample,
     stratified_sample,
 )
 
@@ -137,3 +139,35 @@ def test_curate_corpus_full_drops_each_violator_class(spark):
     sampled = {r.doc_id for r in stratified_sample(docs).collect()}
     assert kept <= sampled
     assert kept <= set(range(300, 310))
+
+
+def test_source_mix_downsamples_the_overrepresented_source(spark):
+    # the gate corpus has uniform sources, so the interesting branch
+    # (keep_rate < 1e6 on the dominant source) only runs here: 900 A docs
+    # vs 100 B docs, alpha=1/2 -> weights 30000/10000, target shares
+    # 750000/250000, natural 900000/100000 -> A is downsampled to
+    # 833333, B capped at 1e6.
+    docs = spark.createDataFrame(
+        [(i, "t", "A" if i < 900 else "B") for i in range(1000)],
+        "doc_id long, text string, source string",
+    )
+    mix = {r["source"]: r.asDict() for r in source_mix(docs).collect()}
+    assert mix["A"]["weight_e3"] == 30000 and mix["B"]["weight_e3"] == 10000
+    assert mix["A"]["natural_share_e6"] == 900000
+    assert mix["A"]["target_share_e6"] == 750000
+    assert mix["A"]["keep_rate_e6"] == (1_000_000 * 750_000) // 900_000
+    assert mix["B"]["keep_rate_e6"] == 1_000_000
+
+
+def test_source_mix_sample_is_deterministic_and_realizes_the_rates(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "A" if i < 900 else "B") for i in range(1000)],
+        "doc_id long, text string, source string",
+    )
+    a = {r["doc_id"] for r in source_mix_sample(docs).collect()}
+    b = {r["doc_id"] for r in source_mix_sample(docs).collect()}
+    assert a == b
+    kept_a = sum(1 for i in a if i < 900) / 900
+    kept_b = sum(1 for i in a if i >= 900) / 100
+    assert abs(kept_a - 0.8333) < 0.08, kept_a  # hash noise at n=900
+    assert kept_b == 1.0  # rate 1e6 keeps every B doc, no noise allowed
