@@ -64,10 +64,13 @@ class _MainContentParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.spans: List[Span] = []
-        # (href, in_main) in document order; in_main = the enclosing text
-        # block survived BOTH heuristics (links in boilerplate or in
-        # link-dense blocks are navigation, not citations)
-        self.links: List[Tuple[str, bool]] = []
+        # (href, anchor_text, in_main) in document order; in_main = the
+        # enclosing text block survived BOTH heuristics (links in
+        # boilerplate or in link-dense blocks are navigation, not
+        # citations); anchor_text = whitespace-normalized character data
+        # collected while THAT anchor was open (the text a search indexer
+        # attributes to the TARGET page)
+        self.links: List[Tuple[str, str, bool]] = []
         self.n_dropped_structural = 0
         self.n_dropped_linkdense = 0
         # head metadata a crawl pipeline keys on: first rel=canonical href
@@ -75,7 +78,11 @@ class _MainContentParser(HTMLParser):
         self.canonical: str = ""
         self.noindex: bool = False
         self._buf: List[str] = []
-        self._blk_links: List[str] = []
+        # per-block pending links: (href, text-part list); the part list of
+        # the OPEN anchor keeps growing until the anchor closes (end tag,
+        # a new <a>, or the block boundary — whichever comes first)
+        self._blk_links: List[Tuple[str, List[str]]] = []
+        self._a_parts: List[str] | None = None
         # media seen since the last flush, committed by the NEXT flush's
         # keep decision: an <img> between link-dense runs (sidebar thumbs,
         # share icons) is boilerplate chrome, not a content figure
@@ -116,9 +123,12 @@ class _MainContentParser(HTMLParser):
         # link attribution — erring toward keeping content, the safe
         # failure for extraction (review finding).
         self._anchor = 0
+        self._a_parts = None
         dense = C.HTML_LD_NUM * link > C.HTML_LD_DEN * total
         kept = bool(text) and self._strip == 0 and not dense
-        self.links.extend((h, kept) for h in hrefs)
+        self.links.extend(
+            (h, " ".join("".join(parts).split()), kept) for h, parts in hrefs
+        )
         # media commit rule: a figure between text runs follows the flushed
         # block's verdict; with no text in THIS flush it follows the block's
         # running context (_ctx_dense), so icons after a link-dense run are
@@ -180,11 +190,18 @@ class _MainContentParser(HTMLParser):
             if self._skip:
                 return
             # depth capped at 1: HTML forbids nested anchors and browsers
-            # implicitly close the open one on a new <a> start
+            # implicitly close the open one on a new <a> start (its text
+            # collection ends here too)
             self._anchor = 1
             href = dict(attrs).get("href")
             if href:
-                self._blk_links.append(href)
+                parts: List[str] = []
+                self._blk_links.append((href, parts))
+                self._a_parts = parts
+            else:
+                # href-less anchor still counts for link density but is
+                # never a link record — collect no text for it
+                self._a_parts = None
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -202,6 +219,7 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "a":
             self._anchor = 0
+            self._a_parts = None
             return
         if tag in _BLOCK_TAGS and tag not in _VOID_TAGS:
             self._flush()
@@ -215,6 +233,7 @@ class _MainContentParser(HTMLParser):
             self._skip = max(0, self._skip - 1)
         elif tag == "a":
             self._anchor = 0
+            self._a_parts = None
         elif tag in _STRIP_TAGS:
             self._strip = max(0, self._strip - 1)
 
@@ -225,6 +244,8 @@ class _MainContentParser(HTMLParser):
         self._total_chars += len(data)
         if self._anchor:
             self._link_chars += len(data)
+            if self._a_parts is not None:
+                self._a_parts.append(data)
 
 
 def parse_page(html: str) -> _MainContentParser:
@@ -249,6 +270,17 @@ def extract_links(html: str) -> List[Tuple[str, bool]]:
     outbound-link view a crawl pipeline feeds into domain filtering /
     link-graph construction: navigation chrome classifies False, citations
     inside kept prose classify True."""
+    return [(h, m) for h, _t, m in parse_page(html).links]
+
+
+def extract_links_text(html: str) -> List[Tuple[str, str, bool]]:
+    """:func:`extract_links` plus the anchor TEXT per link — the words a
+    linking page uses to describe the TARGET, the classic web-search
+    relevance signal (anchor text is indexed under the target URL).
+    ``(href, anchor_text, in_main)`` in document order; text is
+    entity-decoded and whitespace-normalized, '' for empty anchors, and an
+    anchor left open at a block boundary keeps the text collected up to
+    that boundary (same conservative cut as the density attribution)."""
     return parse_page(html).links
 
 

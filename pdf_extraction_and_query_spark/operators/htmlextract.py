@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.htmlmain import extract_links, extract_main_html_report
+from ..core.htmlmain import (
+    extract_links,
+    extract_links_text,
+    extract_main_html_report,
+)
 from .util import fan_out
 
 # The parse amplifies compute ~30x over input BYTES (~0.3 s/MB of python
@@ -115,6 +119,85 @@ def html_links(html_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return _balanced(html_df).mapInPandas(run, schema=_LINKS_SCHEMA)
+
+
+_LINKS_TEXT_SCHEMA = (
+    "doc_id string, link_order long, href string, anchor_text string, "
+    "in_main boolean"
+)
+
+
+def html_links_text(html_df: DataFrame) -> DataFrame:
+    """:func:`html_links` plus the anchor TEXT per link — what the linking
+    page calls the target. Same narrow Arrow pass."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "link_order": [],
+                "href": [],
+                "anchor_text": [],
+                "in_main": [],
+            }
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                for j, (href, text, in_main) in enumerate(
+                    extract_links_text(h)
+                ):
+                    out["doc_id"].append(str(d))
+                    out["link_order"].append(j)
+                    out["href"].append(href)
+                    out["anchor_text"].append(text)
+                    out["in_main"].append(in_main)
+            yield pd.DataFrame(out)
+
+    return _balanced(html_df).mapInPandas(run, schema=_LINKS_TEXT_SCHEMA)
+
+
+def anchor_text_agg(html_df: DataFrame) -> DataFrame:
+    """Aggregated anchor-text signal per TARGET URL — the classic web-search
+    indexing input (anchor text describes the target better than the target
+    describes itself): total inbound anchors, inbound from MAIN content,
+    distinct anchor texts, and the most common text (ties break on the
+    lexicographically smallest text — deterministic, resumable).
+
+    Plan: the narrow link Arrow pass, then TWO hash aggregations —
+    (href, text) partial counts first, then per-href rollup. Both combine
+    map-side; the exchanges carry (href, text, counts) summaries, never
+    pages, and a skewed target like '/home' splits across its distinct
+    texts at level 1 before the level-2 rollup sees one summary row per
+    text. The winner is ``min(struct(-cnt, text))`` — highest count, then
+    smallest text — one max-able key, no window over raw anchors."""
+    per = (
+        html_links_text(html_df)
+        .groupBy("href", "anchor_text")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("in_main").cast("long")).cast("long").alias("cnt_main"),
+        )
+    )
+    win = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("neg"), F.col("anchor_text").alias("text")
+        )
+    ).alias("w")
+    return (
+        per.groupBy("href")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_anchors"),
+            F.sum("cnt_main").cast("long").alias("n_anchors_main"),
+            F.count("*").cast("long").alias("n_distinct_texts"),
+            win,
+        )
+        .select(
+            "href",
+            "n_anchors",
+            "n_anchors_main",
+            "n_distinct_texts",
+            F.col("w.text").alias("top_text"),
+            (-F.col("w.neg")).cast("long").alias("top_text_n"),
+        )
+    )
 
 
 def html_canonical_dups(html_df: DataFrame) -> DataFrame:

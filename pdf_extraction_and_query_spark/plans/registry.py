@@ -523,6 +523,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": lambda s, d: HX.html_extract(_html_corpus(s, d)),
     "html_extract_report": lambda s, d: HX.html_extract_report(_html_corpus(s, d)),
     "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
+    "html_links_text": lambda s, d: HX.html_links_text(_html_corpus(s, d)),
+    "anchor_text_agg": lambda s, d: HX.anchor_text_agg(_html_corpus(s, d)),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
@@ -1887,6 +1889,11 @@ _HTML_META = f"""
                 THEN length(array_to_string(
                        w[(i*{_WPP}+1):(i*{_WPP}+{C.HTML_LINK_WORDS})], ' '))
                 ELSE 0 END AS link_chars,
+           CASE WHEN i % {C.HTML_LINK_EVERY} = {C.HTML_LINK_PHASE}
+                 AND least((i+1)*{_WPP}, n_words) - i*{_WPP} > {C.HTML_LINK_WORDS}
+                THEN array_to_string(
+                       w[(i*{_WPP}+1):(i*{_WPP}+{C.HTML_LINK_WORDS})], ' ')
+                ELSE '' END AS atext,
            CASE WHEN i % {C.HTML_IMG_EVERY} = {C.HTML_IMG_PHASE} THEN 1 ELSE 0 END
              AS has_fig,
            CASE WHEN i >= {C.HTML_IMG_PHASE}
@@ -1960,6 +1967,25 @@ _HTML_FIXED_LINKS = ", ".join(
 )
 _HTML_N_FIXED_PRE = len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS + 2
 
+# text-carrying twin of _HTML_FIXED_LINKS: the template's anchor texts are
+# constants (nav item label, 'More k', cookie-banner buttons); the share
+# strip's two links trail the content links
+_HTML_FIXED_LINKS_T = ", ".join(
+    [
+        f"({k}, '/{item.lower()}', '{item}')"
+        for k, item in enumerate(C.HTML_NAV_ITEMS)
+    ]
+    + [
+        f"({len(C.HTML_NAV_ITEMS) + k}, '/t/{k}', 'More {k}')"
+        for k in range(C.HTML_SIDEBAR_LINKS)
+    ]
+    + [
+        f"({len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS}, '#a', 'Accept all')",
+        f"({len(C.HTML_NAV_ITEMS) + C.HTML_SIDEBAR_LINKS + 1}, '#d', 'Decline all')",
+    ]
+)
+_HTML_SHARE_LINKS_T = "(0, '#s', 'Share'), (1, '#t', 'Tweet')"
+
 ORACLE_SQL["html_links"] = f"""
 WITH {_HTML_META},
 ctr AS (
@@ -1985,6 +2011,70 @@ SELECT cast(doc_id as varchar) AS doc_id,
        cast(link_order as bigint) AS link_order,
        href, in_main
 FROM alll"""
+
+# html_links plus the anchor text: the template's label constants for the
+# chrome links, the first HTML_LINK_WORDS words of the paragraph (ht.atext)
+# for the cadence-triggered content links
+ORACLE_SQL["html_links_text"] = f"""
+WITH {_HTML_META},
+ctr AS (
+  SELECT doc_id, i, atext,
+         cast(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+              as bigint) AS j,
+         {_HTML_KEEP} AS kept
+  FROM ht WHERE link_chars > 0),
+ncl AS (SELECT doc_id, cast(count(*) as bigint) AS c FROM ctr GROUP BY doc_id),
+alll AS (
+  SELECT hc.doc_id, v.k AS link_order, v.href, v.atext, false AS in_main
+  FROM hc CROSS JOIN (VALUES {_HTML_FIXED_LINKS_T}) v(k, href, atext)
+  UNION ALL
+  SELECT doc_id, {_HTML_N_FIXED_PRE} + j AS link_order,
+         '/ref/' || cast(i as varchar) AS href, atext, kept AS in_main
+  FROM ctr
+  UNION ALL
+  SELECT hc.doc_id, {_HTML_N_FIXED_PRE} + coalesce(ncl.c, 0) + v.k AS link_order,
+         v.href, v.atext, false AS in_main
+  FROM hc LEFT JOIN ncl ON hc.doc_id = ncl.doc_id
+  CROSS JOIN (VALUES {_HTML_SHARE_LINKS_T}) v(k, href, atext))
+SELECT cast(doc_id as varchar) AS doc_id,
+       cast(link_order as bigint) AS link_order,
+       href, atext AS anchor_text, in_main
+FROM alll"""
+
+# aggregated anchor-text signal per target: counts + distinct texts + the
+# most common text (ties -> lexicographically smallest), replaying the
+# Spark side's (count DESC, text ASC) winner rule as a window
+ORACLE_SQL["anchor_text_agg"] = f"""
+WITH {_HTML_META},
+ctr AS (
+  SELECT doc_id, i, atext, {_HTML_KEEP} AS kept
+  FROM ht WHERE link_chars > 0),
+alll AS (
+  SELECT v.href, v.atext, false AS in_main
+  FROM hc CROSS JOIN (VALUES {_HTML_FIXED_LINKS_T}) v(k, href, atext)
+  UNION ALL
+  SELECT '/ref/' || cast(i as varchar) AS href, atext, kept AS in_main
+  FROM ctr
+  UNION ALL
+  SELECT v.href, v.atext, false AS in_main
+  FROM hc CROSS JOIN (VALUES {_HTML_SHARE_LINKS_T}) v(k, href, atext)),
+per AS (
+  SELECT href, atext, cast(count(*) as bigint) AS cnt,
+         cast(sum(CASE WHEN in_main THEN 1 ELSE 0 END) as bigint) AS cnt_main
+  FROM alll GROUP BY href, atext),
+r AS (
+  SELECT href, atext, cnt,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY cnt DESC, atext ASC) AS rn
+  FROM per),
+a AS (
+  SELECT href, cast(sum(cnt) as bigint) AS n_anchors,
+         cast(sum(cnt_main) as bigint) AS n_anchors_main,
+         cast(count(*) as bigint) AS n_distinct_texts
+  FROM per GROUP BY href)
+SELECT a.href, a.n_anchors, a.n_anchors_main, a.n_distinct_texts,
+       r.atext AS top_text, r.cnt AS top_text_n
+FROM a JOIN r ON a.href = r.href AND r.rn = 1"""
 
 ORACLE_SQL["html_canonical_dups"] = f"""
 WITH canon AS (

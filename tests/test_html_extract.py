@@ -222,6 +222,61 @@ def test_extract_links_classification():
     ]
 
 
+def test_extract_links_text_semantics():
+    """Anchor text: entity-decoded, whitespace-normalized, cut at implicit
+    closes (new <a>, block boundary), '' for empty anchors, and never
+    recorded for href-less anchors."""
+    from pdf_extraction_and_query_spark.core.htmlmain import (
+        extract_links_text,
+    )
+
+    html = (
+        "<p>see <a href='/x'>A &amp;  B</a> in long surrounding prose "
+        "text that keeps this paragraph.</p>"
+        "<p><a href='/open'>cut here</p>"
+        "<p><a href='/1'>first<a href='/2'>second</a> long enough prose "
+        "tail keeps the block alive here.</p>"
+        "<p><a href='/empty'></a>no anchor words in this long prose "
+        "paragraph that survives density.</p>"
+        "<p><a>href-less</a> collects nothing in this long surviving "
+        "paragraph of prose text.</p>"
+    )
+    assert extract_links_text(html) == [
+        ("/x", "A & B", True),
+        ("/open", "cut here", False),  # whole-block link => dense
+        ("/1", "first", True),
+        ("/2", "second", True),
+        ("/empty", "", True),
+    ]
+
+
+def test_extract_links_text_fixture_matches_arithmetic():
+    """The fixture's anchor texts are word-index arithmetic: nav items,
+    'More k' sidebar, cookie/share constants, and the first
+    HTML_LINK_WORDS words of each cadence-triggered paragraph."""
+    from pdf_extraction_and_query_spark.core.htmlmain import (
+        extract_links_text,
+    )
+
+    words = [f"w{i}" for i in range(5 * C.HTML_WORDS_PER_PARA)]
+    links = extract_links_text(html_from_text("9", " ".join(words)))
+    texts = {h: t for h, t, _m in links}
+    for item in C.HTML_NAV_ITEMS:
+        assert texts[f"/{item.lower()}"] == item
+    for k in range(C.HTML_SIDEBAR_LINKS):
+        assert texts[f"/t/{k}"] == f"More {k}"
+    assert texts["#a"] == "Accept all" and texts["#d"] == "Decline all"
+    assert texts["#s"] == "Share" and texts["#t"] == "Tweet"
+    for i in range(5):
+        if i % C.HTML_LINK_EVERY == C.HTML_LINK_PHASE:
+            assert texts[f"/ref/{i}"] == " ".join(
+                words[
+                    i * C.HTML_WORDS_PER_PARA : i * C.HTML_WORDS_PER_PARA
+                    + C.HTML_LINK_WORDS
+                ]
+            )
+
+
 def test_extract_links_fixture_orders_are_dense():
     from pdf_extraction_and_query_spark.core.htmlmain import extract_links
 
@@ -442,7 +497,8 @@ if _HAVE_HYP:
             assert isinstance(text, str) and isinstance(ref, str)
             if kind == "text":
                 assert text == " ".join(text.split()) and text
-        for href, in_main in p.links:
+        for href, atext, in_main in p.links:
             assert isinstance(href, str) and isinstance(in_main, bool)
+            assert isinstance(atext, str) and atext == " ".join(atext.split())
         assert isinstance(p.canonical, str) and isinstance(p.noindex, bool)
         assert p.n_dropped_structural >= 0 and p.n_dropped_linkdense >= 0

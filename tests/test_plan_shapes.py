@@ -145,6 +145,35 @@ def test_crawl_rollups_have_single_keyed_exchange(spark, tmp_path):
         assert "partial_" in plan.split("Exchange hashpartitioning")[1], plan
 
 
+def test_anchor_text_agg_is_two_level_hash_agg(spark, tmp_path):
+    """anchor_text_agg: (href, anchor_text) partial counts, then the
+    per-href rollup — exactly two keyed exchanges, each with a partial_
+    aggregate below it (map-side combine on both levels: a skewed target
+    splits across its distinct texts before the rollup sees one summary
+    row per text), never a window over raw anchors."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        anchor_text_agg,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    _docs(spark).select(
+        "doc_id",
+        F.concat(
+            F.lit('<p>body <a href="/x">x</a> long prose text for '),
+            F.col("doc_id"),
+            F.lit("</p>"),
+        ).alias("html"),
+    ).write.parquet(p)
+    df = anchor_text_agg(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keyed = plan.count("Exchange hashpartitioning")
+    rr = plan.count("Exchange RoundRobinPartitioning")
+    assert keyed == 2 and plan.count("Exchange") == keyed + rr, plan
+    assert "Exchange hashpartitioning(href" in plan, plan
+    assert plan.count("partial_") >= 2, plan
+    assert "Window" not in plan, plan
+
+
 def test_html_registry_chain_has_single_roundrobin_exchange(spark):
     """Composed corpus-lift -> parse path: the corpus lift balances the
     RAW text before generation, so the operators' balance guard must
