@@ -289,3 +289,17 @@ DUP_PASSAGE_K = 8
 # integer), candidate depth HYBRID_POOL per retriever before fusion
 RRF_K = 60
 HYBRID_POOL = 20
+
+# --- link-graph PageRank (operators/graphrank.py) ---
+# fixed-point integer PageRank: pr_0 = PR_SCALE for every node; each
+# iteration pr'(v) = PR_BASE + (PR_DAMP_NUM * S(v)) div PR_DAMP_DEN where
+# S(v) = sum over in-edges (u,v,w) of (pr(u) * w) div outw(u).  All
+# quantities stay positive int64, so Spark's `div` (truncation) and
+# DuckDB's `//` (floor) agree exactly and the unrolled-SQL oracle can
+# value-hash the result.  Dangling mass (nodes with no out-edges) vanishes
+# by construction — documented, identical on both sides.
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # 150_000
+PR_ITERS = 3

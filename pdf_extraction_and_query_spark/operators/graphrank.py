@@ -1,0 +1,97 @@
+"""Site link-graph construction + fixed-point integer PageRank.
+
+The crawl-frontier ranking signal one step past :func:`link_in_degree`:
+in-degree counts every inbound link equally, PageRank weights each link by
+the importance of the page casting it — the standard priority function for
+"which URL do we fetch/refresh next" at web scale.  The reference repo has
+no graph surface (it is a PDF store); this operator family is specified
+against the north rule's crawl pipeline and the public literature
+(Page et al. 1999; the iterative join formulation is the canonical
+dataflow expression of power iteration).
+
+Determinism contract (``contract.PR_*``): all arithmetic is positive-int64
+fixed point — pr starts at ``PR_SCALE``, per-edge contribution is
+``(pr(u) * w) div outw(u)``, the damping update is
+``PR_BASE + (PR_DAMP_NUM * S) div PR_DAMP_DEN``.  Spark's ``div``
+(truncating) and DuckDB's ``//`` (flooring) agree on non-negative
+operands, so an UNROLLED-SQL oracle value-hashes the result exactly —
+no float sums, no order dependence (int64 addition is associative).
+
+Scale shape (10^12 pages): the edge list is the big table.  It is
+materialized ONCE (``localCheckpoint``, the :func:`dedup.connected_components`
+precedent — without it every unrolled iteration would re-run the HTML
+parse that feeds it); each iteration is one (src)-keyed broadcast-or-shuffle
+join pr⋈edges, one (dst)-keyed hash aggregation (map-side combined), and
+one left join back to the node list; pr lineage is truncated per iteration
+so the plan stays O(1) deep.  Iteration count is FIXED (``PR_ITERS``), the
+crawl-scheduling convention (a frontier wants a stable, cheap, reproducible
+score, not convergence to machine epsilon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def link_edges(pairs: DataFrame) -> DataFrame:
+    """Weighted edge list from raw ``(src, dst)`` link occurrences: one
+    hash aggregation (map-side combine — a hot target's rows collapse
+    per-task before the exchange), self-loops dropped (a page linking to
+    itself carries no ranking information and would let it recycle its own
+    mass)."""
+    return (
+        pairs.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = C.PR_ITERS) -> DataFrame:
+    """Fixed-point integer PageRank over a weighted edge list
+    ``(src, dst, n)`` -> ``(node, pr)`` for every node that appears as a
+    source or target.  See the module docstring for the arithmetic and
+    scale contracts."""
+    e = edges.select(
+        "src", "dst", F.col("n").cast("long").alias("n")
+    )
+    # materialize edges once: every unrolled iteration references them, and
+    # multiple DataFrame references to one subtree are planned independently
+    # (PLANS.md #11) — without this the upstream parse would run per round
+    e = e.localCheckpoint()
+    outw = e.groupBy("src").agg(F.sum("n").cast("long").alias("outw"))
+    ew = e.join(outw, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    pr = nodes.select("node", F.lit(C.PR_SCALE).cast("long").alias("pr"))
+    for _ in range(int(iters)):
+        contrib = (
+            ew.join(pr, ew["src"] == pr["node"])
+            .select(
+                "dst",
+                F.expr("(pr * n) div outw").cast("long").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(C.PR_BASE).cast("long")
+                    + F.expr(
+                        f"({C.PR_DAMP_NUM} * coalesce(s, cast(0 as bigint))) "
+                        f"div {C.PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1)-deep plan per round
+        )
+    return pr

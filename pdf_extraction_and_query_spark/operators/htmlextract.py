@@ -154,6 +154,45 @@ def html_links_text(html_df: DataFrame) -> DataFrame:
     return _balanced(html_df).mapInPandas(run, schema=_LINKS_TEXT_SCHEMA)
 
 
+_LINKS_META_SCHEMA = (
+    "doc_id string, link_order long, href string, anchor_text string, "
+    "in_main boolean, canonical string"
+)
+
+
+def html_links_with_meta(html_df: DataFrame) -> DataFrame:
+    """:func:`html_links_text` plus the SOURCE page's canonical URL on
+    every row — the link-graph edge input (src page, dst href) in ONE
+    Arrow pass: at 10^12 pages a join of two separate parse passes (links
+    ⋈ report on doc_id) would parse every page twice and add a doc-keyed
+    exchange; here the canonical rides out of the same parse."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.htmlmain import parse_page
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "link_order": [],
+                "href": [],
+                "anchor_text": [],
+                "in_main": [],
+                "canonical": [],
+            }
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                p = parse_page(h)
+                for j, (href, text, in_main) in enumerate(p.links):
+                    out["doc_id"].append(str(d))
+                    out["link_order"].append(j)
+                    out["href"].append(href)
+                    out["anchor_text"].append(text)
+                    out["in_main"].append(in_main)
+                    out["canonical"].append(p.canonical)
+            yield pd.DataFrame(out)
+
+    return _balanced(html_df).mapInPandas(run, schema=_LINKS_META_SCHEMA)
+
+
 def anchor_text_agg(html_df: DataFrame) -> DataFrame:
     """Aggregated anchor-text signal per TARGET URL — the classic web-search
     indexing input (anchor text describes the target better than the target
@@ -391,6 +430,62 @@ def crawl_corpus(report_df: DataFrame) -> DataFrame:
     struct) → :func:`corpus_gate`.  No join back to the pages."""
     return corpus_gate(
         merge_keep_latest_full(keep_latest_full_summaries(report_df))
+    )
+
+
+def recrawl_change_stats(report_df: DataFrame) -> DataFrame:
+    """Per-canonical content-CHANGE statistics across recrawls — the
+    recrawl-scheduling signal (a URL whose content changes every fetch is
+    re-crawled sooner than one that never changes; CDX revisit analysis).
+    For each canonical URL: fetch count, distinct content versions
+    (boilerplate-independent: the main-content hash), whether the LATEST
+    fetch changed vs the previous one (under the keep-latest total order —
+    :func:`_winner_struct`'s (ts, doc_id) — so "latest" here is exactly
+    the fetch :func:`crawl_keep_latest` keeps), and a fixed-point change
+    ratio ``(n_versions-1)*10^6 div (n_crawls-1)`` (0 for single-fetch
+    URLs).
+
+    Plan: ONE canonical-keyed exchange; row_number/lead and the per-URL
+    totals share the same window partition (count + collect_set over the
+    unbounded frame — per-URL fetch counts are small by construction, so
+    the set state is bounded), output is scalar-only."""
+    from pyspark.sql import Window
+
+    base = report_df.where(F.col("canonical") != "").select(
+        "canonical",
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "content_hash",
+        F.coalesce(F.col("fetched_at_ts").cast("long"), F.lit(TS_UNKNOWN)).alias(
+            "ts"
+        ),
+    )
+    w_ord = Window.partitionBy("canonical").orderBy(
+        F.col("ts").desc(), F.col("doc_id").desc()
+    )
+    w_all = Window.partitionBy("canonical")
+    r = base.select(
+        "canonical",
+        "content_hash",
+        F.row_number().over(w_ord).alias("rn"),
+        F.lead("content_hash").over(w_ord).alias("prev_hash"),
+        F.count("*").over(w_all).cast("long").alias("n_crawls"),
+        F.size(F.collect_set("content_hash").over(w_all))
+        .cast("long")
+        .alias("n_versions"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "canonical",
+        "n_crawls",
+        "n_versions",
+        (
+            F.col("prev_hash").isNotNull()
+            & (F.col("prev_hash") != F.col("content_hash"))
+        ).alias("latest_changed"),
+        F.expr(
+            "((n_versions - 1) * 1000000) div greatest(n_crawls - 1, 1)"
+        )
+        .cast("long")
+        .alias("change_ratio_e6"),
     )
 
 

@@ -23,6 +23,7 @@ from .. import contract as C
 from ..core import boilerplate as bp
 from ..operators import dedup as D
 from ..operators import fulltext as FT
+from ..operators import graphrank as GR
 from ..operators import htmlextract as HX
 from ..operators import repetition as RP
 from ..operators import packing as PK
@@ -78,6 +79,47 @@ def _crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = HX.html_extract_report(_html_corpus(spark, sf_dir))
     ts = _synth_ts_expr(F.col("doc_id").cast("long"))
     return HX.crawl_corpus(rep.withColumn("fetched_at_ts", ts))
+
+
+def _recrawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-change statistics across recrawls of each canonical URL
+    (same synthesized fetch time as _crawl_keep_latest)."""
+    from pyspark.sql import functions as F
+
+    rep = HX.html_extract_report(_html_corpus(spark, sf_dir))
+    ts = _synth_ts_expr(F.col("doc_id").cast("long"))
+    return HX.recrawl_change_stats(rep.withColumn("fetched_at_ts", ts))
+
+
+def _site_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted doc→doc edge list over the HTML corpus: in-main content
+    links only (chrome is navigation, not citation), each ``/ref/{i}``
+    href resolved to the canonical URL of the article it targets — the
+    fixture's URL-resolution rule, ``i % HTML_CANONICAL_MOD`` under the
+    canonical prefix (in production this is the crawl index's
+    href→canonical join; here it is pure column arithmetic so the oracle
+    can replay it). Source node = the page's OWN canonical, straight from
+    the parse (one Arrow pass, no second parse / no doc-keyed join)."""
+    from pyspark.sql import functions as F
+
+    lm = HX.html_links_with_meta(_html_corpus(spark, sf_dir))
+    pairs = lm.where(
+        F.col("in_main") & F.col("href").startswith("/ref/")
+    ).select(
+        F.col("canonical").alias("src"),
+        F.concat(
+            F.lit(C.HTML_CANONICAL_PREFIX),
+            (
+                F.expr("cast(substring(href, 6) as bigint)")
+                % C.HTML_CANONICAL_MOD
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    return GR.link_edges(pairs)
+
+
+def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GR.pagerank(_site_link_graph(spark, sf_dir))
 
 
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +571,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
     "crawl_corpus": lambda s, d: _crawl_corpus(s, d),
+    "recrawl_change_rate": _recrawl_change_rate,
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
+    "site_link_graph": _site_link_graph,
+    "link_pagerank": _link_pagerank,
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -2148,6 +2193,92 @@ r AS (
 SELECT canonical, sid AS doc_id, ts AS fetched_at_ts,
        chars_main AS n_chars_main, c AS n_crawls
 FROM r WHERE rn = 1 AND NOT noindex AND chars_main > 0"""
+
+# recrawl change detection: content hash per fetch from the paragraph
+# arithmetic (html_content_dups' ch CTE), canonical + fetch time from the
+# doc_id arithmetic, latest/previous under the SAME (ts DESC, sid DESC)
+# total order as crawl_keep_latest; count(distinct) over a window is
+# native DuckDB, the Spark side sizes a collect_set
+ORACLE_SQL["recrawl_change_rate"] = f"""
+WITH {_HTML_META},
+ch AS (
+  SELECT hc.doc_id,
+         md5(coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),
+pages AS (
+  SELECT cast(ch.doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(ch.doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         {_synth_ts_sql('ch.doc_id')} AS ts,
+         ch.content_hash
+  FROM ch),
+r AS (
+  SELECT canonical, content_hash,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn,
+         lead(content_hash) OVER (PARTITION BY canonical
+                                  ORDER BY ts DESC, sid DESC) AS prev_hash,
+         cast(count(*) OVER (PARTITION BY canonical) as bigint) AS n_crawls,
+         cast(count(DISTINCT content_hash)
+              OVER (PARTITION BY canonical) as bigint) AS n_versions
+  FROM pages)
+SELECT canonical, n_crawls, n_versions,
+       (prev_hash IS NOT NULL AND prev_hash <> content_hash)
+         AS latest_changed,
+       cast(((n_versions - 1) * 1000000)
+            // greatest(n_crawls - 1, 1) as bigint) AS change_ratio_e6
+FROM r WHERE rn = 1"""
+
+# the site link graph: in-main /ref/{i} links resolved to the canonical of
+# article i % MOD (the fixture URL-resolution rule), src = the page's own
+# canonical; weight = occurrence count, self-loops dropped
+_PR_EDGES = f"""
+ctr AS (
+  SELECT doc_id, i, {_HTML_KEEP} AS kept
+  FROM ht WHERE link_chars > 0),
+edges0 AS (
+  SELECT '{C.HTML_CANONICAL_PREFIX}'
+           || cast(doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS src,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(i % {C.HTML_CANONICAL_MOD} as varchar) AS dst
+  FROM ctr WHERE kept),
+e AS (
+  SELECT src, dst, cast(count(*) as bigint) AS n
+  FROM edges0 WHERE src <> dst GROUP BY src, dst)"""
+
+ORACLE_SQL["site_link_graph"] = f"""
+WITH {_HTML_META},
+{_PR_EDGES}
+SELECT src, dst, n FROM e"""
+
+# fixed-point integer PageRank, PR_ITERS iterations unrolled — an
+# independent (straight-line SQL) evaluation of the same recurrence the
+# Spark side iterates: pr0 = SCALE; s_k(v) = sum (pr_{{k-1}}(u) * n) // outw(u);
+# pr_k = BASE + (DAMP_NUM * s_k) // DAMP_DEN.  All positive int64: DuckDB
+# `//` (floor) == Spark `div` (truncate).  window sum() returns HUGEINT —
+# cast at every aggregation (sharp-edges rule).
+_PR_ITER = lambda k: f"""
+s{k} AS (
+  SELECT ew.dst, cast(sum((pr{k - 1}.pr * ew.n) // ew.outw) as bigint) AS s
+  FROM ew JOIN pr{k - 1} ON ew.src = pr{k - 1}.node GROUP BY ew.dst),
+pr{k} AS (
+  SELECT nodes.node,
+         cast({C.PR_BASE} + ({C.PR_DAMP_NUM} * coalesce(s{k}.s, 0))
+              // {C.PR_DAMP_DEN} as bigint) AS pr
+  FROM nodes LEFT JOIN s{k} ON nodes.node = s{k}.dst)"""
+
+ORACLE_SQL["link_pagerank"] = f"""
+WITH {_HTML_META},
+{_PR_EDGES},
+outw AS (SELECT src, cast(sum(n) as bigint) AS outw FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.n, outw.outw
+       FROM e JOIN outw ON e.src = outw.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+pr0 AS (SELECT node, cast({C.PR_SCALE} as bigint) AS pr FROM nodes),
+{",".join(_PR_ITER(k) for k in range(1, C.PR_ITERS + 1))}
+SELECT node, pr FROM pr{C.PR_ITERS}"""
 
 # link in-degree: every page contributes the fixed chrome links (nav,
 # sidebar, cookie banner, share strip) plus the cadence-triggered /ref/i

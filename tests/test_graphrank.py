@@ -1,0 +1,76 @@
+"""Link-graph PageRank: hand-computed fixed-point values, edge-list
+semantics, and the iterative plan discipline."""
+
+import pdf_extraction_and_query_spark.contract as C
+from pdf_extraction_and_query_spark.operators.graphrank import (
+    link_edges,
+    pagerank,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_link_edges_weights_and_self_loops(spark):
+    out = {
+        (r["src"], r["dst"]): r["n"]
+        for r in link_edges(
+            _pairs(
+                spark,
+                [("A", "B"), ("A", "B"), ("A", "A"), ("B", "C")],
+            )
+        ).collect()
+    }
+    # self-loop dropped; duplicate occurrences weight the edge
+    assert out == {("A", "B"): 2, ("B", "C"): 1}
+
+
+def test_pagerank_hand_computed_three_iterations(spark):
+    """A -> B, A -> C, B -> A; C dangling. pr0 = 10^6 everywhere.
+
+    iter1: s(A)=10^6, s(B)=s(C)=5*10^5
+           pr1(A)=150000+850000=1000000, pr1(B)=pr1(C)=575000
+    iter2: s(A)=575000, s(B)=s(C)=500000
+           pr2(A)=638750, pr2(B)=pr2(C)=575000
+    iter3: s(A)=575000, s(B)=s(C)=638750 div 2 = 319375
+           pr3(A)=638750, pr3(B)=pr3(C)=150000+(85*319375) div 100=421468
+    """
+    edges = link_edges(
+        _pairs(spark, [("A", "B"), ("A", "C"), ("B", "A")])
+    )
+    assert C.PR_ITERS == 3  # the hand computation above unrolls exactly 3
+    got = {r["node"]: r["pr"] for r in pagerank(edges).collect()}
+    assert got == {"A": 638750, "B": 421468, "C": 421468}
+
+
+def test_pagerank_sink_only_node_gets_base_plus_inflow(spark):
+    """A node with inlinks but no outlinks still ranks (it appears in the
+    node set via dst) and dangling mass vanishes — one iteration on a
+    single edge: pr(B) = BASE + (85 * 10^6) div 100."""
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            link_edges(_pairs(spark, [("A", "B")])), iters=1
+        ).collect()
+    }
+    assert got == {
+        "A": C.PR_BASE,
+        "B": C.PR_BASE + (C.PR_DAMP_NUM * C.PR_SCALE) // C.PR_DAMP_DEN,
+    }
+
+
+def test_pagerank_plan_is_lineage_truncated(spark):
+    """Per-iteration localCheckpoint keeps the final plan O(1) deep: the
+    last round's physical plan must reference checkpointed scans, not the
+    unrolled join tree (no exponential re-parse of the upstream source —
+    PLANS.md #11 / the connected-components precedent)."""
+    edges = link_edges(
+        _pairs(spark, [("A", "B"), ("B", "C"), ("C", "A")])
+    )
+    df = pagerank(edges, iters=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one round = one join pr x edges + one agg + one join back to nodes;
+    # a non-truncated 4-round unroll would nest >= 8 joins in ONE plan
+    assert plan.count("Join") <= 3, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan

@@ -292,6 +292,46 @@ def test_crawl_corpus_policy_applies_to_winner(spark):
     assert got["v"] == ("v", "4", 200, 70, 2)
 
 
+def test_recrawl_change_stats_semantics(spark):
+    """Change detection under the keep-latest order: latest vs PREVIOUS
+    fetch (not vs any older version); distinct versions counted
+    boilerplate-independently; single-fetch URLs report no change and
+    ratio 0; null fetch times coerce to TS_UNKNOWN (a timed fetch is
+    always newer); canonical-less rows are excluded."""
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        recrawl_change_stats,
+    )
+
+    rep = spark.createDataFrame(
+        [
+            # u: h1 -> h2 -> h2 (latest unchanged vs previous; 2 versions)
+            ("1", "u", 100, "h1"),
+            ("2", "u", 200, "h2"),
+            ("3", "u", 300, "h2"),
+            # v: h1 -> h3 (latest CHANGED)
+            ("4", "v", 100, "h1"),
+            ("5", "v", 200, "h3"),
+            # w: single fetch
+            ("6", "w", 50, "h9"),
+            # x: null ts loses to the timed fetch; latest changed
+            ("7", "x", None, "ha"),
+            ("8", "x", 10, "hb"),
+            ("9", "", 999, "hz"),  # no canonical: excluded
+        ],
+        schema=(
+            "doc_id string, canonical string, fetched_at_ts long, "
+            "content_hash string"
+        ),
+    )
+    got = {r["canonical"]: tuple(r)[1:] for r in recrawl_change_stats(rep).collect()}
+    assert got == {
+        "u": (3, 2, False, 500000),
+        "v": (2, 2, True, 1000000),
+        "w": (1, 1, False, 0),
+        "x": (2, 2, True, 1000000),
+    }
+
+
 def test_link_in_degree_equals_kernel_rollup(spark, html_docs):
     """The distributed in-degree rollup must equal a driver-side
     aggregation of the link kernel over the same pages — and chrome links
