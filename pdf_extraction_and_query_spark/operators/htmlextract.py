@@ -206,8 +206,21 @@ def anchor_text_agg(html_df: DataFrame) -> DataFrame:
     pages, and a skewed target like '/home' splits across its distinct
     texts at level 1 before the level-2 rollup sees one summary row per
     text. The winner is ``min(struct(-cnt, text))`` — highest count, then
-    smallest text — one max-able key, no window over raw anchors."""
-    per = (
+    smallest text — one max-able key, no window over raw anchors.
+
+    Factored so the incremental path shares both halves: level-1 partials
+    (:func:`anchor_text_partials`) are associative under
+    :func:`merge_anchor_partials`, and the level-2 rollup
+    (:func:`anchor_agg_from_partials`) is the ONE definition of the final
+    signal — the streaming anchor index (``streaming/anchorindex.py``)
+    persists partial summaries and applies the same rollup on read."""
+    return anchor_agg_from_partials(anchor_text_partials(html_df))
+
+
+def anchor_text_partials(html_df: DataFrame) -> DataFrame:
+    """Level-1 ``(href, anchor_text, cnt, cnt_main)`` partial counts —
+    the associative summary the streaming index persists per batch."""
+    return (
         html_links_text(html_df)
         .groupBy("href", "anchor_text")
         .agg(
@@ -215,6 +228,20 @@ def anchor_text_agg(html_df: DataFrame) -> DataFrame:
             F.sum(F.col("in_main").cast("long")).cast("long").alias("cnt_main"),
         )
     )
+
+
+def merge_anchor_partials(summaries: DataFrame) -> DataFrame:
+    """Associative merge of partial summaries: counts add. The singleton
+    case is a no-op re-aggregation of :func:`anchor_text_partials`."""
+    return summaries.groupBy("href", "anchor_text").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("cnt_main").cast("long").alias("cnt_main"),
+    )
+
+
+def anchor_agg_from_partials(per: DataFrame) -> DataFrame:
+    """Level-2 per-href rollup over (href, anchor_text, cnt, cnt_main)
+    partials — see :func:`anchor_text_agg` for the signal contract."""
     win = F.min(
         F.struct(
             (-F.col("cnt")).alias("neg"), F.col("anchor_text").alias("text")
