@@ -78,6 +78,7 @@ _TRIM_ORDER = [
     "topk_enriched",
     "crawl_corpus",
     "html_extract",
+    "anchor_text_agg",
 ]
 
 _MEDIANS: dict[str, float] = {}
@@ -270,6 +271,8 @@ def main() -> None:
         "chunk_invariants",
         "html_extract",
         "crawl_corpus",
+        "anchor_text_agg",
+        "link_pagerank",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

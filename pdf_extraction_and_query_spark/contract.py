@@ -303,3 +303,10 @@ PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
 PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # 150_000
 PR_ITERS = 3
+
+# crawl-frontier priority (operators/graphrank.crawl_frontier): re-fetch
+# priority = (pagerank * (FRONTIER_CHANGE_BASE + change_ratio_e6))
+# div FRONTIER_CHANGE_BASE — a page that changed on every recrawl doubles
+# its pagerank priority, a never-changing page keeps it. Positive int64
+# throughout (pr <= ~PR_SCALE bound, ratio <= 1e6: product < 2^52).
+FRONTIER_CHANGE_BASE = 1_000_000

@@ -95,3 +95,51 @@ def pagerank(edges: DataFrame, iters: int = C.PR_ITERS) -> DataFrame:
             .localCheckpoint()  # truncate lineage: O(1)-deep plan per round
         )
     return pr
+
+
+def crawl_frontier(
+    corpus_df: DataFrame, change_df: DataFrame, pr_df: DataFrame
+) -> DataFrame:
+    """The recrawl PRIORITY QUEUE: the three frontier signals joined per
+    canonical URL — importance (:func:`pagerank`), volatility
+    (``recrawl_change_stats``' fixed-point change ratio), and
+    admissibility (only ``crawl_corpus`` winners — noindex or empty pages
+    are never scheduled).  ``priority = (pr * (FRONTIER_CHANGE_BASE +
+    change_ratio_e6)) div FRONTIER_CHANGE_BASE`` (contract): a page that
+    changed on every recrawl doubles its rank-priority, a stable page
+    keeps it; URLs absent from the link graph coalesce to ``PR_BASE``
+    (exactly the no-inlink floor PageRank itself assigns).
+
+    Plan: three canonical-keyed summary tables joined on their key — the
+    exchanges carry per-URL summary rows, never pages.  In production the
+    three inputs are the INCREMENTALLY MAINTAINED index tables
+    (``streaming/crawlindex``, change stats, a periodic PageRank
+    refresh); the registry query recomputes them inline only so the
+    DuckDB oracle can replay the whole composition from raw text."""
+    pr = pr_df.select(F.col("node").alias("canonical"), "pr")
+    ch = change_df.select("canonical", "change_ratio_e6")
+    j = (
+        corpus_df.select("canonical", "n_crawls")
+        .join(ch, "canonical", "left")
+        .join(pr, "canonical", "left")
+        .select(
+            "canonical",
+            "n_crawls",
+            F.coalesce(F.col("pr"), F.lit(C.PR_BASE).cast("long")).alias("pr"),
+            F.coalesce(F.col("change_ratio_e6"), F.lit(0).cast("long")).alias(
+                "change_ratio_e6"
+            ),
+        )
+    )
+    return j.select(
+        "canonical",
+        "n_crawls",
+        "pr",
+        "change_ratio_e6",
+        F.expr(
+            f"(pr * ({C.FRONTIER_CHANGE_BASE} + change_ratio_e6)) "
+            f"div {C.FRONTIER_CHANGE_BASE}"
+        )
+        .cast("long")
+        .alias("priority"),
+    )

@@ -122,6 +122,18 @@ def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank(_site_link_graph(spark, sf_dir))
 
 
+def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl priority queue: admissible keep-latest winners joined
+    with change ratio and pagerank (all three signals recomputed inline
+    here so the oracle can replay the composition; production reads the
+    incrementally maintained index tables instead)."""
+    return GR.crawl_frontier(
+        _crawl_corpus(spark, sf_dir),
+        _recrawl_change_rate(spark, sf_dir),
+        _link_pagerank(spark, sf_dir),
+    )
+
+
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
@@ -575,6 +587,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     "site_link_graph": _site_link_graph,
     "link_pagerank": _link_pagerank,
+    "crawl_frontier": _crawl_frontier,
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -2269,16 +2282,63 @@ pr{k} AS (
               // {C.PR_DAMP_DEN} as bigint) AS pr
   FROM nodes LEFT JOIN s{k} ON nodes.node = s{k}.dst)"""
 
-ORACLE_SQL["link_pagerank"] = f"""
-WITH {_HTML_META},
-{_PR_EDGES},
+_PR_CHAIN = f"""{_PR_EDGES},
 outw AS (SELECT src, cast(sum(n) as bigint) AS outw FROM e GROUP BY src),
 ew AS (SELECT e.src, e.dst, e.n, outw.outw
        FROM e JOIN outw ON e.src = outw.src),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 pr0 AS (SELECT node, cast({C.PR_SCALE} as bigint) AS pr FROM nodes),
-{",".join(_PR_ITER(k) for k in range(1, C.PR_ITERS + 1))}
+{",".join(_PR_ITER(k) for k in range(1, C.PR_ITERS + 1))}"""
+
+ORACLE_SQL["link_pagerank"] = f"""
+WITH {_HTML_META},
+{_PR_CHAIN}
 SELECT node, pr FROM pr{C.PR_ITERS}"""
+
+# the frontier composition: keep-latest winner + policy gate (crawl_corpus
+# arithmetic) x change ratio (recrawl_change_rate arithmetic) x pagerank
+# (the unrolled chain) — all three signals re-derived from raw text in one
+# WITH, joined on canonical exactly as the Spark side joins the summaries
+ORACLE_SQL["crawl_frontier"] = f"""
+WITH {_HTML_META},
+{_PR_CHAIN},
+ag AS (
+  SELECT hc.doc_id,
+         md5(coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash,
+         cast(coalesce(sum(CASE WHEN {_HTML_KEEP} THEN length(ht.ptext)
+                           ELSE 0 END), 0) as bigint) AS chars_main
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),
+pages AS (
+  SELECT cast(ag.doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(ag.doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         {_synth_ts_sql('ag.doc_id')} AS ts,
+         (ag.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE})
+           AS noindex,
+         ag.chars_main, ag.content_hash
+  FROM ag),
+rw AS (
+  SELECT pages.*,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn,
+         cast(count(*) OVER (PARTITION BY canonical) as bigint) AS n_crawls,
+         cast(count(DISTINCT content_hash)
+              OVER (PARTITION BY canonical) as bigint) AS n_versions
+  FROM pages),
+win AS (
+  SELECT canonical, n_crawls,
+         cast(((n_versions - 1) * 1000000)
+              // greatest(n_crawls - 1, 1) as bigint) AS change_ratio_e6
+  FROM rw WHERE rn = 1 AND NOT noindex AND chars_main > 0)
+SELECT win.canonical, win.n_crawls,
+       cast(coalesce(p.pr, {C.PR_BASE}) as bigint) AS pr,
+       win.change_ratio_e6,
+       cast((coalesce(p.pr, {C.PR_BASE})
+             * ({C.FRONTIER_CHANGE_BASE} + win.change_ratio_e6))
+            // {C.FRONTIER_CHANGE_BASE} as bigint) AS priority
+FROM win LEFT JOIN pr{C.PR_ITERS} p ON win.canonical = p.node"""
 
 # link in-degree: every page contributes the fixed chrome links (nav,
 # sidebar, cookie banner, share strip) plus the cadence-triggered /ref/i
