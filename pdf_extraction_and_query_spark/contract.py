@@ -310,3 +310,14 @@ PR_ITERS = 3
 # its pagerank priority, a never-changing page keeps it. Positive int64
 # throughout (pr <= ~PR_SCALE bound, ratio <= 1e6: product < 2^52).
 FRONTIER_CHANGE_BASE = 1_000_000
+
+# anchor-text search (operators/fulltext.anchor_bm25_topk): BM25 over the
+# per-target anchor "documents" (every anchor text pointing at a target,
+# tf weighted by occurrence count). Queries mix chrome labels, corpus
+# words that reach content-link texts, and an absent token (df=0 path).
+ANCHOR_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("more",),
+    1: ("home", "pricing"),
+    2: ("table", "scan", "fast"),
+    3: ("accept", "nosuchanchor"),
+}

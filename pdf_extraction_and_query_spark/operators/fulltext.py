@@ -377,3 +377,77 @@ def fts_build(docs: DataFrame, path: str, n_buckets: int = 32) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/_stats")
     )
+
+
+def anchor_postings(partials: DataFrame) -> DataFrame:
+    """Inverted postings over the ANCHOR-TEXT index: each target href is a
+    virtual document whose terms are every anchor text pointing at it,
+    term frequency weighted by the occurrence count — exactly the postings
+    of the cnt-fold concatenation, derived WITHOUT building the string.
+    Input = ``htmlextract.anchor_text_partials`` rows (or the streaming
+    index's merged partials — the live anchor index is searchable with the
+    same operator). Same tokenization contract as :func:`_tokens`."""
+    toks = partials.select(
+        "href",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("anchor_text"))), C.WS_SPLIT_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return toks.groupBy("href", "token").agg(
+        F.sum("cnt").cast("long").alias("tf")
+    )
+
+
+def anchor_bm25_topk(
+    partials: DataFrame,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = C.FTS_TOPK,
+) -> DataFrame:
+    """BM25 top-k over the anchor-text index: what a web search engine
+    does with anchor text — index it under the TARGET, so a page ranks
+    for words other pages use to describe it even when its own content
+    never says them. (q_id, href, score_e9, rank); identical exact-int64
+    arithmetic to :func:`bm25_topk_multi` (the shared ``_score_expr``),
+    keyed on the target URL instead of doc_id.
+
+    Plan mirrors ``bm25_topk_multi``: postings + per-target dl via one
+    href window, broadcast query-term prune, df window over the PRUNED
+    candidates, per-query TakeOrdered-sized rank window. The partials
+    input is summary-sized (distinct (href, text) pairs), never raw
+    anchors."""
+    queries = queries or C.ANCHOR_QUERIES
+    qt = _query_terms(partials, queries)
+    qtok = qt.select("token").distinct()
+    post = anchor_postings(partials).withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("href"))
+    )
+    cand = post.join(F.broadcast(qtok), "token").withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
+    stats = (
+        partials.agg(F.countDistinct("href").alias("n_docs"))
+        .crossJoin(
+            anchor_postings(partials).agg(F.sum("tf").alias("sum_dl"))
+        )
+        .withColumn("avgdl_e3", F.expr("(1000 * sum_dl) div n_docs"))
+    )
+    scored = (
+        cand.join(F.broadcast(qt), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "href", F.expr(_score_expr()).alias("term_score_e9"))
+    )
+    agg = scored.groupBy("q_id", "href").agg(
+        F.sum("term_score_e9").cast("long").alias("score_e9")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e9"), F.asc("href"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "href",
+            F.col("score_e9").cast("long").alias("score_e9"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -579,6 +579,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_links": lambda s, d: HX.html_links(_html_corpus(s, d)),
     "html_links_text": lambda s, d: HX.html_links_text(_html_corpus(s, d)),
     "anchor_text_agg": lambda s, d: HX.anchor_text_agg(_html_corpus(s, d)),
+    "anchor_bm25_topk": lambda s, d: FT.anchor_bm25_topk(
+        HX.anchor_text_partials(_html_corpus(s, d))
+    ),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
@@ -2099,11 +2102,10 @@ SELECT cast(doc_id as varchar) AS doc_id,
        href, atext AS anchor_text, in_main
 FROM alll"""
 
-# aggregated anchor-text signal per target: counts + distinct texts + the
-# most common text (ties -> lexicographically smallest), replaying the
-# Spark side's (count DESC, text ASC) winner rule as a window
-ORACLE_SQL["anchor_text_agg"] = f"""
-WITH {_HTML_META},
+# shared anchor-stream fragment: every (href, anchor text) occurrence from
+# the template constants + cadence arithmetic, aggregated to level-1
+# partials — used by anchor_text_agg and the anchor BM25 twin
+_ANCHOR_PER = f"""
 ctr AS (
   SELECT doc_id, i, atext, {_HTML_KEEP} AS kept
   FROM ht WHERE link_chars > 0),
@@ -2119,7 +2121,14 @@ alll AS (
 per AS (
   SELECT href, atext, cast(count(*) as bigint) AS cnt,
          cast(sum(CASE WHEN in_main THEN 1 ELSE 0 END) as bigint) AS cnt_main
-  FROM alll GROUP BY href, atext),
+  FROM alll GROUP BY href, atext)"""
+
+# aggregated anchor-text signal per target: counts + distinct texts + the
+# most common text (ties -> lexicographically smallest), replaying the
+# Spark side's (count DESC, text ASC) winner rule as a window
+ORACLE_SQL["anchor_text_agg"] = f"""
+WITH {_HTML_META},
+{_ANCHOR_PER},
 r AS (
   SELECT href, atext, cnt,
          row_number() OVER (PARTITION BY href
@@ -2133,6 +2142,51 @@ a AS (
 SELECT a.href, a.n_anchors, a.n_anchors_main, a.n_distinct_texts,
        r.atext AS top_text, r.cnt AS top_text_n
 FROM a JOIN r ON a.href = r.href AND r.rn = 1"""
+
+# BM25 over the anchor-text index: per-target virtual documents (anchor
+# texts weighted by occurrence count), the same exact-int64 arithmetic as
+# _bm25_cte keyed on href — independent re-derivation from the template +
+# cadence arithmetic
+_ANCHOR_QT_VALS = ", ".join(
+    f"({q}, '{t}')"
+    for q, ts in sorted(C.ANCHOR_QUERIES.items())
+    for t in ts
+)
+ORACLE_SQL["anchor_bm25_topk"] = f"""
+WITH {_HTML_META},
+{_ANCHOR_PER},
+atok AS (SELECT href, cnt,
+                unnest(regexp_split_to_array(trim(lower(atext)),
+                                             '{C.WS_SPLIT_RE}')) AS token
+         FROM per),
+apost AS (SELECT href, token, cast(sum(cnt) as bigint) AS tf
+          FROM atok WHERE token <> '' GROUP BY 1, 2),
+adl AS (SELECT href, cast(sum(tf) as bigint) AS dl FROM apost GROUP BY 1),
+astats AS (SELECT (SELECT count(DISTINCT href) FROM per) AS n_docs,
+                  (1000 * coalesce(sum(dl), 0))
+                    // (SELECT count(DISTINCT href) FROM per) AS avgdl_e3
+           FROM adl),
+aqt(q_id, token) AS (VALUES {_ANCHOR_QT_VALS}),
+atdf AS (SELECT token, count(*) AS df FROM apost
+         WHERE token IN (SELECT DISTINCT token FROM aqt) GROUP BY 1),
+ascored AS (
+  SELECT aqt.q_id, p.href,
+         (least((1000000 * (2*s.n_docs - 2*t.df + 1)) // (2*t.df + 1),
+                {C.FTS_IDF_CAP_E6})
+          * ((1000000 * 22 * least(p.tf, {C.FTS_TF_CAP}) * s.avgdl_e3) //
+             (10 * least(p.tf, {C.FTS_TF_CAP}) * s.avgdl_e3 + 3 * s.avgdl_e3
+              + 9000 * d.dl))
+         ) // 1000 AS term_score_e9
+  FROM apost p JOIN aqt USING (token) JOIN atdf t USING (token)
+       JOIN adl d USING (href), astats s),
+abm AS (
+  SELECT q_id, href, cast(sum(term_score_e9) as bigint) AS score_e9,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sum(term_score_e9) DESC, href) AS rank
+  FROM ascored GROUP BY q_id, href)
+SELECT cast(q_id as bigint) AS q_id, href, score_e9,
+       cast(rank as bigint) AS rank
+FROM abm WHERE rank <= {C.FTS_TOPK}"""
 
 ORACLE_SQL["html_canonical_dups"] = f"""
 WITH canon AS (

@@ -108,3 +108,28 @@ def test_streaming_end_to_end(spark, tmp_path):
     got = _rows(anchor_agg_merged(spark, root))
     want = _rows(anchor_text_agg(_pages(spark, _BASE + _BATCH1)))
     assert got == want
+
+
+def test_live_anchor_index_is_searchable(spark, tmp_path):
+    """The whole point of maintaining the index: BM25 over the LIVE
+    merged partials equals the same search over one-shot partials, and
+    chrome labels rank their targets ('more' -> the /t/* sidebar hrefs)."""
+    from pdf_extraction_and_query_spark.operators.fulltext import (
+        anchor_bm25_topk,
+    )
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        anchor_text_partials,
+    )
+    from pdf_extraction_and_query_spark.streaming.anchorindex import (
+        anchor_partials_merged,
+    )
+
+    root = _setup(spark, tmp_path)
+    make_anchorindex_batch_processor(root)(_pages(spark, _BATCH1), 0)
+    got = _rows(anchor_bm25_topk(anchor_partials_merged(spark, root)))
+    want = _rows(
+        anchor_bm25_topk(anchor_text_partials(_pages(spark, _BASE + _BATCH1)))
+    )
+    assert got == want and got
+    q0 = [r for r in got if r[0] == 0]
+    assert q0 and all(h.startswith("/t/") for _q, h, _s, _r in q0)
