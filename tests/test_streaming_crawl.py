@@ -221,3 +221,45 @@ def test_streaming_end_to_end(spark, tmp_path):
         crawl_keep_latest(_parse_with_ts(_pages(spark, _BASE + _BATCH1)))
     )
     assert got == want
+
+
+def test_live_index_feeds_the_frontier(spark, tmp_path):
+    """crawl_frontier consumes the MAINTAINED index directly: the live
+    corpus gate (crawl_corpus_merged) slots into the frontier composition
+    with no schema shim, and the result equals the frontier computed from
+    a one-shot batch gate over the same pages — the production shape
+    (summary tables in, no page re-parsed)."""
+    from pdf_extraction_and_query_spark.operators.graphrank import (
+        crawl_frontier,
+        link_edges,
+        pagerank,
+    )
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        crawl_corpus,
+        recrawl_change_stats,
+        html_extract_report,
+    )
+    from pdf_extraction_and_query_spark.streaming.crawlindex import (
+        crawl_corpus_merged,
+    )
+    from pyspark.sql import functions as F
+
+    root = _setup(spark, tmp_path)
+    make_crawl_batch_processor(root)(_pages(spark, _BATCH1), 0)
+    all_pages = _pages(spark, _BASE + _BATCH1)
+    rep = html_extract_report(all_pages.select("doc_id", "html")).join(
+        all_pages.select("doc_id", "fetched_at_ts"), "doc_id"
+    )
+    # importance + volatility signals (periodic refresh in production)
+    change = recrawl_change_stats(rep)
+    pr = pagerank(
+        link_edges(
+            rep.select(
+                F.col("canonical").alias("src"),
+                F.concat(F.lit("t/"), F.col("doc_id")).alias("dst"),
+            )
+        )
+    )
+    got = _rows(crawl_frontier(crawl_corpus_merged(spark, root), change, pr))
+    want = _rows(crawl_frontier(crawl_corpus(rep), change, pr))
+    assert got == want and got
