@@ -70,7 +70,7 @@ def pagerank(edges: DataFrame, iters: int = C.PR_ITERS) -> DataFrame:
         .localCheckpoint()
     )
     pr = nodes.select("node", F.lit(C.PR_SCALE).cast("long").alias("pr"))
-    for _ in range(int(iters)):
+    for it in range(int(iters)):
         contrib = (
             ew.join(pr, ew["src"] == pr["node"])
             .select(
@@ -92,8 +92,12 @@ def pagerank(edges: DataFrame, iters: int = C.PR_ITERS) -> DataFrame:
                     )
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()  # truncate lineage: O(1)-deep plan per round
         )
+        # truncate lineage so every round's plan stays O(1) deep; the
+        # FINAL round returns lazy — its one consumer materializes it and
+        # an eager checkpoint there would just double that work
+        if it + 1 < int(iters):
+            pr = pr.localCheckpoint()
     return pr
 
 
