@@ -74,3 +74,19 @@ def test_pagerank_plan_is_lineage_truncated(spark):
     # a non-truncated 4-round unroll would nest >= 8 joins in ONE plan
     assert plan.count("Join") <= 3, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    """Cross-cluster determinism: the fixed-point arithmetic has no
+    order-dependent step, so the result is identical under any input
+    partitioning (the property that makes the resumable/two-cluster-size
+    story sound) — and every node's score is bounded below by the PR_BASE
+    damping floor."""
+    pairs = [
+        (f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)
+    ] + [("n1", "n2")] * 5
+    edges = link_edges(_pairs(spark, pairs))
+    a = sorted(map(tuple, pagerank(edges).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(7)).collect()))
+    assert a == b and a
+    assert all(pr >= C.PR_BASE for _n, pr in a)
