@@ -266,6 +266,33 @@ def anchor_agg_from_partials(per: DataFrame) -> DataFrame:
     )
 
 
+_MAIN_TEXT_SCHEMA = "doc_id string, text string"
+
+
+def html_main_text(html_df: DataFrame) -> DataFrame:
+    """(doc_id, text) where text is the newline-joined kept text spans —
+    EXACTLY the string :func:`core.htmlmain.main_content_hash` hashes, as
+    a column. The adapter that points the whole text-analytics/dedup
+    family (minhash, simhash, quality, tokens) at extracted MAIN content
+    instead of raw pages: chrome stops polluting shingles. One narrow
+    Arrow pass."""
+    from ..core.htmlmain import extract_main_html
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                ids.append(str(d))
+                texts.append(
+                    "\n".join(
+                        s[1] for s in extract_main_html(h) if s[0] == "text"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return _balanced(html_df).mapInPandas(run, schema=_MAIN_TEXT_SCHEMA)
+
+
 def html_canonical_dups(html_df: DataFrame) -> DataFrame:
     """URL-level dedup: pages sharing a ``rel=canonical`` target are
     mirrors of one logical document — a crawl pipeline keeps one per

@@ -584,6 +584,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
+    "html_near_dups": lambda s, d: D.minhash_band_pairs(
+        HX.html_main_text(_html_corpus(s, d))
+    ),
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
     "crawl_corpus": lambda s, d: _crawl_corpus(s, d),
     "recrawl_change_rate": _recrawl_change_rate,
@@ -635,12 +638,15 @@ def _poly(expr: str) -> str:
 
 _NORM = f"trim(regexp_replace(lower(text), '{C.WS_SPLIT_RE}', ' ', 'g'))"
 
-# shingle CTEs shared by ngram_jaccard / minhash (twin of dedup.doc_shingles)
-_SH_CTE = f"""
+# shingle CTEs shared by ngram_jaccard / minhash (twin of dedup.doc_shingles);
+# parameterized over the (doc_id, text) source so the same arithmetic runs
+# over raw documents AND derived corpora (HTML main text)
+def _sh_cte_src(src: str) -> str:
+    return f"""
   toks AS (
     SELECT doc_id,
            regexp_split_to_array({_NORM}, '{C.WS_SPLIT_RE}') AS t
-    FROM documents),
+    FROM {src}),
   sh0 AS (
     SELECT doc_id,
            CASE WHEN len(t) >= {C.SHINGLE_N}
@@ -651,6 +657,9 @@ _SH_CTE = f"""
   sh AS (
     SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0)
 """
+
+
+_SH_CTE = _sh_cte_src("documents")
 
 _FP_VEC = (
     f"list_transform(generate_series(1, {C.EMBED_DIM}), "
@@ -2209,6 +2218,22 @@ SELECT content_hash, cast(count(*) as bigint) AS n_pages,
        min(cast(doc_id as varchar)) AS keeper_doc_id
 FROM ch WHERE content_hash <> md5('')
 GROUP BY content_hash HAVING count(*) > 1"""
+
+# near-dup over EXTRACTED main content: the minhash/LSH arithmetic verbatim
+# (shared _sh_cte_src / sig / band builders), pointed at the main-text
+# derivation instead of raw documents — chrome cannot create or mask pairs
+ORACLE_SQL["html_near_dups"] = f"""
+WITH {_HTML_META},
+mt AS (
+  SELECT cast(hc.doc_id as varchar) AS doc_id,
+         coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                    FILTER (WHERE {_HTML_KEEP}), '') AS text
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),{_sh_cte_src("mt")},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band, val)
+WHERE a.doc_id < b.doc_id"""
 
 # recrawl keep-latest: the canonical target is doc_id % MOD arithmetic
 # (generator), the fetch timestamp the doc_listing_full created_at model;
