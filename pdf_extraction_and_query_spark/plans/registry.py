@@ -134,6 +134,51 @@ def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl -> training-corpus attrition report, one row of stage
+    counts: pages fetched -> distinct URLs -> indexable keep-latest
+    winners (corpus gate) -> distinct main-content versions among those
+    winners -> near-dup pairs still inside the corpus. Every stage is a
+    COUNT over an already-oracle-verified derivation, composed; the
+    funnel is what a pipeline owner actually reads before training."""
+    from pyspark.sql import functions as F
+
+    pages = _html_corpus(spark, sf_dir)
+    rep = HX.html_extract_report(pages).withColumn(
+        "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+    )
+    corpus = HX.crawl_corpus(rep)
+    n_pages = _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    n_urls = rep.agg(
+        F.countDistinct("canonical").cast("long").alias("n_urls")
+    )
+    n_index = corpus.agg(F.count("*").cast("long").alias("n_indexable"))
+    # distinct content among the WINNERS (join back to the parse payload
+    # would re-parse; winners carry doc_id, so count distinct hash via the
+    # report keyed on the winning doc_ids — broadcast the winner id list
+    # is wrong at scale, so key the join on doc_id: both sides summary/row)
+    n_unique = (
+        rep.join(corpus.select(F.col("doc_id")), "doc_id")
+        .agg(
+            F.countDistinct("content_hash").cast("long").alias(
+                "n_unique_main"
+            )
+        )
+    )
+    n_pairs = (
+        D.minhash_band_pairs(HX.html_main_text(pages))
+        .agg(F.count("*").cast("long").alias("n_near_dup_pairs"))
+    )
+    return (
+        n_pages.crossJoin(n_urls)
+        .crossJoin(n_index)
+        .crossJoin(n_unique)
+        .crossJoin(n_pairs)
+    )
+
+
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
@@ -590,6 +635,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_keep_latest": lambda s, d: _crawl_keep_latest(s, d),
     "crawl_corpus": lambda s, d: _crawl_corpus(s, d),
     "recrawl_change_rate": _recrawl_change_rate,
+    "corpus_funnel": _corpus_funnel,
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     "site_link_graph": _site_link_graph,
     "link_pagerank": _link_pagerank,
@@ -2234,6 +2280,52 @@ bands AS ({_band_union_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, val)
 WHERE a.doc_id < b.doc_id"""
+
+# the crawl -> corpus attrition funnel: every stage count reuses a
+# derivation an individual oracle already pins (gate winners, content
+# hashes, the minhash band join) — composed in one WITH, 1-row output
+ORACLE_SQL["corpus_funnel"] = f"""
+WITH {_HTML_META},
+ag AS (
+  SELECT hc.doc_id,
+         md5(coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash,
+         cast(coalesce(sum(CASE WHEN {_HTML_KEEP} THEN length(ht.ptext)
+                           ELSE 0 END), 0) as bigint) AS chars_main
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),
+pages AS (
+  SELECT cast(ag.doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(ag.doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         {_synth_ts_sql('ag.doc_id')} AS ts,
+         (ag.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE})
+           AS noindex,
+         ag.chars_main, ag.content_hash
+  FROM ag),
+r AS (
+  SELECT pages.*,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn
+  FROM pages),
+win AS (SELECT * FROM r WHERE rn = 1 AND NOT noindex AND chars_main > 0),
+mt AS (
+  SELECT cast(hc.doc_id as varchar) AS doc_id,
+         coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                    FILTER (WHERE {_HTML_KEEP}), '') AS text
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),{_sh_cte_src("mt")},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+prs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b USING (band, val)
+  WHERE a.doc_id < b.doc_id)
+SELECT cast((SELECT count(*) FROM documents) as bigint) AS n_pages,
+       cast((SELECT count(DISTINCT canonical) FROM pages) as bigint) AS n_urls,
+       cast((SELECT count(*) FROM win) as bigint) AS n_indexable,
+       cast((SELECT count(DISTINCT content_hash) FROM win) as bigint)
+         AS n_unique_main,
+       cast((SELECT count(*) FROM prs) as bigint) AS n_near_dup_pairs"""
 
 # recrawl keep-latest: the canonical target is doc_id % MOD arithmetic
 # (generator), the fetch timestamp the doc_listing_full created_at model;
