@@ -95,6 +95,18 @@ SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
 # near-dup threshold would make the operator vacuous on driver data. The
 # operators document the recall behavior at production thresholds.
 EMB_NEAR_THRESHOLD = 0.35
+# --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540) ---
+# semantic dedup = cluster the embeddings, then inside each cluster drop
+# any vector whose cosine to a BETTER cluster-mate reaches SEM_EPS
+# ("better" = higher dot-to-own-centroid i.e. closer to the centroid, tie
+# -> smaller vec_id — the paper keeps the example closest to the cluster
+# centroid; this total order makes the keeper deterministic).  Centroids =
+# first-SEM_CLUSTERS corpus vectors (the IVF_CENTROIDS stand-in precedent;
+# kmeans_centroids provides the trained alternative).  0.30 is NOT a
+# production ~0.95: driver embeddings are unit-norm randoms (max pairwise
+# cos ~0.51), production thresholds would be vacuous on gate data.
+SEM_CLUSTERS = 8
+SEM_EPS = 0.30
 # signed-random-projection LSH: SRP_BITS hyperplanes with deterministic
 # integer components (identical in Spark and the DuckDB oracle), banded
 # into SRP_BANDS equal-width bands for the candidate equi-join

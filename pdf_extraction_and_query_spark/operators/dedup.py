@@ -649,3 +649,143 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 60) -> DataFram
         F.col("label").cast("long").alias("cluster_rep"),
         (F.col("node") == F.col("label")).alias("is_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+
+def _cents_np(embeddings: DataFrame, n_clusters: int) -> np.ndarray:
+    """(n_clusters, EMBED_DIM) int64 fixed-point centroid matrix — the
+    first-N stand-in (contract SEM_CLUSTERS; metadata-sized collect, rows
+    ordered by cent_id so np.argmax ties resolve to the smallest id)."""
+    from .search import fixed_point_vec
+
+    rows = (
+        embeddings.where(F.col("vec_id") < n_clusters)
+        .select("vec_id", fixed_point_vec(F.col("embedding")).alias("cv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == n_clusters, (
+        f"semdedup: expected {n_clusters} centroid vectors, got {len(rows)}"
+    )
+    return np.array([r.cv for r in rows], dtype=np.int64)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = C.SEM_CLUSTERS,
+    eps: float = C.SEM_EPS,
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then drop
+    every vector whose cosine similarity to a BETTER mate in the SAME
+    cluster reaches ``eps``.  "Better" = closer to the cluster centroid
+    (higher exact int64 dot), tie -> smaller vec_id — a total order, so
+    exactly one exemplar of each within-cluster near-dup neighborhood
+    survives and the result is deterministic and resumable.
+
+    Output (driver surface, scalars only): one row per vector —
+    (vec_id, cent_id, cent_dot_e12, max_better_cos_r6, kept) where
+    max_better_cos_r6 = round(max cosine to any better cluster-mate, 6)
+    and -1.0 when the vector is its cluster's best (no better mate).
+
+    100-TB shape: the centroid matrix is broadcast METADATA (assignment is
+    one narrow Arrow pass, zero shuffle — the pq_assign precedent), and the
+    quadratic cosine scan is confined WITHIN clusters (n^2/k, never the
+    corpus cross-product — the paper's entire point).  One shuffle total:
+    the repartition on cent_id feeding the grouped-map kernel.  At scale
+    n_clusters grows with the corpus (paper: 11k clusters for LAION) so
+    per-cluster matrices stay bounded; gate-scale uses the 8-cluster
+    contract constant.  Per-cluster cost is an exact float64 BLAS matmul
+    (products <= 1e12 and dots <= 6.4e13 < 2^53, so every intermediate is
+    exactly representable — bit-identical to the int64 form and to the
+    DuckDB oracle; the _pair_cos_r6_vec argument).  Rounding to 6dp stays
+    JVM-side (F.round) and commutes with max because rounding is monotone.
+
+    Pass ``cents`` to dedup against FROZEN externally-trained centroids
+    (e.g. kmeans_centroids output)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .search import fixed_point_vec
+
+    if cents is None:
+        cents = _cents_np(embeddings, n_clusters)
+    cents_f = cents.astype(np.float64)
+
+    @pandas_udf("struct<cent_id:long, cent_dot_e12:long>")
+    def assign(ev: pd.Series) -> pd.DataFrame:
+        if ev.empty:
+            return pd.DataFrame({"cent_id": [], "cent_dot_e12": []})
+        E = np.stack(ev.to_numpy()).astype(np.float64)
+        dots = E @ cents_f.T  # exact: |dot| <= 6.4e13 < 2^53
+        best = dots.argmax(axis=1)  # first max = smallest cent_id on ties
+        return pd.DataFrame(
+            {
+                "cent_id": best.astype(np.int64),
+                "cent_dot_e12": dots[np.arange(len(best)), best].astype(np.int64),
+            }
+        )
+
+    assigned = (
+        embeddings.select(
+            "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+        )
+        .withColumn("a", assign(F.col("ev")))
+        .select("vec_id", "ev", F.col("a.cent_id").alias("cent_id"),
+                F.col("a.cent_dot_e12").alias("cent_dot_e12"))
+    )
+
+    def cluster_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(pdf["ev"].to_numpy()).astype(np.float64)
+        vid = pdf["vec_id"].to_numpy()
+        cd = pdf["cent_dot_e12"].to_numpy()
+        dots = E @ E.T  # exact int values in float64 (< 2^53)
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        cos = dots / np.outer(norms, norms)  # same op order as _PAIR_COS
+        better = (cd[None, :] > cd[:, None]) | (
+            (cd[None, :] == cd[:, None]) & (vid[None, :] < vid[:, None])
+        )
+        mx = np.where(better, cos, -np.inf).max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vid,
+                "cent_id": pdf["cent_id"].to_numpy(),
+                "cent_dot_e12": cd,
+                "max_better_cos": np.where(np.isfinite(mx), mx, -1.0),
+            }
+        )
+
+    shuffle_n = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scanned = (
+        assigned.repartition(min(shuffle_n, max(n_clusters, 1)), "cent_id")
+        .groupBy("cent_id")
+        .applyInPandas(
+            cluster_scan,
+            "vec_id long, cent_id long, cent_dot_e12 long, max_better_cos double",
+        )
+    )
+    return scanned.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        "cent_dot_e12",
+        F.round(F.col("max_better_cos"), 6).alias("max_better_cos_r6"),
+        (F.round(F.col("max_better_cos"), 6) < F.lit(eps)).alias("kept"),
+    )
+
+
+def semdedup_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-cluster SemDeDup attrition: (cent_id, n_vecs, n_kept, n_dropped)
+    — the report a pipeline owner reads to tune eps/k.  One hash-agg over
+    the per-vector frame (map-side combine; rows = n_clusters)."""
+    s = semdedup(embeddings)
+    return (
+        s.groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_dropped"),
+        )
+    )

@@ -544,6 +544,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": lambda s, d: D.contamination_check(_docs(s, d)),
     "embedding_near_pairs": lambda s, d: D.embedding_near_pairs(_emb(s, d)),
     "embedding_near_pairs_lsh": lambda s, d: D.embedding_near_pairs_lsh(_emb(s, d)),
+    "semdedup": lambda s, d: D.semdedup(_emb(s, d)),
+    "semdedup_stats": lambda s, d: D.semdedup_stats(_emb(s, d)),
     # --- training-shard packing (SQL-verified) ---
     "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
@@ -1282,6 +1284,73 @@ cand AS (SELECT vec_a, vec_b, ea, eb FROM p WHERE {_srp_band_eq_sql()}),
 s AS (SELECT vec_a, vec_b, {_PAIR_COS} AS cos_r6 FROM cand)
 SELECT vec_a, vec_b, cos_r6 FROM s
 WHERE cos_r6 >= cast({C.EMB_NEAR_THRESHOLD} as double)""",
+    # SemDeDup (Abbas et al. 2023): centroid assignment replayed with the
+    # ivf_topk CTEs, then max cosine to a BETTER cluster-mate (closer to
+    # centroid, tie -> smaller vec_id).  The oracle rounds per-pair and
+    # maxes; the engine maxes raw and rounds — equal because rounding is
+    # monotone (max . round == round . max).
+    "semdedup": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.SEM_CLUSTERS}),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, ev, cent_id, cdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id,
+         round(cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                i -> a.ev[i] * b.ev[i])) as bigint) /
+               (sqrt(cast(list_sum(list_transform(a.ev, x -> x * x)) as double)) *
+                sqrt(cast(list_sum(list_transform(b.ev, x -> x * x)) as double))),
+               6) AS cos_r6
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id
+   AND (b.cdot > a.cdot OR (b.cdot = a.cdot AND b.vec_id < a.vec_id))),
+m AS (SELECT vec_id, max(cos_r6) AS mx FROM p GROUP BY vec_id)
+SELECT a.vec_id, a.cent_id, a.cdot AS cent_dot_e12,
+       coalesce(m.mx, -1.0) AS max_better_cos_r6,
+       coalesce(m.mx, -1.0) < cast({C.SEM_EPS} as double) AS kept
+FROM assigned a LEFT JOIN m USING (vec_id)""",
+    "semdedup_stats": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.SEM_CLUSTERS}),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, ev, cent_id, cdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id,
+         round(cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                i -> a.ev[i] * b.ev[i])) as bigint) /
+               (sqrt(cast(list_sum(list_transform(a.ev, x -> x * x)) as double)) *
+                sqrt(cast(list_sum(list_transform(b.ev, x -> x * x)) as double))),
+               6) AS cos_r6
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id
+   AND (b.cdot > a.cdot OR (b.cdot = a.cdot AND b.vec_id < a.vec_id))),
+m AS (SELECT vec_id, max(cos_r6) AS mx FROM p GROUP BY vec_id),
+v AS (
+  SELECT a.cent_id, coalesce(m.mx, -1.0) < cast({C.SEM_EPS} as double) AS kept
+  FROM assigned a LEFT JOIN m USING (vec_id))
+SELECT cent_id,
+       cast(count(*) as bigint) AS n_vecs,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+       cast(sum(CASE WHEN kept THEN 0 ELSE 1 END) as bigint) AS n_dropped
+FROM v GROUP BY cent_id""",
     "simhash_near_pairs": f"""
 WITH s AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
