@@ -107,6 +107,12 @@ EMB_NEAR_THRESHOLD = 0.35
 # cos ~0.51), production thresholds would be vacuous on gate data.
 SEM_CLUSTERS = 8
 SEM_EPS = 0.30
+# --- trained k-means (Lloyd) quantizer (operators/kmeans.py) ---
+# init = first-KM_K vectors; KM_ITERS rounds of exact-int64-L2 assignment
+# + floor(sum/count) centroid update; oracle = KM_ITERS unrolled SQL
+# rounds (the PageRank unrolled-oracle precedent).
+KM_K = 8
+KM_ITERS = 2
 # signed-random-projection LSH: SRP_BITS hyperplanes with deterministic
 # integer components (identical in Spark and the DuckDB oracle), banded
 # into SRP_BANDS equal-width bands for the candidate equi-join

@@ -25,6 +25,7 @@ from ..operators import dedup as D
 from ..operators import fulltext as FT
 from ..operators import graphrank as GR
 from ..operators import htmlextract as HX
+from ..operators import kmeans as KM
 from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import pq as PQ
@@ -570,6 +571,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
+    "kmeans_centroids": lambda s, d: KM.kmeans_centroids(_emb(s, d)),
+    "ivf_topk_trained": lambda s, d: KM.ivf_topk_trained(_emb(s, d)),
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
@@ -836,6 +839,48 @@ _PAIR_COS = (
     f"(sqrt(cast(list_sum(list_transform(ea, x -> x * x)) as double)) * "
     f"sqrt(cast(list_sum(list_transform(eb, x -> x * x)) as double))), 6)"
 )
+
+
+def _kmeans_ctes() -> str:
+    """Twin of operators/kmeans.kmeans_np: KM_ITERS unrolled Lloyd rounds
+    (the PageRank unrolled-oracle precedent).  Per round: exact int64 L2^2
+    assignment (the ||x||^2 term dropped — constant per row, order- and
+    tie-preserving), floor(sum/count) update in float64 (exact at gate
+    scale, see kmeans.py), empty clusters carry the previous centroid."""
+    k, iters, dim = C.KM_K, C.KM_ITERS, C.EMBED_DIM
+    parts = [
+        f"""c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+cents0 AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+           WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT c.vec_id, c.ev, t.cent_id,
+         cast(list_sum(list_transform(t.cv, x -> x * x)) as bigint)
+         - 2 * cast(list_sum(list_transform(generate_series(1, {dim}),
+               i -> c.ev[i] * t.cv[i])) as bigint) AS d
+  FROM c, cents{t - 1} t),
+a{t} AS (
+  SELECT vec_id, ev, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cent_id) AS rn
+    FROM s{t}) WHERE rn = 1),
+g{t} AS (
+  SELECT cent_id, i.i AS dim,
+         cast(floor(cast(sum(ev[i.i]) as double) / count(*)) as bigint) AS v
+  FROM a{t}, generate_series(1, {dim}) i(i)
+  GROUP BY cent_id, i.i),
+cents{t} AS (
+  SELECT cent_id, list(v ORDER BY dim) AS cv FROM g{t} GROUP BY cent_id
+  UNION ALL
+  SELECT cent_id, cv FROM cents{t - 1}
+  WHERE cent_id NOT IN (SELECT DISTINCT cent_id FROM a{t}))"""
+        )
+    return ",\n".join(parts)
+
+
+_KM_FINAL = f"cents{C.KM_ITERS}"
 
 
 def _srp_word_sql() -> str:
@@ -1541,6 +1586,38 @@ probes AS (
 hits AS (
   SELECT vec_id, {_DOT} AS dot_e12
   FROM assigned JOIN probes USING (cent_id) CROSS JOIN q)
+SELECT vec_id, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "kmeans_centroids": f"""
+WITH {_kmeans_ctes()}
+SELECT cent_id, cast(i.i - 1 as bigint) AS dim, cv[i.i] AS value
+FROM {_KM_FINAL}, generate_series(1, {C.EMBED_DIM}) i(i)""",
+    "ivf_topk_trained": f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+sF AS (
+  SELECT c.vec_id, c.ev, t.cent_id,
+         cast(list_sum(list_transform(t.cv, x -> x * x)) as bigint)
+         - 2 * cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+               i -> c.ev[i] * t.cv[i])) as bigint) AS d
+  FROM c, {_KM_FINAL} t),
+aF AS (
+  SELECT vec_id, ev, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cent_id) AS rn
+    FROM sF) WHERE rn = 1),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT t.cent_id,
+           cast(list_sum(list_transform(t.cv, x -> x * x)) as bigint)
+           - 2 * cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                 i -> t.cv[i] * q.qv[i])) as bigint) AS d
+    FROM {_KM_FINAL} t, q)
+  ORDER BY d, cent_id LIMIT {C.IVF_PROBE}),
+hits AS (
+  SELECT vec_id, {_DOT} AS dot_e12
+  FROM aF JOIN probes USING (cent_id) CROSS JOIN q)
 SELECT vec_id, dot_e12,
        cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
 FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
