@@ -113,6 +113,11 @@ SEM_EPS = 0.30
 # rounds (the PageRank unrolled-oracle precedent).
 KM_K = 8
 KM_ITERS = 2
+# --- scalar quantization (SQ8, operators/sq.py) ---
+# per-dim affine codes in [0, SQ_LEVELS]; asymmetric integer scoring,
+# SQ_RERANK exact-dot re-rank (the PQ_RERANK precedent)
+SQ_LEVELS = 255
+SQ_RERANK = 32
 # signed-random-projection LSH: SRP_BITS hyperplanes with deterministic
 # integer components (identical in Spark and the DuckDB oracle), banded
 # into SRP_BANDS equal-width bands for the candidate equi-join

@@ -30,6 +30,7 @@ from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import pq as PQ
 from ..operators import search as S
+from ..operators import sq as SQ
 from ..operators import stats as ST
 from ..operators import textstats as TX
 
@@ -573,6 +574,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "kmeans_centroids": lambda s, d: KM.kmeans_centroids(_emb(s, d)),
     "ivf_topk_trained": lambda s, d: KM.ivf_topk_trained(_emb(s, d)),
+    "sq_codes": lambda s, d: SQ.sq_codes(_emb(s, d)),
+    "sq_topk": lambda s, d: SQ.sq_topk(_emb(s, d)),
+    "sq_recall": lambda s, d: SQ.sq_recall(_emb(s, d)),
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
@@ -1589,6 +1593,71 @@ hits AS (
 SELECT vec_id, dot_e12,
        cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
 FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    # SQ8 scalar quantization (operators/sq.py): per-dim affine codes,
+    # asymmetric integer scoring (score = SQ_LEVELS * <qv, recon(x)>,
+    # exact), SQ_RERANK shortlist + exact re-rank.  Internal dims stay
+    # 1-based; only the sq_codes surface shifts to 0-based.
+    "sq_codes": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+b AS (SELECT i.i AS dim, min(ev[i.i]) AS mn, max(ev[i.i]) AS mx
+      FROM c, generate_series(1, {C.EMBED_DIM}) i(i) GROUP BY i.i)
+SELECT c.vec_id, cast(b.dim - 1 as bigint) AS dim,
+       cast(CASE WHEN b.mx = b.mn THEN 0
+            ELSE (ev[b.dim] - b.mn) * {C.SQ_LEVELS} // (b.mx - b.mn)
+       END as bigint) AS code
+FROM c, b""",
+    "sq_topk": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+b AS (SELECT i.i AS dim, min(ev[i.i]) AS mn, max(ev[i.i]) AS mx
+      FROM c, generate_series(1, {C.EMBED_DIM}) i(i) GROUP BY i.i),
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT c.vec_id, b.dim, b.mn, b.mx,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE (ev[b.dim] - b.mn) * {C.SQ_LEVELS} // (b.mx - b.mn)
+         END AS code
+  FROM c, b),
+s AS (
+  SELECT vec_id,
+         cast(sum(qv[dim] * ({C.SQ_LEVELS} * mn + code * (mx - mn))) as bigint)
+           AS adot_sq
+  FROM codes CROSS JOIN q GROUP BY vec_id),
+short AS (SELECT vec_id FROM s ORDER BY adot_sq DESC, vec_id LIMIT {C.SQ_RERANK}),
+hits AS (
+  SELECT c.vec_id, {_DOT} AS dot_e12
+  FROM c JOIN short USING (vec_id) CROSS JOIN q)
+SELECT vec_id, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "sq_recall": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+b AS (SELECT i.i AS dim, min(ev[i.i]) AS mn, max(ev[i.i]) AS mx
+      FROM c, generate_series(1, {C.EMBED_DIM}) i(i) GROUP BY i.i),
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT c.vec_id, b.dim, b.mn, b.mx,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE (ev[b.dim] - b.mn) * {C.SQ_LEVELS} // (b.mx - b.mn)
+         END AS code
+  FROM c, b),
+s AS (
+  SELECT vec_id,
+         cast(sum(qv[dim] * ({C.SQ_LEVELS} * mn + code * (mx - mn))) as bigint)
+           AS adot_sq
+  FROM codes CROSS JOIN q GROUP BY vec_id),
+short AS (SELECT vec_id FROM s ORDER BY adot_sq DESC, vec_id LIMIT {C.SQ_RERANK}),
+approx AS (
+  SELECT c.vec_id, {_DOT} AS dot_e12
+  FROM c JOIN short USING (vec_id) CROSS JOIN q
+  ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
+brute AS (
+  SELECT vec_id FROM (SELECT c.vec_id, {_DOT} AS dot_e12 FROM c, q)
+  ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
+h AS (SELECT count(*) AS n FROM approx JOIN brute USING (vec_id))
+SELECT cast(0 as bigint) AS q_id, cast(n as bigint) AS n_hits,
+       cast({C.TOPK} as bigint) AS k,
+       cast(n * {C.FIXED_POINT} // {C.TOPK} as bigint) AS recall_e6
+FROM h""",
     "kmeans_centroids": f"""
 WITH {_kmeans_ctes()}
 SELECT cent_id, cast(i.i - 1 as bigint) AS dim, cv[i.i] AS value
