@@ -333,6 +333,11 @@ PR_ITERS = 3
 # its pagerank priority, a never-changing page keeps it. Positive int64
 # throughout (pr <= ~PR_SCALE bound, ratio <= 1e6: product < 2^52).
 FRONTIER_CHANGE_BASE = 1_000_000
+# politeness scheduling (graphrank.frontier_schedule): one fetch per host
+# per wave; per-host queue depth cap (bounds scheduler state AND the
+# per-host window). wave = row_number over (host, priority desc, canonical).
+FRONTIER_HOST_DEPTH = 16
+FRONTIER_HOST_RE = "^[a-z]+://([^/]+)"
 
 # anchor-text search (operators/fulltext.anchor_bm25_topk): BM25 over the
 # per-target anchor "documents" (every anchor text pointing at a target,

@@ -30,7 +30,7 @@ score, not convergence to machine epsilon).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import contract as C
@@ -146,4 +146,37 @@ def crawl_frontier(
         )
         .cast("long")
         .alias("priority"),
+    )
+
+
+def frontier_schedule(
+    frontier_df: DataFrame, max_depth: int = C.FRONTIER_HOST_DEPTH
+) -> DataFrame:
+    """Politeness scheduling over the frontier: a crawler may hold ONE
+    in-flight fetch per host, so the queue is sequenced into per-host
+    waves — ``wave = row_number`` over (host, priority DESC, canonical) —
+    and capped at ``max_depth`` URLs per host per scheduling cycle (the
+    queue-depth bound every production frontier carries; beyond-depth URLs
+    wait for the next cycle's re-score).
+
+    host comes from the canonical URL itself (contract FRONTIER_HOST_RE —
+    the same regex the oracle runs, engine-neutral).
+
+    100-TB shape: the exchange is keyed on host and carries per-URL
+    summary rows (canonical, priority), never pages.  Per-host sequencing
+    is the politeness SEMANTICS, not an implementation skew: a mega-host's
+    partition sort is bounded by the depth cap times re-score frequency in
+    production (the scheduler feeds only admissible deltas each cycle),
+    and hosts are independent — AQE skew splitting cannot apply, but the
+    per-host state the window touches IS the scheduler's minimum state."""
+    h = frontier_df.select(
+        "canonical",
+        "priority",
+        F.regexp_extract(F.col("canonical"), C.FRONTIER_HOST_RE, 1).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical"))
+    return (
+        h.withColumn("wave", F.row_number().over(w).cast("long"))
+        .where(F.col("wave") <= max_depth)
+        .select("canonical", "host", "priority", "wave")
     )

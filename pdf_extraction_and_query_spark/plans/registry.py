@@ -649,6 +649,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "site_link_graph": _site_link_graph,
     "link_pagerank": _link_pagerank,
     "crawl_frontier": _crawl_frontier,
+    "frontier_schedule": lambda s, d: GR.frontier_schedule(_crawl_frontier(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -2725,6 +2726,19 @@ SELECT win.canonical, win.n_crawls,
              * ({C.FRONTIER_CHANGE_BASE} + win.change_ratio_e6))
             // {C.FRONTIER_CHANGE_BASE} as bigint) AS priority
 FROM win LEFT JOIN pr{C.PR_ITERS} p ON win.canonical = p.node"""
+
+# politeness scheduling: the frontier sequenced into per-host fetch waves
+# (one in-flight fetch per host), depth-capped per contract
+ORACLE_SQL["frontier_schedule"] = f"""
+WITH f AS ({ORACLE_SQL["crawl_frontier"]}),
+h AS (SELECT canonical, priority,
+             regexp_extract(canonical, '{C.FRONTIER_HOST_RE}', 1) AS host
+      FROM f),
+w AS (SELECT *, cast(row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, canonical) as bigint) AS wave
+      FROM h)
+SELECT canonical, host, priority, wave FROM w
+WHERE wave <= {C.FRONTIER_HOST_DEPTH}"""
 
 # link in-degree: every page contributes the fixed chrome links (nav,
 # sidebar, cookie banner, share strip) plus the cadence-triggered /ref/i

@@ -90,3 +90,29 @@ def test_pagerank_is_partitioning_invariant(spark):
     b = sorted(map(tuple, pagerank(edges.repartition(7)).collect()))
     assert a == b and a
     assert all(pr >= C.PR_BASE for _n, pr in a)
+
+
+def test_frontier_schedule_politeness_waves(spark):
+    from pdf_extraction_and_query_spark.operators.graphrank import frontier_schedule
+
+    f = spark.createDataFrame(
+        [
+            ("https://a.com/p1", 100),
+            ("https://a.com/p2", 300),
+            ("https://a.com/p3", 200),
+            ("https://a.com/p0", 200),  # ties p3 -> canonical asc wins
+            ("https://b.org/x", 50),
+            ("http://c.net/only", 1),
+        ],
+        "canonical string, priority long",
+    )
+    out = {r.canonical: r for r in frontier_schedule(f, max_depth=3).collect()}
+    # hosts parsed from the URL; waves independent per host
+    assert out["https://a.com/p2"].host == "a.com"
+    assert out["https://b.org/x"].wave == 1 and out["http://c.net/only"].wave == 1
+    # a.com sequencing: p2 (300) -> p0 (200, tie canonical asc) -> p3 (200)
+    assert out["https://a.com/p2"].wave == 1
+    assert out["https://a.com/p0"].wave == 2
+    assert out["https://a.com/p3"].wave == 3
+    # depth cap: p1 (lowest priority on the busiest host) waits next cycle
+    assert "https://a.com/p1" not in out and len(out) == 5
