@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "kmeans_centroids",
+    "frontier_schedule",
     "token_counts",
     "lang_id",
     "fingerprint",
@@ -273,6 +275,10 @@ def main() -> None:
         "crawl_corpus",
         "anchor_text_agg",
         "link_pagerank",
+        "semdedup",
+        "sq_topk",
+        "kmeans_centroids",
+        "frontier_schedule",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

@@ -181,6 +181,44 @@ def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone EMISSION (corpus_funnel reports the attrition; this
+    emits the survivors): crawl -> keep-latest indexable winners
+    (crawl_corpus) -> boilerplate-independent content dedup among winners
+    (keeper = min canonical per main-content hash) -> token-budget shard
+    manifest (shard_pack's banded prefix scan).  One manifest row per page
+    that actually enters training: (doc_id, canonical, n_tokens, shard_id).
+
+    Every stage is an individually-oracle-verified operator; the glue is
+    summary-keyed joins (doc_id / canonical / content_hash) and one keeper
+    hash-agg — no stage shuffles page text except the final doc_id-ordered
+    prefix scan over the KEPT docs only."""
+    from pyspark.sql import functions as F
+
+    pages = _html_corpus(spark, sf_dir)
+    rep = HX.html_extract_report(pages).withColumn(
+        "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+    )
+    corpus = HX.crawl_corpus(rep)
+    win = corpus.join(rep.select("doc_id", "content_hash"), "doc_id")
+    keep = (
+        win.groupBy("content_hash")
+        .agg(F.min("canonical").alias("canonical"))
+        .join(win.select("canonical", "doc_id"), "canonical")
+    )
+    mt = HX.html_main_text(pages)
+    kept_docs = keep.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "canonical"
+    ).join(
+        mt.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        "doc_id",
+    )
+    manifest = PK.shard_pack(kept_docs.select("doc_id", "text"))
+    return manifest.join(kept_docs.select("doc_id", "canonical"), "doc_id").select(
+        "doc_id", "canonical", "n_tokens", "shard_id"
+    )
+
+
 def _html_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.htmlextract import html_extract_span_corpus
     from .extract import extract_spans
@@ -645,6 +683,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_corpus": lambda s, d: _crawl_corpus(s, d),
     "recrawl_change_rate": _recrawl_change_rate,
     "corpus_funnel": _corpus_funnel,
+    "crawl_to_shards": _crawl_to_shards,
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     "site_link_graph": _site_link_graph,
     "link_pagerank": _link_pagerank,
@@ -2542,6 +2581,49 @@ SELECT cast((SELECT count(*) FROM documents) as bigint) AS n_pages,
        cast((SELECT count(DISTINCT content_hash) FROM win) as bigint)
          AS n_unique_main,
        cast((SELECT count(*) FROM prs) as bigint) AS n_near_dup_pairs"""
+
+# the capstone emission: keep-latest winners -> content-dedup keeper ->
+# token-budget shard manifest, replayed stage by stage from raw text
+ORACLE_SQL["crawl_to_shards"] = f"""
+WITH {_HTML_META},
+ag AS (
+  SELECT hc.doc_id,
+         md5(coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                        FILTER (WHERE {_HTML_KEEP}), '')) AS content_hash,
+         coalesce(string_agg(ht.ptext, chr(10) ORDER BY ht.i)
+                    FILTER (WHERE {_HTML_KEEP}), '') AS text,
+         cast(coalesce(sum(CASE WHEN {_HTML_KEEP} THEN length(ht.ptext)
+                           ELSE 0 END), 0) as bigint) AS chars_main
+  FROM hc LEFT JOIN ht ON hc.doc_id = ht.doc_id
+  GROUP BY hc.doc_id),
+pages AS (
+  SELECT ag.doc_id AS did, cast(ag.doc_id as varchar) AS sid,
+         '{C.HTML_CANONICAL_PREFIX}'
+           || cast(ag.doc_id % {C.HTML_CANONICAL_MOD} as varchar) AS canonical,
+         {_synth_ts_sql('ag.doc_id')} AS ts,
+         (ag.doc_id % {C.HTML_NOINDEX_EVERY} = {C.HTML_NOINDEX_PHASE})
+           AS noindex,
+         ag.chars_main, ag.content_hash, ag.text
+  FROM ag),
+r AS (
+  SELECT pages.*,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, sid DESC) AS rn
+  FROM pages),
+win AS (SELECT * FROM r WHERE rn = 1 AND NOT noindex AND chars_main > 0),
+keep AS (SELECT content_hash, min(canonical) AS canonical
+         FROM win GROUP BY content_hash),
+kd AS (SELECT cast(w.did as bigint) AS doc_id, w.canonical, w.text
+       FROM win w JOIN keep k ON w.canonical = k.canonical),
+t AS (SELECT doc_id, canonical,
+             cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                  as bigint) AS n_tokens
+      FROM kd)
+SELECT doc_id, canonical, n_tokens,
+       cast(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {C.PACK_TOKEN_BUDGET}) as bigint) AS shard_id
+FROM t"""
 
 # recrawl keep-latest: the canonical target is doc_id % MOD arithmetic
 # (generator), the fetch timestamp the doc_listing_full created_at model;
