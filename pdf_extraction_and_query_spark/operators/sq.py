@@ -118,11 +118,14 @@ def sq_topk(
     k: int = C.TOPK,
     query_vec_id: int = 0,
     rerank: int = C.SQ_RERANK,
+    bounds: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """SQ8 approximate top-k: asymmetric integer scoring over the codes
     (score = SQ_LEVELS * <qv, recon(x)>, exact int64), SQ_RERANK shortlist
-    via TakeOrderedAndProject, exact dot re-rank of the shortlist only."""
-    mn, mx = sq_bounds_np(embeddings)
+    via TakeOrderedAndProject, exact dot re-rank of the shortlist only.
+    Pass ``bounds`` to search under a FROZEN quantizer (the streaming
+    maintainer's contract — streaming/sq.py)."""
+    mn, mx = bounds if bounds is not None else sq_bounds_np(embeddings)
     qv = _qv_np(embeddings, query_vec_id)
     w = qv * (mx - mn)                      # |w_d| <= 2e12
     b = int((C.SQ_LEVELS * qv * mn).sum())  # exact python int
