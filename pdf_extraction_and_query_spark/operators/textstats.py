@@ -257,6 +257,104 @@ def lm_fluency(docs: DataFrame) -> DataFrame:
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "fluency_e6")
 
 
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 — public
+    literature): split each language's documents into head / middle / tail
+    thirds by LM score, the standard pre-training quality stratification
+    (head trains, tail drops, middle is the dial).
+
+    Model: the :func:`lm_fluency` bigram MLE trained PER LANGUAGE (CCNet
+    trains one KenLM per language) — same exact fixed-point arithmetic,
+    keys extended with ``lang``.  Bucket thirds are derived by COUNTING
+    (the :func:`~..operators.stats.short_outliers` pattern): per-(lang,
+    fluency value) counts — one map-side-combined shuffle whose result is
+    distinct-value-sized — then a cumulative sum over those tiny rows
+    yields the two cutoffs per language; no corpus row ever sorts.
+
+    Cutoff rule (deterministic, integer-only, ties share a bucket): order
+    values DESC within a language; ``cut1`` = the largest value whose
+    cumulative count reaches ``ceil(n/3)`` (integer form ``(n + 2) div
+    3``), ``cut2`` likewise at ``ceil(2n/3)``; bucket = head iff
+    ``fluency_e6 >= cut1``, middle iff ``>= cut2``, else tail.  Docs with
+    fewer than two tokens emit no row (no score exists)."""
+    from pyspark.sql import Window
+
+    from .repetition import _words
+    from .util import fan_out
+
+    w = fan_out(docs).select(
+        "doc_id", "lang", _words(F.col("text")).alias("words")
+    )
+    bi = (
+        w.where(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> struct(words[i-1] as w1, words[i] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+    fl = (
+        bi.join(c2, ["lang", "w1", "w2"])
+        .join(F.broadcast(c1), ["lang", "w1"])
+        .select("doc_id", "lang", F.expr("(1000000 * c2) div c1").alias("p_e6"))
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(p_e6) div count(*)").cast("long").alias("fluency_e6"))
+    )
+    # thirds by counting: the window runs over per-(lang, value) aggregates
+    # (distinct-value-sized, never corpus-sized); values are distinct within
+    # a language so ROWS == RANGE framing
+    by_val = fl.groupBy("lang", "fluency_e6").agg(F.count("*").alias("cnt"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("fluency_e6"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_val.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("lang"))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(
+            F.when(F.expr("cum >= (total + 2) div 3"), F.col("fluency_e6"))
+        ).alias("cut1"),
+        F.max(
+            F.when(F.expr("cum >= (2 * total + 2) div 3"), F.col("fluency_e6"))
+        ).alias("cut2"),
+    )
+    return fl.join(F.broadcast(cuts), "lang").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "fluency_e6",
+        F.when(F.col("fluency_e6") >= F.col("cut1"), F.lit("head"))
+        .when(F.col("fluency_e6") >= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_bucket_stats(docs: DataFrame) -> DataFrame:
+    """Per-(lang, bucket) rollup of :func:`ccnet_buckets` — doc counts and
+    the fluency range each bucket spans (the report a curation run reads
+    before choosing which thirds to keep). One tiny hash-agg past the
+    bucketing plan."""
+    return (
+        ccnet_buckets(docs)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("fluency_e6").alias("min_fluency_e6"),
+            F.max("fluency_e6").alias("max_fluency_e6"),
+        )
+    )
+
+
 def length_histogram(docs: DataFrame) -> DataFrame:
     """Corpus length profile: fixed-width histogram over text length —
     the DB-stats companion a curation run reads before picking filter

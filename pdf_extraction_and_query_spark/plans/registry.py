@@ -597,6 +597,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
     "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
+    "ccnet_buckets": lambda s, d: TX.ccnet_buckets(_docs(s, d)),
+    "ccnet_bucket_stats": lambda s, d: TX.ccnet_bucket_stats(_docs(s, d)),
     # --- repetition / duplicated-passage curation (SQL-verified) ---
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
@@ -1040,7 +1042,48 @@ p AS (SELECT doc_id, nw, island, min(start_w) AS start_word,
       FROM isl GROUP BY 1, 2, 3)"""
 
 
+# shared CTE chain for the CCNet bucketing pair: per-language bigram-MLE
+# fluency (the lm_fluency arithmetic keyed by lang), then per-language
+# thirds by counting — `b` is the bucketed per-doc frame both oracles read
+_CCNET_CTE = f"""
+w AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                         x -> x <> '') AS words
+      FROM documents),
+bi AS (SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
+       FROM (SELECT doc_id, lang, words,
+                    unnest(range(1, greatest(len(words), 1))) AS i
+             FROM w)),
+c2 AS (SELECT lang, w1, w2, cast(count(*) as bigint) AS c2 FROM bi GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, cast(sum(c2) as bigint) AS c1 FROM c2 GROUP BY 1, 2),
+fl AS (SELECT doc_id, lang, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+       FROM (SELECT bi.doc_id, bi.lang, (1000000 * c2.c2) // c1.c1 AS p_e6
+             FROM bi JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1))
+       GROUP BY 1, 2),
+v AS (SELECT lang, fluency_e6, cast(count(*) as bigint) AS cnt FROM fl GROUP BY 1, 2),
+cm AS (SELECT lang, fluency_e6,
+              cast(sum(cnt) OVER (PARTITION BY lang ORDER BY fluency_e6 DESC) as bigint) AS cum,
+              cast(sum(cnt) OVER (PARTITION BY lang) as bigint) AS total
+       FROM v),
+cuts AS (SELECT lang,
+                max(CASE WHEN cum >= (total + 2) // 3 THEN fluency_e6 END) AS cut1,
+                max(CASE WHEN cum >= (2 * total + 2) // 3 THEN fluency_e6 END) AS cut2
+         FROM cm GROUP BY 1),
+b AS (SELECT cast(fl.doc_id as bigint) AS doc_id, fl.lang, fl.fluency_e6,
+             CASE WHEN fl.fluency_e6 >= cuts.cut1 THEN 'head'
+                  WHEN fl.fluency_e6 >= cuts.cut2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM fl JOIN cuts USING (lang))"""
+
 ORACLE_SQL: Dict[str, str] = {
+    "ccnet_buckets": f"""
+WITH {_CCNET_CTE}
+SELECT doc_id, lang, fluency_e6, bucket FROM b""",
+    "ccnet_bucket_stats": f"""
+WITH {_CCNET_CTE}
+SELECT lang, bucket, cast(count(*) as bigint) AS n_docs,
+       min(fluency_e6) AS min_fluency_e6, max(fluency_e6) AS max_fluency_e6
+FROM b GROUP BY 1, 2""",
     "clean_text": f"""
 WITH r AS (SELECT doc_id, {_RAW} AS raw FROM documents)
 SELECT doc_id, {_clean('raw')} AS cleaned FROM r""",
