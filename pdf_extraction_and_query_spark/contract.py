@@ -250,6 +250,17 @@ SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000
 SAMPLE_MOD = 1_000_000
 
+# quality-classifier stub (operators/classifier.py): per-token weight =
+# md5_bits48(CLS_SALT || token) % (2*CLS_W + 1), kept UNSHIFTED
+# (non-negative) through the per-doc mean so Spark `div` == DuckDB `//`
+# (negative integer division is a cross-engine hazard); the symmetric
+# [-CLS_W, CLS_W] score materializes as mean - CLS_W AFTER the division.
+# label = 'keep' iff score_e6 >= CLS_THRESH_E6 (0 splits a uniform-weight
+# corpus ~50/50 — both labels populated at every gate scale).
+CLS_SALT = "cls:"
+CLS_W = 1_000_000
+CLS_THRESH_E6 = 0
+
 # eval-set contamination check (operators/dedup.contamination_check):
 # the held-out split is doc_id % EVAL_MOD == EVAL_RESIDUE (a pure row
 # function — the same split reproduces everywhere); a training doc is

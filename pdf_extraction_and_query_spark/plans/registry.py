@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import contract as C
 from ..core import boilerplate as bp
+from ..operators import classifier as CL
 from ..operators import dedup as D
 from ..operators import fulltext as FT
 from ..operators import graphrank as GR
@@ -599,6 +600,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
     "ccnet_buckets": lambda s, d: TX.ccnet_buckets(_docs(s, d)),
     "ccnet_bucket_stats": lambda s, d: TX.ccnet_bucket_stats(_docs(s, d)),
+    "quality_classify": lambda s, d: CL.quality_classify(_docs(s, d), spec="stub"),
+    "quality_classify_stats": lambda s, d: CL.quality_classify_stats(
+        _docs(s, d), spec="stub"
+    ),
     # --- repetition / duplicated-passage curation (SQL-verified) ---
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
@@ -1075,7 +1080,37 @@ b AS (SELECT cast(fl.doc_id as bigint) AS doc_id, fl.lang, fl.fluency_e6,
                   ELSE 'tail' END AS bucket
       FROM fl JOIN cuts USING (lang))"""
 
+# shared CTE chain for the quality-classifier pair: the hashed-linear stub
+# model (contract CLS_* arithmetic) — `qb` is the labeled per-doc frame
+# both oracles read.  Weights stay non-negative through the mean (Spark
+# `div` == DuckDB `//` only for non-negative operands); the shift by
+# -CLS_W happens after the division, exactly as in operators/classifier.py
+_CLS_CTE = f"""
+w AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                         x -> x <> '') AS words
+      FROM documents),
+t AS (SELECT doc_id, lang, unnest(words) AS token FROM w),
+s AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('{C.CLS_SALT}' || token), 1, 12))::BIGINT
+               % {2 * C.CLS_W + 1} AS w_raw
+      FROM t),
+qb AS (SELECT cast(doc_id as bigint) AS doc_id, lang,
+              cast(count(*) as bigint) AS n_tokens,
+              cast(sum(w_raw) // count(*) - {C.CLS_W} as bigint) AS score_e6,
+              CASE WHEN sum(w_raw) // count(*) - {C.CLS_W} >= {C.CLS_THRESH_E6}
+                   THEN 'keep' ELSE 'drop' END AS label
+       FROM s GROUP BY 1, 2)"""
+
 ORACLE_SQL: Dict[str, str] = {
+    "quality_classify": f"""
+WITH {_CLS_CTE}
+SELECT doc_id, lang, n_tokens, score_e6, label FROM qb""",
+    "quality_classify_stats": f"""
+WITH {_CLS_CTE}
+SELECT lang, label, cast(count(*) as bigint) AS n_docs,
+       min(score_e6) AS min_score_e6, max(score_e6) AS max_score_e6
+FROM qb GROUP BY 1, 2""",
     "ccnet_buckets": f"""
 WITH {_CCNET_CTE}
 SELECT doc_id, lang, fluency_e6, bucket FROM b""",
