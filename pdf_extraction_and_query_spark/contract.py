@@ -255,8 +255,11 @@ SAMPLE_MOD = 1_000_000
 # (non-negative) through the per-doc mean so Spark `div` == DuckDB `//`
 # (negative integer division is a cross-engine hazard); the symmetric
 # [-CLS_W, CLS_W] score materializes as mean - CLS_W AFTER the division.
-# label = 'keep' iff score_e6 >= CLS_THRESH_E6 (0 splits a uniform-weight
-# corpus ~50/50 — both labels populated at every gate scale).
+# label = 'keep' iff score_e6 >= CLS_THRESH_E6.  The keep RATE is
+# corpus-dependent (a doc's mean weight is dominated by the corpus's
+# common tokens, which are shared across docs — the testdata corpus keeps
+# ~4%): the threshold is a model parameter, tuned per deployment like any
+# classifier cutoff; both labels are populated at every gate scale.
 CLS_SALT = "cls:"
 CLS_W = 1_000_000
 CLS_THRESH_E6 = 0

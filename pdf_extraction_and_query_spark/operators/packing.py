@@ -355,3 +355,78 @@ def curate_corpus_full(docs: DataFrame) -> DataFrame:
         .where("_keeper")
         .select("doc_id", "lang", "n_words", "dup_coverage_e6", "fluency_e6")
     )
+
+
+def curate_corpus_v2(docs: DataFrame) -> DataFrame:
+    """Seven-signal curation — :func:`curate_corpus_full`'s five signals
+    plus the two model-shaped ones a modern pretraining pipeline adds:
+    the quality-classifier verdict (``label = 'keep'``,
+    `operators/classifier.py` — fastText/FineWeb-style) and the CCNet
+    perplexity bucket (``bucket <> 'tail'`` — head and middle train, tail
+    drops; Wenzek et al. 2020).
+
+    Same contract choices as the five-signal form: every aggregate signal
+    is computed over the FULL corpus (corpus evidence — the verdict on a
+    document never depends on what the sampler kept); classifier and
+    bucket join INNER (token-less docs are unscoreable and drop, the
+    fluency rule); the exact-dedup keeper window runs LAST over survivors.
+    Scale: two more doc_id-keyed joins against per-doc aggregates — the
+    shuffles carry scalar signal columns, never text.  The plan reads the
+    documents source once per signal family (5 pruned scans of a 3-column
+    table): deliberate — each pass is narrow and embarrassingly parallel,
+    whereas sharing one exploded token stream across signals would require
+    materializing a corpus-token-sized intermediate (PLANS.md #11 applies
+    to re-deriving the SAME aggregate; these are four different ones)."""
+    from .classifier import quality_classify
+    from .repetition import dup_passage_stats
+    from .dedup import _norm
+    from .textstats import ccnet_buckets, lm_fluency
+
+    t = F.col("text")
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            words.cast("long").alias("n_words"),
+            ((words >= 10) & (stops / words <= 0.5)).alias("_q"),
+            (_sample_bucket() < _sample_rate()).alias("_s"),
+            F.md5(_norm(t)).alias("_h"),
+        )
+        .where(F.col("_q") & F.col("_s"))
+    )
+    cov = dup_passage_stats(docs).select("doc_id", "coverage_e6")
+    flu = lm_fluency(docs).select("doc_id", "fluency_e6")
+    cls = quality_classify(docs, spec="stub").select(
+        "doc_id", F.col("score_e6").alias("cls_score_e6"), "label"
+    )
+    cc = ccnet_buckets(docs).select("doc_id", "bucket")
+    j = (
+        base.join(cov, "doc_id", "left")
+        .withColumn(
+            "dup_coverage_e6",
+            F.coalesce(F.col("coverage_e6"), F.lit(0)).cast("long"),
+        )
+        .where(F.col("dup_coverage_e6") <= C.CURATE_MAX_DUP_COVERAGE_E6)
+        .join(flu, "doc_id")
+        .where(F.col("fluency_e6") >= C.CURATE_MIN_FLUENCY_E6)
+        .join(cls, "doc_id")
+        .where(F.col("label") == "keep")
+        .join(cc, "doc_id")
+        .where(F.col("bucket") != "tail")
+    )
+    w = Window.partitionBy("_h")
+    return (
+        j.withColumn("_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .where("_keeper")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "dup_coverage_e6",
+            "fluency_e6",
+            "cls_score_e6",
+            "bucket",
+        )
+    )

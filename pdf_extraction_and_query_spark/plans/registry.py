@@ -595,6 +595,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix_sample": lambda s, d: PK.source_mix_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
     "curate_corpus_full": lambda s, d: PK.curate_corpus_full(_docs(s, d)),
+    "curate_corpus_v2": lambda s, d: PK.curate_corpus_v2(_docs(s, d)),
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
     "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
@@ -1049,58 +1050,69 @@ p AS (SELECT doc_id, nw, island, min(start_w) AS start_word,
 
 # shared CTE chain for the CCNet bucketing pair: per-language bigram-MLE
 # fluency (the lm_fluency arithmetic keyed by lang), then per-language
-# thirds by counting — `b` is the bucketed per-doc frame both oracles read
-_CCNET_CTE = f"""
-w AS (SELECT doc_id, lang,
+# thirds by counting — `{p}b` is the bucketed per-doc frame the oracles
+# read.  ``p`` prefixes every CTE name so the chain composes into larger
+# WITH blocks (curate_corpus_v2) without colliding
+def _ccnet_cte(p: str = "") -> str:
+    return f"""
+{p}w AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
                          x -> x <> '') AS words
       FROM documents),
-bi AS (SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
+{p}bi AS (SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
        FROM (SELECT doc_id, lang, words,
                     unnest(range(1, greatest(len(words), 1))) AS i
-             FROM w)),
-c2 AS (SELECT lang, w1, w2, cast(count(*) as bigint) AS c2 FROM bi GROUP BY 1, 2, 3),
-c1 AS (SELECT lang, w1, cast(sum(c2) as bigint) AS c1 FROM c2 GROUP BY 1, 2),
-fl AS (SELECT doc_id, lang, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
-       FROM (SELECT bi.doc_id, bi.lang, (1000000 * c2.c2) // c1.c1 AS p_e6
-             FROM bi JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1))
+             FROM {p}w)),
+{p}c2 AS (SELECT lang, w1, w2, cast(count(*) as bigint) AS c2 FROM {p}bi GROUP BY 1, 2, 3),
+{p}c1 AS (SELECT lang, w1, cast(sum(c2) as bigint) AS c1 FROM {p}c2 GROUP BY 1, 2),
+{p}fl AS (SELECT doc_id, lang, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+       FROM (SELECT {p}bi.doc_id, {p}bi.lang, (1000000 * {p}c2.c2) // {p}c1.c1 AS p_e6
+             FROM {p}bi JOIN {p}c2 USING (lang, w1, w2) JOIN {p}c1 USING (lang, w1))
        GROUP BY 1, 2),
-v AS (SELECT lang, fluency_e6, cast(count(*) as bigint) AS cnt FROM fl GROUP BY 1, 2),
-cm AS (SELECT lang, fluency_e6,
+{p}v AS (SELECT lang, fluency_e6, cast(count(*) as bigint) AS cnt FROM {p}fl GROUP BY 1, 2),
+{p}cm AS (SELECT lang, fluency_e6,
               cast(sum(cnt) OVER (PARTITION BY lang ORDER BY fluency_e6 DESC) as bigint) AS cum,
               cast(sum(cnt) OVER (PARTITION BY lang) as bigint) AS total
-       FROM v),
-cuts AS (SELECT lang,
+       FROM {p}v),
+{p}cuts AS (SELECT lang,
                 max(CASE WHEN cum >= (total + 2) // 3 THEN fluency_e6 END) AS cut1,
                 max(CASE WHEN cum >= (2 * total + 2) // 3 THEN fluency_e6 END) AS cut2
-         FROM cm GROUP BY 1),
-b AS (SELECT cast(fl.doc_id as bigint) AS doc_id, fl.lang, fl.fluency_e6,
-             CASE WHEN fl.fluency_e6 >= cuts.cut1 THEN 'head'
-                  WHEN fl.fluency_e6 >= cuts.cut2 THEN 'middle'
+         FROM {p}cm GROUP BY 1),
+{p}b AS (SELECT cast({p}fl.doc_id as bigint) AS doc_id, {p}fl.lang, {p}fl.fluency_e6,
+             CASE WHEN {p}fl.fluency_e6 >= {p}cuts.cut1 THEN 'head'
+                  WHEN {p}fl.fluency_e6 >= {p}cuts.cut2 THEN 'middle'
                   ELSE 'tail' END AS bucket
-      FROM fl JOIN cuts USING (lang))"""
+      FROM {p}fl JOIN {p}cuts USING (lang))"""
+
+
+_CCNET_CTE = _ccnet_cte()
 
 # shared CTE chain for the quality-classifier pair: the hashed-linear stub
-# model (contract CLS_* arithmetic) — `qb` is the labeled per-doc frame
-# both oracles read.  Weights stay non-negative through the mean (Spark
+# model (contract CLS_* arithmetic) — `{p}qb` is the labeled per-doc frame
+# the oracles read.  Weights stay non-negative through the mean (Spark
 # `div` == DuckDB `//` only for non-negative operands); the shift by
-# -CLS_W happens after the division, exactly as in operators/classifier.py
-_CLS_CTE = f"""
-w AS (SELECT doc_id, lang,
+# -CLS_W happens after the division, exactly as in operators/classifier.py.
+# ``p`` prefixes every CTE name so the chain composes (curate_corpus_v2)
+def _cls_cte(p: str = "") -> str:
+    return f"""
+{p}w AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
                          x -> x <> '') AS words
       FROM documents),
-t AS (SELECT doc_id, lang, unnest(words) AS token FROM w),
-s AS (SELECT doc_id, lang,
+{p}t AS (SELECT doc_id, lang, unnest(words) AS token FROM {p}w),
+{p}s AS (SELECT doc_id, lang,
              ('0x' || substr(md5('{C.CLS_SALT}' || token), 1, 12))::BIGINT
                % {2 * C.CLS_W + 1} AS w_raw
-      FROM t),
-qb AS (SELECT cast(doc_id as bigint) AS doc_id, lang,
+      FROM {p}t),
+{p}qb AS (SELECT cast(doc_id as bigint) AS doc_id, lang,
               cast(count(*) as bigint) AS n_tokens,
               cast(sum(w_raw) // count(*) - {C.CLS_W} as bigint) AS score_e6,
               CASE WHEN sum(w_raw) // count(*) - {C.CLS_W} >= {C.CLS_THRESH_E6}
                    THEN 'keep' ELSE 'drop' END AS label
-       FROM s GROUP BY 1, 2)"""
+       FROM {p}s GROUP BY 1, 2)"""
+
+
+_CLS_CTE = _cls_cte()
 
 ORACLE_SQL: Dict[str, str] = {
     "quality_classify": f"""
@@ -1414,6 +1426,58 @@ cf AS (
 SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(n_words as bigint) AS n_words,
        cast(dup_coverage_e6 as bigint) AS dup_coverage_e6, fluency_e6
+FROM cf
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
+    # seven-signal curation: the five-signal chain above composed with the
+    # classifier (prefix q) and CCNet-bucket (prefix n) CTE chains — every
+    # signal re-derived from raw text in ONE WITH, independently of the
+    # Spark plan's operator composition
+    "curate_corpus_v2": f"""
+WITH {_dup_passage_cte(C.DUP_PASSAGE_K)},
+cov AS (SELECT doc_id,
+               cast((1000000 * sum(end_word - start_word + 1)) // any_value(nw)
+                    as bigint) AS coverage_e6
+        FROM p GROUP BY doc_id),
+fw AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                          x -> x <> '') AS fwords
+       FROM documents),
+fbi AS (SELECT doc_id, fwords[i] AS w1, fwords[i + 1] AS w2
+        FROM (SELECT doc_id, fwords,
+                     unnest(range(1, greatest(len(fwords), 1))) AS i
+              FROM fw)),
+fc2 AS (SELECT w1, w2, cast(count(*) as bigint) AS c2 FROM fbi GROUP BY 1, 2),
+fc1 AS (SELECT w1, cast(sum(c2) as bigint) AS c1 FROM fc2 GROUP BY 1),
+fs AS (SELECT fbi.doc_id, (1000000 * fc2.c2) // fc1.c1 AS p_e6
+       FROM fbi JOIN fc2 USING (w1, w2) JOIN fc1 USING (w1)),
+flu AS (SELECT doc_id, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+        FROM fs GROUP BY doc_id),
+{_cls_cte('q')},
+{_ccnet_cte('n')},
+cb AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}')) AS stops,
+         ('0x' || substr(md5('{C.SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           % {C.SAMPLE_MOD} AS sample_bucket,
+         md5({_NORM}) AS h
+  FROM documents),
+cf AS (
+  SELECT cb.doc_id, cb.lang, cb.n_words, cb.h,
+         coalesce(cov.coverage_e6, 0) AS dup_coverage_e6, flu.fluency_e6,
+         qqb.score_e6 AS cls_score_e6, nb.bucket
+  FROM cb LEFT JOIN cov USING (doc_id) JOIN flu USING (doc_id)
+       JOIN qqb ON qqb.doc_id = cb.doc_id
+       JOIN nb ON nb.doc_id = cb.doc_id
+  WHERE n_words >= 10 AND stops / n_words <= 0.5
+    AND sample_bucket < CASE {' '.join(f"WHEN cb.lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END
+    AND coalesce(cov.coverage_e6, 0) <= {C.CURATE_MAX_DUP_COVERAGE_E6}
+    AND flu.fluency_e6 >= {C.CURATE_MIN_FLUENCY_E6}
+    AND qqb.label = 'keep' AND nb.bucket <> 'tail')
+SELECT cast(doc_id as bigint) AS doc_id, lang,
+       cast(n_words as bigint) AS n_words,
+       cast(dup_coverage_e6 as bigint) AS dup_coverage_e6, fluency_e6,
+       cls_score_e6, bucket
 FROM cf
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
     "dedup_clusters": f"""
