@@ -60,9 +60,11 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "quality_classify",
+    "ccnet_buckets",
+    "token_counts",
     "kmeans_centroids",
     "frontier_schedule",
-    "token_counts",
     "lang_id",
     "fingerprint",
     "clean_text",
@@ -247,6 +249,9 @@ def main() -> None:
         "pack_sequences",
         "stratified_sample",
         "curate_corpus_full",
+        "curate_corpus_v2",
+        "quality_classify",
+        "ccnet_buckets",
         "lm_fluency",
         "embedding_near_pairs_lsh",
         "stub_embed",
