@@ -276,16 +276,24 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     cumulative count reaches ``ceil(n/3)`` (integer form ``(n + 2) div
     3``), ``cut2`` likewise at ``ceil(2n/3)``; bucket = head iff
     ``fluency_e6 >= cut1``, middle iff ``>= cut2``, else tail.  Docs with
-    fewer than two tokens emit no row (no score exists)."""
-    from pyspark.sql import Window
+    fewer than two tokens emit no row (no score exists).
 
+    Factored as ``ccnet_score(docs, ccnet_model(docs))`` so the streaming
+    maintainer (streaming/quality.py) can score new documents under a
+    FROZEN model — same seam discipline as the frozen IVF centroids / PQ
+    codebook / SQ bounds."""
+    return ccnet_score(docs, ccnet_model(docs))
+
+
+def _ccnet_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2) — the per-language bigram stream."""
     from .repetition import _words
     from .util import fan_out
 
     w = fan_out(docs).select(
         "doc_id", "lang", _words(F.col("text")).alias("words")
     )
-    bi = (
+    return (
         w.where(F.size("words") >= 2)
         .select(
             "doc_id",
@@ -299,15 +307,33 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    c2 = bi.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
-    fl = (
+
+
+def _ccnet_fluency(bi: DataFrame, c2: DataFrame, c1: DataFrame) -> DataFrame:
+    """(doc_id, lang, fluency_e6) of a bigram stream under a GIVEN model —
+    transitions the model never saw are dropped by the inner join (the
+    mean runs over known transitions only; a doc with NO known transition
+    emits no row — the frozen-LM scoring rule, pinned in
+    tests/test_streaming_quality.py)."""
+    return (
         bi.join(c2, ["lang", "w1", "w2"])
         .join(F.broadcast(c1), ["lang", "w1"])
         .select("doc_id", "lang", F.expr("(1000000 * c2) div c1").alias("p_e6"))
         .groupBy("doc_id", "lang")
         .agg(F.expr("sum(p_e6) div count(*)").cast("long").alias("fluency_e6"))
     )
+
+
+def ccnet_model(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the CCNet model on ``docs``: per-language bigram counts
+    (c2, c1) and the per-language third cutoffs (cuts) derived from the
+    training corpus's own score distribution."""
+    from pyspark.sql import Window
+
+    bi = _ccnet_bigrams(docs)
+    c2 = bi.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+    fl = _ccnet_fluency(bi, c2, c1)
     # thirds by counting: the window runs over per-(lang, value) aggregates
     # (distinct-value-sized, never corpus-sized); values are distinct within
     # a language so ROWS == RANGE framing
@@ -328,6 +354,18 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
             F.when(F.expr("cum >= (2 * total + 2) div 3"), F.col("fluency_e6"))
         ).alias("cut2"),
     )
+    return c2, c1, cuts
+
+
+def ccnet_score(
+    docs: DataFrame, model: tuple[DataFrame, DataFrame, DataFrame]
+) -> DataFrame:
+    """(doc_id, lang, fluency_e6, bucket) of ``docs`` under ``model`` —
+    per-document pure given the model, so scoring distributes over any
+    corpus split (the streaming maintainer's equality).  A doc in a
+    language absent from the model drops (no cutoffs exist for it)."""
+    c2, c1, cuts = model
+    fl = _ccnet_fluency(_ccnet_bigrams(docs), c2, c1)
     return fl.join(F.broadcast(cuts), "lang").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
