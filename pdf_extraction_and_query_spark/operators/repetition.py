@@ -144,17 +144,12 @@ def _shingle_occurrences(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _passages(docs: DataFrame, k: int) -> DataFrame:
-    """Merged duplicated word intervals per doc: (doc_id, nw, start_word,
-    end_word, n_shingles)."""
-    sh = _shingle_occurrences(docs, k)
-    dup = (
-        sh.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("dfc"))
-        .where(F.col("dfc") >= 2)
-        .select("gram")
-    )
-    occ = sh.join(dup, "gram").select("doc_id", "nw", "start_w")
+def _merge_islands(occ: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated shingle occurrences
+    (doc_id, nw, start_w) into maximal intervals: (doc_id, nw, start_word,
+    end_word, n_shingles).  Shared by the batch operator and the streaming
+    maintainer (streaming/duppassage.py) so both produce structurally
+    identical passages."""
     win = Window.partitionBy("doc_id").orderBy("start_w")
     prev = F.lag("start_w").over(win)
     brk = F.when(prev.isNull() | (F.col("start_w") - prev > k), 1).otherwise(0)
@@ -167,6 +162,36 @@ def _passages(docs: DataFrame, k: int) -> DataFrame:
         (F.max("start_w") + k - 1).alias("end_word"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def _stats_from_passages(p: DataFrame) -> DataFrame:
+    """Per-doc coverage rollup of a passage frame — the dup_passage_stats
+    output shape, shared with the streaming merged reader."""
+    per = p.groupBy("doc_id", "nw").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("end_word") - F.col("start_word") + 1).alias("dup_words"),
+    )
+    return per.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.col("dup_words").cast("long").alias("dup_words"),
+        F.col("nw").cast("long").alias("total_words"),
+        F.expr("(1000000 * dup_words) div nw").cast("long").alias("coverage_e6"),
+    )
+
+
+def _passages(docs: DataFrame, k: int) -> DataFrame:
+    """Merged duplicated word intervals per doc: (doc_id, nw, start_word,
+    end_word, n_shingles)."""
+    sh = _shingle_occurrences(docs, k)
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .where(F.col("dfc") >= 2)
+        .select("gram")
+    )
+    occ = sh.join(dup, "gram").select("doc_id", "nw", "start_w")
+    return _merge_islands(occ, k)
 
 
 def dup_passages(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
@@ -189,18 +214,7 @@ def dup_passage_stats(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
     """Per-doc rollup of duplicated coverage — the number a curation run
     thresholds on (only docs that HAVE duplicated passages emit a row;
     absent doc == coverage 0 by contract)."""
-    p = _passages(docs, k)
-    per = p.groupBy("doc_id", "nw").agg(
-        F.count("*").alias("n_passages"),
-        F.sum(F.col("end_word") - F.col("start_word") + 1).alias("dup_words"),
-    )
-    return per.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_passages").cast("long").alias("n_passages"),
-        F.col("dup_words").cast("long").alias("dup_words"),
-        F.col("nw").cast("long").alias("total_words"),
-        F.expr("(1000000 * dup_words) div nw").cast("long").alias("coverage_e6"),
-    )
+    return _stats_from_passages(_passages(docs, k))
 
 
 def dup_excise(docs: DataFrame, k: int = C.DUP_PASSAGE_K) -> DataFrame:
