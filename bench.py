@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "bpe_token_counts",
     "quality_classify",
     "ccnet_buckets",
     "token_counts",
@@ -284,6 +285,7 @@ def main() -> None:
         "sq_topk",
         "kmeans_centroids",
         "frontier_schedule",
+        "bpe_token_counts",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

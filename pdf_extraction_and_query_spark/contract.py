@@ -275,6 +275,17 @@ CONTAM_MICRO = 200_000  # 20%
 
 VOCAB_TOPK = 100  # global vocabulary report size
 
+# BPE tokenizer (operators/bpe.py) — trained byte-pair merges over the
+# lowercase whitespace word stream (the _words token contract).  Each merged
+# token is represented by ONE private-use codepoint (chr(BPE_MARKER_BASE+t)
+# for round t), which makes greedy left-to-right merge application equal to
+# plain string replace() in BOTH engines — the whole train loop unrolls to
+# ANSI SQL (the kmeans/PageRank unrolled-oracle precedent).  The marker
+# range is reserved: corpus words containing it are excluded from training
+# (the sentencepiece reserved-byte convention).
+BPE_ROUNDS = 8
+BPE_MARKER_BASE = 0xE000  # U+E000.. private use area
+
 # PII redaction (operators/textstats.redact_pii) — injected-then-redacted
 # like clean_text's marked_raw, since the synthetic corpus carries no PII
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import contract as C
 from ..core import boilerplate as bp
+from ..operators import bpe as BP
 from ..operators import classifier as CL
 from ..operators import dedup as D
 from ..operators import fulltext as FT
@@ -568,6 +569,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": lambda s, d: TX.lang_id(_docs(s, d)),
     "fingerprint": lambda s, d: TX.fingerprint(_docs(s, d)),
     "vocab_topk": lambda s, d: TX.vocab_topk(_docs(s, d)),
+    "bpe_merges": lambda s, d: BP.bpe_merges(_docs(s, d)),
+    "bpe_token_counts": lambda s, d: BP.bpe_token_counts(_docs(s, d)),
+    "bpe_vocab": lambda s, d: BP.bpe_vocab(_docs(s, d)),
     "redact_pii": lambda s, d: TX.redact_pii(_docs(s, d)),
     "length_histogram": lambda s, d: TX.length_histogram(_docs(s, d)),
     # --- dedup (SQL-verified) ---
@@ -935,6 +939,60 @@ cents{t} AS (
 _KM_FINAL = f"cents{C.KM_ITERS}"
 
 
+def _bpe_ctes() -> str:
+    """Twin of operators/bpe.bpe_train: BPE_ROUNDS unrolled merge rounds
+    over the distinct-word aggregate (the kmeans unrolled-oracle
+    precedent).  Per round: weighted adjacent-pair counts (scalar
+    generate_series list — empty for 1-symbol words), top pair by
+    (freq DESC, pair ASC — binary UTF-8 order in both engines), merge
+    applied as plain replace (every symbol is one codepoint, see
+    operators/bpe.py)."""
+    parts = [
+        f"""wc0 AS (
+  SELECT token AS sym, cast(count(*) as bigint) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+    FROM documents)
+  WHERE token <> '' AND NOT regexp_matches(token, '{BP._MARKER_CLASS}')
+  GROUP BY token)"""
+    ]
+    for t in range(C.BPE_ROUNDS):
+        mk = chr(C.BPE_MARKER_BASE + t)
+        parts.append(
+            f"""p{t} AS (
+  SELECT unnest(list_transform(generate_series(1, length(sym) - 1),
+                               i -> substring(sym, i, 2))) AS pair, cnt
+  FROM wc{t}),
+m{t} AS (SELECT pair, cast(sum(cnt) as bigint) AS freq FROM p{t}
+         GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1),
+wc{t + 1} AS (SELECT replace(sym, (SELECT pair FROM m{t}), '{mk}') AS sym, cnt
+              FROM wc{t})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_expand_sql(col: str, upto: int) -> str:
+    """Marker -> readable expansion: reverse replaces in DESCENDING round
+    order (twin of bpe._expand_chain)."""
+    e = col
+    for s in range(upto - 1, -1, -1):
+        e = (
+            f"replace({e}, '{chr(C.BPE_MARKER_BASE + s)}', "
+            f"(SELECT pair FROM m{s}))"
+        )
+    return e
+
+
+def _bpe_apply_sql(col: str) -> str:
+    """The trained merge chain in round order (twin of bpe._merge_chain)."""
+    e = col
+    for t in range(C.BPE_ROUNDS):
+        e = (
+            f"replace({e}, (SELECT pair FROM m{t}), "
+            f"'{chr(C.BPE_MARKER_BASE + t)}')"
+        )
+    return e
+
+
 def _srp_word_sql() -> str:
     """Twin of dedup.srp_words: SRP_BITS sign bits packed into a bigint."""
     terms = []
@@ -1192,6 +1250,40 @@ FROM tok WHERE token <> ''
 GROUP BY token
 ORDER BY n_tokens DESC, token ASC
 LIMIT {C.VOCAB_TOPK}""",
+    "bpe_merges": f"""
+WITH {_bpe_ctes()}
+SELECT * FROM ({" UNION ALL ".join(
+    f"SELECT cast({t} as bigint) AS round, pair, "
+    f"{_bpe_expand_sql('pair', t)} AS expansion, freq FROM m{t}"
+    for t in range(C.BPE_ROUNDS)
+)})""",
+    "bpe_token_counts": f"""
+WITH {_bpe_ctes()},
+d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+e AS (
+  SELECT doc_id,
+         cast(len(list_filter(regexp_split_to_array(trim(lt), '{C.WS_SPLIT_RE}'),
+                              x -> x <> '')) as bigint) AS n_words,
+         cast(length(regexp_replace(lt, '\\s', '', 'g')) as bigint) AS n_chars,
+         cast(length(regexp_replace({_bpe_apply_sql('lt')}, '\\s', '', 'g')) as bigint)
+           AS n_bpe_tokens
+  FROM d)
+SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+       CASE WHEN n_chars > 0
+            THEN cast(n_bpe_tokens * 1000000 // n_chars as bigint)
+            ELSE 0 END AS compression_micro
+FROM e""",
+    "bpe_vocab": f"""
+WITH {_bpe_ctes()},
+chars AS (
+  SELECT unnest(list_transform(generate_series(1, length(sym)),
+                               i -> substring(sym, i, 1))) AS sym1, cnt
+  FROM wc{C.BPE_ROUNDS}),
+v AS (SELECT sym1, cast(sum(cnt) as bigint) AS n_occurrences
+      FROM chars GROUP BY sym1)
+SELECT sym1 AS token, {_bpe_expand_sql('sym1', C.BPE_ROUNDS)} AS expansion,
+       n_occurrences
+FROM v""",
     "redact_pii": f"""
 WITH raw AS (
   SELECT doc_id,

@@ -1,0 +1,137 @@
+"""BPE tokenizer: the Spark replace-chain implementation against an
+INDEPENDENT pure-Python greedy-merge reference (lists of symbols, explicit
+left-to-right scan — no string replace), plus plan-shape and surface
+invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_and_query_spark import contract as C
+from pdf_extraction_and_query_spark.operators import bpe as B
+
+
+def _ref_bpe(word_counts: list[tuple[str, int]], rounds: int):
+    """Independent BPE: symbols as explicit lists, merges applied by a
+    greedy left-to-right scan (the Sennrich 2016 procedure), markers
+    chr(BPE_MARKER_BASE+t) so the tie-break total order matches the
+    contract."""
+    syms = [(list(w), c) for w, c in word_counts]
+    merges: list[tuple[str, int]] = []
+    for t in range(rounds):
+        cnt: Counter[str] = Counter()
+        for s, c in syms:
+            for i in range(len(s) - 1):
+                cnt[s[i] + s[i + 1]] += c
+        if not cnt:
+            raise ValueError("exhausted")
+        pair = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((pair, cnt[pair]))
+        mk = chr(C.BPE_MARKER_BASE + t)
+        nxt = []
+        for s, c in syms:
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] + s[i + 1] == pair:
+                    out.append(mk)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append((out, c))
+        syms = nxt
+    return merges, syms
+
+
+# overlap-heavy corpus: runs of the same char exercise greedy-vs-replace
+# agreement; ties exercise the (freq DESC, pair ASC) order
+_DOCS = [
+    (0, "aaaa aaa ab low lower lowest"),
+    (1, "low low lowest banana aaa"),
+    (2, "ab ab abab banana band"),
+    (3, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def _word_counts_py() -> list[tuple[str, int]]:
+    cnt: Counter[str] = Counter()
+    for _, t in _DOCS:
+        for w in t.lower().split():
+            cnt[w] += 1
+    return sorted(cnt.items())
+
+
+def test_train_matches_independent_reference(docs):
+    rounds = 6
+    got = B.bpe_train(docs, rounds)
+    want, _ = _ref_bpe(_word_counts_py(), rounds)
+    assert got == want
+
+
+def test_token_counts_match_reference_encoding(docs):
+    rounds = 6
+    _, syms = _ref_bpe(_word_counts_py(), rounds)
+    enc_len = {
+        w: len(s) for (s, _), (w, _c) in zip(syms, _word_counts_py())
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in B.bpe_token_counts(docs, rounds).collect()
+    }
+    for doc_id, text in _DOCS:
+        words = text.lower().split()
+        n_bpe = sum(enc_len[w] for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[doc_id] == (len(words), n_bpe, n_chars), doc_id
+
+
+def test_overlap_run_semantics(spark):
+    # 'aaaa' + pair 'aa' must merge left-to-right non-overlapping: 2 tokens
+    d = spark.createDataFrame([(0, "aaaa aa")], "doc_id long, text string")
+    merges = B.bpe_train(d, 1)
+    assert merges[0][0] == "aa"
+    row = B.bpe_token_counts(d, 1).collect()[0]
+    assert row["n_bpe_tokens"] == 3  # aaaa -> 2 markers, aa -> 1
+
+
+def test_vocab_totals_tie_out(docs):
+    rounds = 4
+    vocab = B.bpe_vocab(docs, rounds)
+    tc = B.bpe_token_counts(docs, rounds)
+    assert (
+        vocab.agg(F.sum("n_occurrences")).collect()[0][0]
+        == tc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    # expansions of merged tokens concatenate to the original chars
+    total_chars = vocab.select(
+        F.sum(F.length("expansion") * F.col("n_occurrences"))
+    ).collect()[0][0]
+    assert total_chars == tc.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_exhaustion_fails_fast(spark):
+    d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exhausted"):
+        B.bpe_train(d, 2)
+
+
+def test_encode_plan_is_narrow(docs):
+    """Encoding after training is pure codegen string ops: zero Exchange,
+    zero Python worker."""
+    plan = (
+        B.bpe_token_counts(docs, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
