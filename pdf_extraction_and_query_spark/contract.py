@@ -75,6 +75,11 @@ TOPK = 10
 MULTI_QUERY_N = 5
 MULTI_TOPK = 5
 FIXED_POINT = 1_000_000  # float -> *_e6 bigint fixed point
+# retrieval-quality eval: 40 queries mirrors the reference's 40-query M&A
+# suite (evaluation/ma_test_queries.json), k=5 its evaluate_queries.py
+# default top_k; relevance ground truth = label equality (self excluded)
+RETRIEVAL_EVAL_N = 40
+RETRIEVAL_EVAL_K = 5
 IVF_CENTROIDS = 8
 IVF_PROBE = 3
 # product quantization (IVFADC building block, Jégou et al. 2011): EMBED_DIM

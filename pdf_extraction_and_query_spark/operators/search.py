@@ -585,3 +585,92 @@ def stub_embed(docs: DataFrame, dim: int = C.EMBED_DIM) -> DataFrame:
         "doc_id",
         F.when(F.col("norm") == "", zero).otherwise(unit).alias("embedding"),
     )
+
+
+def retrieval_eval(
+    embeddings: DataFrame,
+    n_queries: int = C.RETRIEVAL_EVAL_N,
+    k: int = C.RETRIEVAL_EVAL_K,
+) -> DataFrame:
+    """Per-query rank-sensitive retrieval quality against the label ground
+    truth — the automated form of the reference's evaluation harness
+    (scripts/evaluate_queries.py runs 40 queries with per-query
+    expected_docs from evaluation/ma_test_queries.json and collects manual
+    0-4 scores; here relevance is machine-checkable: a hit is relevant iff
+    it carries the QUERY VECTOR'S label, the standard ANN-benchmark
+    convention, self-hit excluded).
+
+    Metrics are exact integers (cross-engine deterministic, the fixed-point
+    ranking-key contract): ``n_rel`` relevant hits in the top-k,
+    ``first_rel_rank`` (0 = none), ``mrr_micro = 1e6 div first_rel_rank``,
+    ``precision_micro = n_rel * 1e6 div k``.  Ranks are positions in the
+    returned top-k INCLUDING the self-hit — the "query is a corpus member"
+    convention is pinned by the oracle, not left to the reader.
+
+    Scale shape: rides :func:`vector_topk_multi` (broadcast query set,
+    map-side scoring, one q_id shuffle) plus ONE extra 2-column pruned
+    scan of the corpus to label the n_queries*k surviving hits (broadcast
+    join — the hits frame never exceeds metadata size); query labels join
+    broadcast onto the same tiny frame."""
+    hits = vector_topk_multi(embeddings, n_queries, k)
+    labels = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    q_lab = labels.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    labeled = (
+        labels.join(F.broadcast(hits), "vec_id")
+        .join(F.broadcast(q_lab), "q_id")
+        .withColumn(
+            "rel",
+            (
+                (F.col("label") == F.col("q_label"))
+                & (F.col("vec_id") != F.col("q_id"))
+            ).cast("long"),
+        )
+    )
+    per_q = labeled.groupBy("q_id", "q_label").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("fr"),
+    )
+    return per_q.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("q_label").alias("label"),
+        "n_rel",
+        F.coalesce("fr", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.when(F.col("fr").isNotNull(), F.expr("1000000 div fr"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+        F.expr(f"(n_rel * 1000000) div {k}")
+        .cast("long")
+        .alias("precision_micro"),
+    )
+
+
+def retrieval_eval_by_label(
+    embeddings: DataFrame,
+    n_queries: int = C.RETRIEVAL_EVAL_N,
+    k: int = C.RETRIEVAL_EVAL_K,
+) -> DataFrame:
+    """Per-category rollup of :func:`retrieval_eval` — the reference's
+    by-category report shape (scripts/evaluate_queries.py:240-255 groups
+    results by category and averages scores).  Means are integer ratios of
+    exact sums (``sum div count``), so the rollup is cross-engine exact.
+    One hash agg over the n_queries-row eval frame — metadata-sized."""
+    per_q = retrieval_eval(embeddings, n_queries, k)
+    return per_q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_rel").cast("long").alias("n_rel_total"),
+        F.sum((F.col("first_rel_rank") > 0).cast("long"))
+        .cast("long")
+        .alias("n_queries_hit"),
+        F.expr("sum(mrr_micro) div count(*)")
+        .cast("long")
+        .alias("mean_mrr_micro"),
+        F.expr("sum(precision_micro) div count(*)")
+        .cast("long")
+        .alias("mean_precision_micro"),
+    )

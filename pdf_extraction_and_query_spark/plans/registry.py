@@ -630,6 +630,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
+    "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
+    "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
@@ -1829,6 +1831,66 @@ r AS (SELECT q_id, vec_id, dot_e12,
              cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
       FROM s)
 SELECT q_id, vec_id, rank, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
+    # retrieval-quality eval (operators/search.py retrieval_eval): the
+    # machine-checkable form of the reference's 40-query evaluation suite
+    # (evaluation/ma_test_queries.json + scripts/evaluate_queries.py) —
+    # relevance = label equality, self-hit excluded, ranks include self
+    "retrieval_eval": f"""
+WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
+                  {_FP_VEC} AS qv
+           FROM embeddings WHERE vec_id < {C.RETRIEVAL_EVAL_N}),
+c AS (SELECT vec_id, cast(label as bigint) AS label, {_FP_VEC} AS ev
+      FROM embeddings),
+s AS (SELECT q_id, q_label, vec_id, label, {_DOT} AS dot_e12 FROM c, q),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dot_e12 DESC, vec_id) AS rank
+      FROM s),
+t AS (SELECT *, CASE WHEN label = q_label AND vec_id <> q_id
+                     THEN 1 ELSE 0 END AS rel
+      FROM r WHERE rank <= {C.RETRIEVAL_EVAL_K}),
+m AS (SELECT q_id, q_label,
+             cast(sum(rel) as bigint) AS n_rel,
+             min(CASE WHEN rel = 1 THEN rank END) AS fr
+      FROM t GROUP BY 1, 2)
+SELECT cast(q_id as bigint) AS q_id, q_label AS label, n_rel,
+       cast(coalesce(fr, 0) as bigint) AS first_rel_rank,
+       cast(CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END
+            as bigint) AS mrr_micro,
+       cast((n_rel * 1000000) // {C.RETRIEVAL_EVAL_K} as bigint)
+           AS precision_micro
+FROM m""",
+    "retrieval_eval_by_label": f"""
+WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
+                  {_FP_VEC} AS qv
+           FROM embeddings WHERE vec_id < {C.RETRIEVAL_EVAL_N}),
+c AS (SELECT vec_id, cast(label as bigint) AS label, {_FP_VEC} AS ev
+      FROM embeddings),
+s AS (SELECT q_id, q_label, vec_id, label, {_DOT} AS dot_e12 FROM c, q),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dot_e12 DESC, vec_id) AS rank
+      FROM s),
+t AS (SELECT *, CASE WHEN label = q_label AND vec_id <> q_id
+                     THEN 1 ELSE 0 END AS rel
+      FROM r WHERE rank <= {C.RETRIEVAL_EVAL_K}),
+m AS (SELECT q_id, q_label,
+             cast(sum(rel) as bigint) AS n_rel,
+             min(CASE WHEN rel = 1 THEN rank END) AS fr
+      FROM t GROUP BY 1, 2),
+e AS (SELECT q_id, q_label, n_rel,
+             CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END
+                 AS mrr_micro,
+             (n_rel * 1000000) // {C.RETRIEVAL_EVAL_K} AS precision_micro,
+             CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM m)
+SELECT q_label AS label,
+       cast(count(*) as bigint) AS n_queries,
+       cast(sum(n_rel) as bigint) AS n_rel_total,
+       cast(sum(hit) as bigint) AS n_queries_hit,
+       cast(cast(sum(mrr_micro) as bigint) // count(*) as bigint)
+           AS mean_mrr_micro,
+       cast(cast(sum(precision_micro) as bigint) // count(*) as bigint)
+           AS mean_precision_micro
+FROM e GROUP BY 1""",
     "topk_enriched": f"""
 WITH q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),

@@ -1,0 +1,79 @@
+"""Hand-computed pins for the retrieval-quality eval conventions
+(operators/search.py retrieval_eval / retrieval_eval_by_label):
+
+* ranks are positions in the returned top-k INCLUDING the self-hit;
+* relevance = label equality AND vec_id != q_id (self never relevant);
+* no relevant hit -> first_rel_rank = 0, mrr_micro = 0;
+* all metrics exact integers (1e6 div rank / sum div count floors).
+
+The oracle-parity suite checks the same semantics against DuckDB at corpus
+scale; this file pins the arithmetic on a frame small enough to verify by
+hand.
+"""
+
+from __future__ import annotations
+
+from pdf_extraction_and_query_spark.operators import search as S
+
+SCHEMA = "vec_id long, embedding array<double>, label long"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_retrieval_eval_hand_computed(spark):
+    # query 0 = [1, 0]; candidates ranked by exact dot: self (1.0),
+    # v1 (.9, rel), v2 (.8), v3 (.7, rel) | v5 (.6) outside k=4
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.8, 0.2], 1),
+            (3, [0.7, 0.3], 0),
+            (4, [0.0, 1.0], 1),
+            (5, [0.6, 0.4], 1),
+        ],
+    )
+    [r] = S.retrieval_eval(emb, n_queries=1, k=4).collect()
+    assert r["q_id"] == 0 and r["label"] == 0
+    assert r["n_rel"] == 2
+    assert r["first_rel_rank"] == 2  # self-hit holds rank 1
+    assert r["mrr_micro"] == 500_000  # 1e6 div 2
+    assert r["precision_micro"] == 500_000  # 2 * 1e6 div 4
+
+
+def test_retrieval_eval_no_relevant_hit(spark):
+    # every vector carries a unique label -> nothing is ever relevant
+    emb = _emb(
+        spark,
+        [(i, [1.0 - 0.1 * i, 0.1 * i], i) for i in range(5)],
+    )
+    [r] = S.retrieval_eval(emb, n_queries=1, k=3).collect()
+    assert r["n_rel"] == 0
+    assert r["first_rel_rank"] == 0
+    assert r["mrr_micro"] == 0
+    assert r["precision_micro"] == 0
+
+
+def test_retrieval_eval_by_label_integer_means(spark):
+    # two queries, same label: q0 first relevant at rank 2 (mrr 500000),
+    # q1 first relevant at rank 3 (mrr 333333) -> mean floors to 416666
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),
+            (2, [0.9, 0.1], 0),   # q0 rank 2 (rel); q1 rank 3 (rel)
+            (3, [0.85, 0.3], 1),  # q1 rank 2 (dot .3 > .1), not rel
+            (4, [0.2, 0.05], 1),
+        ],
+    )
+    [r] = S.retrieval_eval_by_label(emb, n_queries=2, k=3).collect()
+    assert r["label"] == 0
+    assert r["n_queries"] == 2
+    assert r["n_rel_total"] == 2
+    assert r["n_queries_hit"] == 2
+    assert r["mean_mrr_micro"] == (500_000 + 333_333) // 2
+    assert r["mean_precision_micro"] == 333_333  # (333333+333333) div 2
