@@ -131,9 +131,23 @@ def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with change ratio and pagerank (all three signals recomputed inline
     here so the oracle can replay the composition; production reads the
     incrementally maintained index tables instead)."""
+    from pyspark.sql import functions as F
+
+    # ONE report parse shared by the two report-derived signals: the two
+    # aggregates are planned independently (ReuseExchange rarely fires —
+    # CLAUDE.md sharp edge), so without the localCheckpoint the corpus
+    # would be python-parsed twice.  The checkpointed frame is per-page
+    # SUMMARIES (one row/page, no text) — the pagerank/CC precedent.
+    rep = (
+        HX.html_extract_report(_html_corpus(spark, sf_dir))
+        .withColumn(
+            "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+        )
+        .localCheckpoint()
+    )
     return GR.crawl_frontier(
-        _crawl_corpus(spark, sf_dir),
-        _recrawl_change_rate(spark, sf_dir),
+        HX.crawl_corpus(rep),
+        HX.recrawl_change_stats(rep),
         _link_pagerank(spark, sf_dir),
     )
 
@@ -148,8 +162,16 @@ def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pages = _html_corpus(spark, sf_dir)
-    rep = HX.html_extract_report(pages).withColumn(
-        "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+    # the report subtree is referenced FOUR times below (n_urls, corpus,
+    # and both sides of n_unique) and each reference is planned
+    # independently — checkpoint the per-page summaries so the corpus is
+    # python-parsed once, not four times
+    rep = (
+        HX.html_extract_report(pages)
+        .withColumn(
+            "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+        )
+        .localCheckpoint()
     )
     corpus = HX.crawl_corpus(rep)
     n_pages = _docs(spark, sf_dir).agg(
@@ -198,25 +220,40 @@ def _crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pages = _html_corpus(spark, sf_dir)
-    rep = HX.html_extract_report(pages).withColumn(
-        "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+    # every re-reference below is planned independently (the ReuseExchange
+    # sharp edge), and shard_pack's banded scan references ITS input twice
+    # — without checkpoints this composition re-parses the corpus up to
+    # ~8x.  Checkpoint the summary frames (rep/win/keep: one skinny row
+    # per page, no text) so the report kernel runs ONCE; checkpoint
+    # kept_docs (the extracted main text of the survivors) so the
+    # main-text kernel also runs once — the "materialize the curated
+    # corpus before packing" step a production pipeline writes to a table
+    # anyway.
+    rep = (
+        HX.html_extract_report(pages)
+        .withColumn(
+            "fetched_at_ts", _synth_ts_expr(F.col("doc_id").cast("long"))
+        )
+        .localCheckpoint()
     )
     corpus = HX.crawl_corpus(rep)
-    win = corpus.join(rep.select("doc_id", "content_hash"), "doc_id")
+    win = corpus.join(
+        rep.select("doc_id", "content_hash"), "doc_id"
+    ).localCheckpoint()
     keep = (
         win.groupBy("content_hash")
         .agg(F.min("canonical").alias("canonical"))
         .join(win.select("canonical", "doc_id"), "canonical")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "canonical")
+        .localCheckpoint()
     )
     mt = HX.html_main_text(pages)
-    kept_docs = keep.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "canonical"
-    ).join(
+    kept_docs = keep.select("doc_id").join(
         mt.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         "doc_id",
-    )
+    ).localCheckpoint()
     manifest = PK.shard_pack(kept_docs.select("doc_id", "text"))
-    return manifest.join(kept_docs.select("doc_id", "canonical"), "doc_id").select(
+    return manifest.join(keep, "doc_id").select(
         "doc_id", "canonical", "n_tokens", "shard_id"
     )
 
