@@ -200,7 +200,14 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     """LSH banding: K mins -> BANDS bands of ROWS; docs sharing any band
     value become a candidate pair. Shuffles: signature groupBy, then the
     (band, val) equi-join — never a cross product."""
-    sig = minhash_signatures(docs)
+    return band_pairs_from_signatures(minhash_signatures(docs))
+
+
+def band_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """The LSH banding half over an already-computed ``(doc_id,
+    m0..mK-1)`` signature table — split out so the streaming maintainer
+    (streaming/minhash.py) band-joins its merged signature index through
+    the EXACT code the batch operator runs."""
     bands = F.array(
         *[
             F.struct(
