@@ -25,6 +25,19 @@ directory form ONE durable unit — batch ids are only unique within a
 checkpoint lineage, so after checkpoint loss rebuild the index (the
 watermark turns an id collision into a silent drop, not a double-count).
 
+Who rides this engine: every maintainer whose merged result would change
+under a batch replayed AFTER a compact already folded it (the crash
+window between ``foreachBatch`` returning and the checkpoint commit, with
+a maintenance compact interleaved) — the count-carrying indexes
+(``crawlindex``, ``linkgraph``, ``anchorindex``, ``changestats``,
+``duppassage``) and the row-emitting score index (``quality``).  The
+simple LSM maintainers (``ivf``/``pq``/``sq``/``fts``/``minhash``) do NOT
+carry the watermark; their compactors must run at a COMMITTED stream
+boundary (graceful stop, or idle with the last batch committed) — an
+interleaved compact + replay would duplicate index rows there (minhash's
+PAIR output is immune regardless: the band join ends in ``distinct()``,
+and duplicate signatures produce the same pairs).
+
 The caller provides the two index-specific pieces: the summary column
 list and the associative ``merge_fn`` (DataFrame of summary rows → one
 summary row per key).  Everything here moves summary rows only — never

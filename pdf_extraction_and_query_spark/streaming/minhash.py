@@ -24,7 +24,12 @@ batch.
 PARQUET-BACKEND-ONLY: like the shutil-based compactors in the sibling
 ivf/pq/fts maintainers, ``minhash_compact``'s base rewrite is not atomic
 under concurrent readers; run the Iceberg backend for that (the batch
-operators route through sources/tables).
+operators route through sources/tables).  Like those siblings it carries
+no fold watermark, so run the compactor at a COMMITTED stream boundary
+(see streaming/deltaindex.py's family note) — though the PAIR output is
+immune to the replay-after-compact race regardless: duplicate signature
+rows band to identical (band, val) rows and the pair join ends in
+``distinct()``.
 
 Durability contract (family-wide, see streaming/deltaindex.py): the index
 root and the streaming checkpoint directory form ONE durable unit —

@@ -14,29 +14,32 @@ Layout under one index root:
            mean; a doc with no known transition — or in a language the
            model never saw — emits no row (production retrains at the next
            wave; tests pin the rule).
-  scores/  the scored base corpus (doc_id, lang, fluency_e6, bucket,
-           cls_score_e6, label)
-  delta/   batch_id=N — per-micro-batch scores; clear + batch_id
-           partition-overwrite = exactly-once on replay.
-
-PARQUET-BACKEND-ONLY like the sibling maintainers (see streaming/pq.py's
-module docstring for the Iceberg-native equivalent).
+  scores/index, scores/delta/batch_id=N — the scored corpus through the
+           watermarked summary-delta engine (streaming/deltaindex.py,
+           identity merge): scores are per-doc ROWS, so the folded_max
+           watermark — not deduplication — is what keeps a batch replayed
+           AFTER a maintenance compact from duplicating its rows (the
+           duppassage precedent; pinned in the replay-after-compact test).
 """
 
 from __future__ import annotations
 
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.classifier import quality_classify
 from ..operators.textstats import ccnet_model, ccnet_score
-from ..sources import tables
-from ..sources.tables import read_optional as _read_delta
+from . import deltaindex as DX
+
+from pyspark.sql import functions as F
 
 _MODEL_PARTS = ("c2", "c1", "cuts")
+_SCORE_COLS = ["doc_id", "lang", "fluency_e6", "bucket", "cls_score_e6", "label"]
+
+
+def _identity(df: DataFrame) -> DataFrame:
+    return df
 
 
 def _score(docs: DataFrame, model) -> DataFrame:
@@ -58,7 +61,7 @@ def quality_stream_init(docs: DataFrame, root: str) -> None:
     model = ccnet_model(docs)
     for name, df in zip(_MODEL_PARTS, model):
         df.write.mode("overwrite").parquet(f"{root}/_model/{name}")
-    _score(docs, model).write.mode("overwrite").parquet(f"{root}/scores")
+    DX.init_index(_score(docs, model).select(*_SCORE_COLS), f"{root}/scores")
 
 
 def _read_model(spark: SparkSession, root: str):
@@ -69,46 +72,26 @@ def _read_model(spark: SparkSession, root: str):
 
 def make_quality_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` body: score the batch's documents against the
-    FROZEN model and write them as a batch_id delta partition."""
+    FROZEN model and write them as a batch_id delta partition
+    (clear-then-overwrite + the fold watermark = exactly-once, even
+    replayed after a compact)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bid = int(batch_id)
-        out = _score(batch_df, _read_model(spark, root)).withColumn(
-            "batch_id", F.lit(bid).cast("long")
-        )
-        tables.clear_partitions(spark, f"{root}/delta", "batch_id", [bid])
-        tables.overwrite_partitions(out, f"{root}/delta", ["batch_id"])
+        out = _score(batch_df, _read_model(spark, root)).select(*_SCORE_COLS)
+        DX.write_delta(out, f"{root}/scores", int(batch_id))
 
     return process_batch
 
 
 def quality_scores_merged(spark: SparkSession, root: str) -> DataFrame:
-    """Base ∪ delta scores — equals one-shot scoring of the union corpus
-    under the frozen model (scoring is per-doc pure given the model)."""
-    cols = ["doc_id", "lang", "fluency_e6", "bucket", "cls_score_e6", "label"]
-    base = spark.read.parquet(f"{root}/scores").select(*cols)
-    delta = _read_delta(spark, f"{root}/delta")
-    if delta is not None:
-        base = base.unionByName(delta.select(*cols))
-    return base
+    """Base ∪ unfolded delta scores — equals one-shot scoring of the union
+    corpus under the frozen model (scoring is per-doc pure given the
+    model)."""
+    return DX.read_merged(spark, f"{root}/scores", _SCORE_COLS, _identity)
 
 
 def quality_compact(spark: SparkSession, root: str) -> None:
-    """Fold delta scores into the base table and clear them (parquet-backend
-    non-atomicity caveat as in streaming/fts.fts_compact)."""
-    delta = _read_delta(spark, f"{root}/delta")
-    if delta is None:
-        return
-    cols = ["doc_id", "lang", "fluency_e6", "bucket", "cls_score_e6", "label"]
-    merged = (
-        spark.read.parquet(f"{root}/scores")
-        .select(*cols)
-        .unionByName(delta.select(*cols))
-    )
-    tmp = f"{root}/scores__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(f"{root}/scores")
-    shutil.move(tmp, f"{root}/scores")
-    shutil.rmtree(f"{root}/delta", ignore_errors=True)
-    spark.catalog.refreshByPath(root)
+    """Fold delta scores into the base table under the watermark
+    (snapshot-pinned, crash-safe — see streaming/deltaindex.compact)."""
+    DX.compact(spark, f"{root}/scores", _SCORE_COLS, _identity)

@@ -68,6 +68,21 @@ def test_retroactive_evidence_and_merged_equals_one_shot(spark, base, batch, tmp
     assert got_p == want_p
 
 
+def _no_unfolded_deltas(spark, root):
+    from pdf_extraction_and_query_spark.sources.tables import read_optional
+
+    for fam in ("occ", "df"):
+        d = read_optional(spark, f"{root}/{fam}/delta")
+        fm = (
+            spark.read.parquet(f"{root}/{fam}/index")
+            .agg({"folded_max": "max"})
+            .collect()[0][0]
+        )
+        if d is not None:
+            assert d.where(f"batch_id > {fm}").count() == 0
+    return True
+
+
 def test_replay_exactly_once_and_compact(spark, base, batch, tmp_path):
     root = str(tmp_path / "dp")
     dup_stream_init(base, root)
@@ -77,7 +92,29 @@ def test_replay_exactly_once_and_compact(spark, base, batch, tmp_path):
     proc(batch, 0)  # crash replay: occurrence AND count partials overwrite
     assert _key(dup_passage_stats_merged(spark, root)) == once
     dup_compact(spark, root)
-    assert not os.path.exists(f"{root}/occ_delta")
-    assert not os.path.exists(f"{root}/df_delta")
+    assert _no_unfolded_deltas(spark, root)
     assert _key(dup_passage_stats_merged(spark, root)) == once
     dup_compact(spark, root)  # idempotent when nothing to fold
+    assert _key(dup_passage_stats_merged(spark, root)) == once
+
+
+def test_replay_after_compact_never_double_counts(spark, base, batch, tmp_path):
+    """The race the watermark exists for: a batch replayed AFTER a
+    maintenance compact already folded it (crash between foreachBatch
+    returning and the checkpoint commit) must not inflate df counts or
+    duplicate occurrence rows — without folded_max, doc 0/10's single
+    shared passage would read as extra evidence and duplicated islands."""
+    root = str(tmp_path / "dp")
+    dup_stream_init(base, root)
+    proc = make_dup_batch_processor(root)
+    proc(batch, 0)
+    once = _key(dup_passage_stats_merged(spark, root))
+    once_p = _key(dup_passages_merged(spark, root).select(
+        "doc_id", "start_word", "end_word", "n_shingles"))
+    dup_compact(spark, root)
+    proc(batch, 0)  # replay of the already-FOLDED batch
+    assert _key(dup_passage_stats_merged(spark, root)) == once
+    assert _key(dup_passages_merged(spark, root).select(
+        "doc_id", "start_word", "end_word", "n_shingles")) == once_p
+    dup_compact(spark, root)  # folds nothing: the stale delta is cleared
+    assert _key(dup_passage_stats_merged(spark, root)) == once

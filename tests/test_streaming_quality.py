@@ -4,8 +4,6 @@ the same model, the frozen-LM rules must hold (unseen transitions drop
 from the mean; unseen-language / no-known-transition docs emit no row),
 replays must be exactly-once, and compaction must preserve every score."""
 
-import os
-
 import pytest
 
 from pdf_extraction_and_query_spark.operators.textstats import (
@@ -75,6 +73,10 @@ def test_replay_exactly_once_and_compact(spark, base, batch, tmp_path):
     proc(batch, 0)  # crash replay
     assert _key(quality_scores_merged(spark, root)) == once
     quality_compact(spark, root)
-    assert not os.path.exists(f"{root}/delta")
     assert _key(quality_scores_merged(spark, root)) == once
     quality_compact(spark, root)  # idempotent when nothing to fold
+    assert _key(quality_scores_merged(spark, root)) == once
+    proc(batch, 0)  # replay of the already-FOLDED batch (post-compact
+    # crash window): the folded_max watermark must make it a no-op —
+    # without it every replayed score row would appear twice
+    assert _key(quality_scores_merged(spark, root)) == once
