@@ -255,6 +255,15 @@ SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000
 SAMPLE_MOD = 1_000_000
 
+# train/val/test assignment (operators/packing.dataset_split): bucket =
+# md5_bits48(SPLIT_SALT || doc_id) % SAMPLE_MOD; val = [0, VAL), test =
+# [VAL, VAL+TEST), train = the rest.  SPLIT_SALT keeps the coordinate
+# decorrelated from the sampling and mixing coordinates — the same doc
+# must be able to be sampled out, mixed up, and still split uniformly.
+SPLIT_SALT = "split:"
+SPLIT_VAL_MICRO = 10_000   # 1%
+SPLIT_TEST_MICRO = 10_000  # 1%
+
 # quality-classifier stub (operators/classifier.py): per-token weight =
 # md5_bits48(CLS_SALT || token) % (2*CLS_W + 1), kept UNSHIFTED
 # (non-negative) through the per-doc mean so Spark `div` == DuckDB `//`

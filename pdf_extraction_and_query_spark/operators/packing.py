@@ -430,3 +430,64 @@ def curate_corpus_v2(docs: DataFrame) -> DataFrame:
             "bucket",
         )
     )
+
+
+def _split_bucket():
+    """First 48 md5 bits of (SPLIT_SALT || doc_id), mod SAMPLE_MOD — the
+    per-row split coordinate (uniform for the same avalanche reason as
+    :func:`_sample_bucket`; its own salt keeps it independent of the
+    sampling and mixing coordinates)."""
+    s = F.concat(F.lit(C.SPLIT_SALT), F.col("doc_id").cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % C.SAMPLE_MOD
+
+
+def _split_label(b):
+    """val = [0, SPLIT_VAL_MICRO), test = the next SPLIT_TEST_MICRO band,
+    train = the rest — band edges are contract constants so the held-out
+    sets never drift between waves."""
+    v, t = C.SPLIT_VAL_MICRO, C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO
+    return (
+        F.when(b < v, F.lit("val"))
+        .when(b < t, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment — the handoff step between
+    curation and training (every pipeline carves held-out sets; doing it
+    by salted doc_id hash makes the split stable under re-runs, resumable
+    ingestion, and engine changes, where ``df.randomSplit`` is none of
+    those).
+
+    Split-by-doc_id is the standard leakage rule ONLY downstream of
+    dedup/decontamination (a near-dup pair straddling the cut leaks —
+    that is the dedup family's job, not the splitter's; compose as
+    curate -> dedup -> split).  Pure per-row arithmetic: no shuffle, no
+    RNG state, scales as a narrow scan."""
+    return docs.withColumn(
+        "split_bucket", _split_bucket().cast("long")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "split_bucket",
+        _split_label(F.col("split_bucket")).alias("split"),
+    )
+
+
+def dataset_split_stats(docs: DataFrame) -> DataFrame:
+    """Per-(lang, split) report of :func:`dataset_split` — doc counts and
+    the token mass each split carries (what a training run logs before it
+    starts).  ONE map-side-combined hash agg over one narrow scan (split
+    coordinate and token count computed inline — no join back); token
+    counts reuse the packing tokenizer's whitespace rule."""
+    toks = F.size(F.split(F.trim(F.col("text")), C.WS_SPLIT_RE)).cast("long")
+    d = docs.select(
+        "lang", toks.alias("n_tokens"), _split_bucket().cast("long").alias("split_bucket")
+    ).withColumn("split", _split_label(F.col("split_bucket")))
+    return d.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("split_bucket").cast("long").alias("min_bucket"),
+        F.max("split_bucket").cast("long").alias("max_bucket"),
+    )

@@ -632,6 +632,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
+    "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
+    "dataset_split_stats": lambda s, d: PK.dataset_split_stats(_docs(s, d)),
     "source_mix": lambda s, d: PK.source_mix(_docs(s, d)),
     "source_mix_sample": lambda s, d: PK.source_mix_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
@@ -1418,6 +1420,38 @@ bands AS ({_band_union_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, val)
 WHERE a.doc_id < b.doc_id""",
+    # train/val/test assignment (operators/packing.dataset_split): salted
+    # md5 coordinate, contract band edges — the curation->training handoff
+    "dataset_split": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('{C.SPLIT_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           % {C.SAMPLE_MOD} AS split_bucket
+  FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id, lang,
+       cast(split_bucket as bigint) AS split_bucket,
+       CASE WHEN split_bucket < {C.SPLIT_VAL_MICRO} THEN 'val'
+            WHEN split_bucket < {C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO} THEN 'test'
+            ELSE 'train' END AS split
+FROM b""",
+    "dataset_split_stats": f"""
+WITH b AS (
+  SELECT lang,
+         cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+              as bigint) AS n_tokens,
+         ('0x' || substr(md5('{C.SPLIT_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           % {C.SAMPLE_MOD} AS split_bucket
+  FROM documents),
+s AS (SELECT *, CASE WHEN split_bucket < {C.SPLIT_VAL_MICRO} THEN 'val'
+                     WHEN split_bucket < {C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO} THEN 'test'
+                     ELSE 'train' END AS split
+      FROM b)
+SELECT lang, split,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS n_tokens,
+       cast(min(split_bucket) as bigint) AS min_bucket,
+       cast(max(split_bucket) as bigint) AS max_bucket
+FROM s GROUP BY 1, 2""",
     "shard_pack": f"""
 WITH t AS (SELECT doc_id,
                   cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))

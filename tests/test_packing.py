@@ -171,3 +171,42 @@ def test_source_mix_sample_is_deterministic_and_realizes_the_rates(spark):
     kept_b = sum(1 for i in a if i >= 900) / 100
     assert abs(kept_a - 0.8333) < 0.08, kept_a  # hash noise at n=900
     assert kept_b == 1.0  # rate 1e6 keeps every B doc, no noise allowed
+
+
+def test_dataset_split_bands_and_independence(spark):
+    from pdf_extraction_and_query_spark import contract as C
+    from pdf_extraction_and_query_spark.operators.packing import (
+        _sample_bucket,
+        dataset_split,
+        dataset_split_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), "en") for i in range(4000)],
+        "doc_id long, text string, lang string",
+    )
+    s = dataset_split(docs)
+    rows = s.collect()
+    # band semantics pinned exactly
+    v, t = C.SPLIT_VAL_MICRO, C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO
+    for r in rows:
+        want = "val" if r.split_bucket < v else ("test" if r.split_bucket < t else "train")
+        assert r.split == want
+    # every doc assigned exactly once; deterministic across runs
+    assert len(rows) == 4000
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, dataset_split(docs).collect()))
+    # the split coordinate is independent of the SAMPLING coordinate: if
+    # they correlated, sampling would bias the held-out sets
+    both = (
+        docs.select("doc_id")
+        .withColumn("sb", _sample_bucket())
+        .join(s.select("doc_id", "split_bucket"), "doc_id")
+        .collect()
+    )
+    same = sum(1 for r in both if r.sb == r.split_bucket)
+    assert same <= 2  # chance collisions only
+    # stats roll up the same assignment (token mass conserved)
+    st = {(r.lang, r.split): r for r in dataset_split_stats(docs).collect()}
+    assert sum(r.n_docs for r in st.values()) == 4000
+    n_val = sum(1 for r in rows if r.split == "val")
+    assert st.get(("en", "val"), None) is None and n_val == 0 or st[("en", "val")].n_docs == n_val
