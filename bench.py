@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "retrieval_eval",
     "bpe_token_counts",
     "quality_classify",
     "ccnet_buckets",
@@ -286,6 +287,7 @@ def main() -> None:
         "kmeans_centroids",
         "frontier_schedule",
         "bpe_token_counts",
+        "retrieval_eval",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)
