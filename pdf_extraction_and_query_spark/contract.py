@@ -206,6 +206,11 @@ HTML_CANONICAL_PREFIX = "https://corp.example/doc/"
 HTML_CANONICAL_MOD = 97
 HTML_NOINDEX_EVERY = 7
 HTML_NOINDEX_PHASE = 3
+# corpus-level block dedup (CCNet/RefinedWeb line-wise dedup): a main-content
+# block is corpus boilerplate when its exact text recurs in >= MIN_DOCS
+# DISTINCT documents — per-doc boilerplate strip can't see it (it only
+# repeats across docs, never within one)
+HTML_BLOCKDUP_MIN_DOCS = 2
 
 # synthesized temporal metadata (doc_listing_full's created_at/upload_date
 # and crawl_keep_latest's fetch time share ONE model — testdata carries no

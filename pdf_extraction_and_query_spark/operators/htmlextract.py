@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import contract as C
 from ..core.htmlmain import (
     extract_links,
     extract_links_text,
@@ -332,6 +333,65 @@ def html_content_dups(html_df: DataFrame) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
         .where(F.col("n_pages") > 1)
+    )
+
+
+def corpus_block_dedup(
+    html_df: DataFrame, min_docs: int = C.HTML_BLOCKDUP_MIN_DOCS
+) -> DataFrame:
+    """Corpus-LEVEL block dedup (CCNet's paragraph dedup / RefinedWeb's
+    line-wise dedup): a kept main-content block whose exact text recurs in
+    >= ``min_docs`` DISTINCT documents is corpus boilerplate — per-doc
+    stripping cannot see it because it only repeats ACROSS documents.
+    Emits the per-doc rewrite summary: block/drop counts, chars kept, and
+    the deduped content hash.
+
+    Scale shape: the page text never leaves the narrow parse stage — each
+    block is reduced to its 32-hex md5 + length immediately, so BOTH
+    exchanges (the block-hash window that counts distinct docs, and the
+    final per-doc aggregation) carry ~50-byte rows. At 10^12 docs the
+    block-frequency exchange is the corpus's block count, not its bytes.
+    The content hash is therefore a hash OF BLOCK HASHES in span order
+    (md5 of the concatenated kept-block md5s) — the DuckDB oracle computes
+    the identical form, so cross-engine equality is exact without ever
+    shuffling text."""
+    blocks = (
+        html_extract(html_df)
+        .where(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "span_order",
+            F.md5(F.col("text")).alias("bh"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # count-distinct-docs per block via one window over the block hash:
+    # groups are tiny (the dup multiplicity of one block), and the corpus
+    # rides the exchange once as (doc_id, order, 32-hex, len) rows
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("bh")))
+    dup = F.col("nd") >= F.lit(int(min_docs))
+    kept_bh = F.when(~dup, F.struct("span_order", "bh"))
+    return (
+        blocks.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dropped"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("n_chars")))
+            .cast("long")
+            .alias("n_chars_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_bh)),
+                        lambda s: s["bh"],
+                    ),
+                    "",
+                )
+            ).alias("content_hash"),
+        )
     )
 
 

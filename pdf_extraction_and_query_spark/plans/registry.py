@@ -729,6 +729,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "html_canonical_dups": lambda s, d: HX.html_canonical_dups(_html_corpus(s, d)),
     "html_content_dups": lambda s, d: HX.html_content_dups(_html_corpus(s, d)),
+    "html_block_dedup": lambda s, d: HX.corpus_block_dedup(_html_corpus(s, d)),
     "html_near_dups": lambda s, d: D.minhash_band_pairs(
         HX.html_main_text(_html_corpus(s, d))
     ),
@@ -2886,6 +2887,29 @@ SELECT content_hash, cast(count(*) as bigint) AS n_pages,
        min(cast(doc_id as varchar)) AS keeper_doc_id
 FROM ch WHERE content_hash <> md5('')
 GROUP BY content_hash HAVING count(*) > 1"""
+
+# corpus-LEVEL block dedup (CCNet paragraph dedup / RefinedWeb line-wise
+# dedup): a kept block recurring in >= MIN_DOCS distinct docs is dropped
+# everywhere. The content hash is a hash OF BLOCK HASHES in paragraph
+# order — the exact form the Spark side computes so text never shuffles
+ORACLE_SQL["html_block_dedup"] = f"""
+WITH {_HTML_META},
+kept AS (
+  SELECT doc_id, i, md5(ptext) AS bh, length(ptext) AS nc
+  FROM ht WHERE {_HTML_KEEP}),
+freq AS (
+  SELECT bh, count(DISTINCT doc_id) AS nd FROM kept GROUP BY bh),
+j AS (
+  SELECT k.doc_id, k.i, k.bh, k.nc,
+         (f.nd >= {C.HTML_BLOCKDUP_MIN_DOCS}) AS dup
+  FROM kept k JOIN freq f USING (bh))
+SELECT cast(doc_id as varchar) AS doc_id,
+       cast(count(*) as bigint) AS n_blocks,
+       cast(sum(CASE WHEN dup THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+       cast(sum(CASE WHEN dup THEN 0 ELSE nc END) as bigint) AS n_chars_kept,
+       md5(coalesce(string_agg(bh, '' ORDER BY i) FILTER (WHERE NOT dup),
+                    '')) AS content_hash
+FROM j GROUP BY doc_id"""
 
 # near-dup over EXTRACTED main content: the minhash/LSH arithmetic verbatim
 # (shared _sh_cte_src / sig / band builders), pointed at the main-text

@@ -395,3 +395,85 @@ def test_search_over_html_chunks_end_to_end(spark, html_docs):
         range(1, len(q0) + 1)
     )
     assert not [r for r in hits if r["q_id"] == 1]
+
+
+def test_corpus_block_dedup_semantics(spark):
+    """Corpus-level block dedup (CCNet paragraph dedup): a block recurring
+    in >= MIN_DOCS DISTINCT docs is dropped in every doc; a block repeated
+    only WITHIN one doc has nd=1 and survives. The content hash is the
+    documented hash-of-block-hashes in span order."""
+    import hashlib
+
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        corpus_block_dedup,
+    )
+
+    shared = "subscribe to our newsletter for updates"
+    pages = spark.createDataFrame(
+        [
+            ("a", f"<p>{shared}</p><p>unique alpha prose</p>"),
+            ("b", f"<p>{shared}</p><p>unique beta prose</p>"),
+            ("c", "<p>solo repeated</p><p>solo repeated</p>"),
+        ],
+        schema="doc_id string, html string",
+    )
+    got = {r["doc_id"]: r for r in corpus_block_dedup(pages).collect()}
+
+    def h(*texts):
+        inner = "".join(hashlib.md5(t.encode()).hexdigest() for t in texts)
+        return hashlib.md5(inner.encode()).hexdigest()
+
+    a = got["a"]
+    assert (a["n_blocks"], a["n_dropped"]) == (2, 1)
+    assert a["n_chars_kept"] == len("unique alpha prose")
+    assert a["content_hash"] == h("unique alpha prose")
+    # within-doc repetition is NOT corpus boilerplate
+    c = got["c"]
+    assert (c["n_blocks"], c["n_dropped"]) == (2, 0)
+    assert c["n_chars_kept"] == 2 * len("solo repeated")
+    assert c["content_hash"] == h("solo repeated", "solo repeated")
+
+
+def test_corpus_block_dedup_matches_text_equality_twin(spark, html_docs):
+    """The shipped operator reduces blocks to md5s before any exchange; this
+    twin recomputes the whole thing from RAW TEXT equality in pandas on the
+    fixture corpus — identical results prove the hash form changes nothing."""
+    import hashlib
+    from collections import defaultdict
+
+    from pdf_extraction_and_query_spark import contract as C2
+    from pdf_extraction_and_query_spark.operators.htmlextract import (
+        corpus_block_dedup,
+        html_extract,
+    )
+
+    df = spark.createDataFrame(html_docs, schema="doc_id string, html string")
+    got = {r["doc_id"]: r for r in corpus_block_dedup(df).collect()}
+
+    spans = [
+        r
+        for r in html_extract(df).collect()
+        if r["kind"] == "text"
+    ]
+    docs_per_text = defaultdict(set)
+    for r in spans:
+        docs_per_text[r["text"]].add(r["doc_id"])
+    per_doc = defaultdict(list)
+    for r in spans:
+        per_doc[r["doc_id"]].append(r)
+    assert set(got) == set(per_doc)
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r["span_order"])
+        kept = [
+            r["text"]
+            for r in rows
+            if len(docs_per_text[r["text"]]) < C2.HTML_BLOCKDUP_MIN_DOCS
+        ]
+        dropped = len(rows) - len(kept)
+        inner = "".join(hashlib.md5(t.encode()).hexdigest() for t in kept)
+        assert got[d]["n_blocks"] == len(rows)
+        assert got[d]["n_dropped"] == dropped
+        assert got[d]["n_chars_kept"] == sum(len(t) for t in kept)
+        assert got[d]["content_hash"] == hashlib.md5(inner.encode()).hexdigest()
+    # the rule must be load-bearing on the fixture: some block recurs
+    assert any(len(v) >= C2.HTML_BLOCKDUP_MIN_DOCS for v in docs_per_text.values())
