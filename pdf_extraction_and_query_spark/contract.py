@@ -260,6 +260,18 @@ SAMPLE_RATES_MICRO = {"en": 500_000}  # downsample the dominant stratum
 SAMPLE_DEFAULT_MICRO = 900_000
 SAMPLE_MOD = 1_000_000
 
+# DSIR importance resampling (Xie et al. 2023, public): hashed-token
+# bucket model; the target distribution is the contract language slice (a
+# fixture-expressible stand-in for DSIR's small quality corpus). Ratio =
+# smoothed target/raw bucket frequency with the totals' constant factor
+# dropped (ranking-invariant); logs banned (see the BM25 idf note), so a
+# doc's weight is the arithmetic MEAN of token ratios (lm_fluency's
+# documented deviation) and the selection is the paper's deterministic
+# top-k variant (a Gumbel resample needs logs + an RNG).
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANGS = ("de", "fr")
+DSIR_SAMPLE_K = 100
+
 # train/val/test assignment (operators/packing.dataset_split): bucket =
 # md5_bits48(SPLIT_SALT || doc_id) % SAMPLE_MOD; val = [0, VAL), test =
 # [VAL, VAL+TEST), train = the rest.  SPLIT_SALT keeps the coordinate

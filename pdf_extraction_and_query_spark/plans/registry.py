@@ -24,6 +24,7 @@ from ..core import boilerplate as bp
 from ..operators import bpe as BP
 from ..operators import classifier as CL
 from ..operators import dedup as D
+from ..operators import dsir as DS
 from ..operators import fulltext as FT
 from ..operators import graphrank as GR
 from ..operators import htmlextract as HX
@@ -634,6 +635,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
     "dataset_split_stats": lambda s, d: PK.dataset_split_stats(_docs(s, d)),
+    "dsir_weights": lambda s, d: DS.dsir_weights(_docs(s, d)),
+    "dsir_sample": lambda s, d: DS.dsir_sample(_docs(s, d)),
     "source_mix": lambda s, d: PK.source_mix(_docs(s, d)),
     "source_mix_sample": lambda s, d: PK.source_mix_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
@@ -1498,6 +1501,66 @@ SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(sample_bucket as bigint) AS sample_bucket
 FROM b
 WHERE sample_bucket < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END""",
+    # DSIR importance resampling — the hashed-bucket model, the smoothed
+    # integer ratio and the mean-of-ratios weight replayed bucket-for-
+    # bucket (contract.DSIR_* note: logs banned, totals' factor dropped)
+    "dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'))
+           AS word
+  FROM documents),
+tb AS (
+  SELECT doc_id, {_poly('word')} % {C.DSIR_BUCKETS} AS b
+  FROM toks WHERE word <> ''),
+db AS (SELECT doc_id, b, cast(count(*) as bigint) AS c
+       FROM tb GROUP BY doc_id, b),
+rt AS (SELECT b, sum(c) AS cnt_r FROM db GROUP BY b),
+tt AS (SELECT b, sum(c) AS cnt_t
+       FROM db JOIN documents USING (doc_id)
+       WHERE lang IN {tuple(C.DSIR_TARGET_LANGS)} GROUP BY b),
+model AS (
+  SELECT rt.b,
+         (1000000 * (coalesce(cnt_t, 0) + 1)) // (cnt_r + 1) AS ratio_e6
+  FROM rt LEFT JOIN tt ON rt.b = tt.b),
+w AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(c * ratio_e6) // sum(c) AS weight_e6
+  FROM db JOIN model USING (b) GROUP BY doc_id)
+SELECT cast(w.doc_id as bigint) AS doc_id, d.lang,
+       cast(n_tokens as bigint) AS n_tokens,
+       cast(weight_e6 as bigint) AS weight_e6
+FROM w JOIN documents d ON w.doc_id = d.doc_id""",
+    # dsir_sample: the paper's deterministic top-k selection — highest
+    # weights win, doc_id tie-break
+    "dsir_sample": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'))
+           AS word
+  FROM documents),
+tb AS (
+  SELECT doc_id, {_poly('word')} % {C.DSIR_BUCKETS} AS b
+  FROM toks WHERE word <> ''),
+db AS (SELECT doc_id, b, cast(count(*) as bigint) AS c
+       FROM tb GROUP BY doc_id, b),
+rt AS (SELECT b, sum(c) AS cnt_r FROM db GROUP BY b),
+tt AS (SELECT b, sum(c) AS cnt_t
+       FROM db JOIN documents USING (doc_id)
+       WHERE lang IN {tuple(C.DSIR_TARGET_LANGS)} GROUP BY b),
+model AS (
+  SELECT rt.b,
+         (1000000 * (coalesce(cnt_t, 0) + 1)) // (cnt_r + 1) AS ratio_e6
+  FROM rt LEFT JOIN tt ON rt.b = tt.b),
+w AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(c * ratio_e6) // sum(c) AS weight_e6
+  FROM db JOIN model USING (b) GROUP BY doc_id)
+SELECT cast(w.doc_id as bigint) AS doc_id, d.lang,
+       cast(n_tokens as bigint) AS n_tokens,
+       cast(weight_e6 as bigint) AS weight_e6
+FROM w JOIN documents d ON w.doc_id = d.doc_id
+ORDER BY weight_e6 DESC, cast(w.doc_id as bigint) LIMIT {C.DSIR_SAMPLE_K}""",
     # source_mix: floor(sqrt(n)*1000) is bit-identical across engines
     # (IEEE requires sqrt correctly rounded — contract.MIX_SALT note);
     # everything downstream is integer div on bigints.
