@@ -250,6 +250,7 @@ def main() -> None:
         "shard_pack",
         "pack_sequences",
         "stratified_sample",
+        "dsir_sample",
         "curate_corpus_full",
         "curate_corpus_v2",
         "quality_classify",
