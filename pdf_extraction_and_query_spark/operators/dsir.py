@@ -45,21 +45,33 @@ from .util import fan_out
 
 
 def doc_bucket_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, b, c): per-doc hashed-token bucket counts — the narrow
-    tokenize+hash pass and the ONLY exchange that sees per-token rows
-    (as map-side-combined partials)."""
+    """(doc_id, b, c): per-doc hashed-token bucket counts.
+
+    Two-stage shape: the narrow tokenize pass feeds a (doc_id, word)
+    hash-agg on RAW STRINGS (map-side combined — the only exchange that
+    sees per-token rows, as partials), and only the distinct pairs reach
+    :func:`poly_hash` — the hash is a pure per-word function, so hashing
+    after the count is value-identical to hashing every occurrence while
+    running the interpreted higher-order aggregate (~0.2 ms/row, PLANS.md
+    #14) n_distinct(doc, word) times instead of n_tokens times (16.4 s ->
+    1.7 s at sf0.1). The second (doc_id, b) agg reduces already-reduced
+    pair rows."""
     toks = fan_out(docs).select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word")
     )
+    wc = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("c")
+    )
     return (
-        toks.select(
+        wc.select(
             "doc_id",
             (poly_hash(F.col("word")) % C.DSIR_BUCKETS)
             .cast("long")
             .alias("b"),
+            "c",
         )
         .groupBy("doc_id", "b")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.sum("c").cast("long").alias("c"))
     )
 
 
