@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "gopher_verdict",
     "retrieval_eval",
     "bpe_token_counts",
     "quality_classify",
@@ -256,6 +257,7 @@ def main() -> None:
         "quality_classify",
         "ccnet_buckets",
         "lm_fluency",
+        "gopher_verdict",
         "embedding_near_pairs_lsh",
         "stub_embed",
         "repetition_metrics",

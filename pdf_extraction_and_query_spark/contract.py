@@ -363,6 +363,46 @@ REP_NS: tuple[int, ...] = (2, 3, 4, 5, 8)
 # collision for the ~40-word vocabulary: 40^8 >> corpus shingle count)
 DUP_PASSAGE_K = 8
 
+# --- full Gopher quality-rule verdict (operators/gopher.py; Rae et al. 2021
+#     appendix A1.1, public) ---
+# All rules are exact-integer: fractions are *_e6 fixed-point with
+# greatest(denominator, 1) guards; mean word length is *_e2.  Word counts
+# are the SUM of per-line whitespace splits (lines = '\n' splits with
+# blank-after-trim lines dropped) — identical to a whole-text \s+ split
+# because words cannot span newlines.  Duplicate-line fractions follow the
+# repetition_metrics convention: cnt >= 2 counts ALL occurrences of a
+# duplicated line.  A doc with no non-empty line emits no row (both
+# engines drop it identically).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN_E2 = 300  # mean chars/word in [3, 10]
+GOPHER_MAX_WORD_LEN_E2 = 1000
+GOPHER_SYMBOL_RE = r"(?:\.\.\.|…|#)"  # hash-or-ellipsis symbols
+GOPHER_SYMBOL_MAX_E6 = 100_000  # symbol-to-word ratio <= 0.1
+GOPHER_BULLET_RE = r"^\s*[-*•‣▪]"
+GOPHER_BULLET_MAX_E6 = 900_000  # <= 90% of lines bullet-start
+GOPHER_ELLIPSIS_LINE_RE = r"(?:\.\.\.|…)\s*$"
+GOPHER_ELLIPSIS_MAX_E6 = 300_000  # <= 30% of lines ellipsis-end
+# a word "contains an alphabetic character" iff the maximal \S+ run holds
+# at least one [A-Za-z]; counted on the raw line so the regex and the
+# whitespace split agree on word boundaries
+GOPHER_ALPHA_WORD_RE = r"(?:^|\s)[^A-Za-z\s]*[A-Za-z]\S*"
+GOPHER_ALPHA_MIN_E6 = 800_000  # >= 80% of words contain an alpha char
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# paper value: 2.  The synthetic gate vocabulary carries only "the" from
+# the set (31-word DB-term corpus), so 2 would pin the rule false for every
+# doc; 1 keeps the composite verdict informative at gate scale while the
+# rule STRUCTURE (distinct-presence count over the published set, bitmask
+# bit_or/bit_count) is unchanged — same fixture-sensitivity deviation as
+# DUP_PASSAGE_K (8 vs Lee et al.'s 50).
+GOPHER_MIN_REQ_STOPWORDS = 1
+GOPHER_DUP_LINE_MAX_E6 = 300_000  # <= 30% of lines are duplicated
+GOPHER_DUP_LINE_CHAR_MAX_E6 = 200_000  # <= 20% of chars in duplicated lines
+# repetition thresholds over repetition_metrics' long rows (paper table A1;
+# REP_NS carries n in (2,3,4) as top-gram rules and (5,8) as dup-gram rules)
+GOPHER_TOP_NGRAM_MAX_E6 = {2: 200_000, 3: 180_000, 4: 160_000}
+GOPHER_DUP_NGRAM_MAX_E6 = {5: 150_000, 8: 120_000}
+
 # hybrid retrieval: reciprocal-rank fusion of the BM25 list and the vector
 # top-k list, rrf contribution = 1e6 // (RRF_K + rank) per list (exact
 # integer), candidate depth HYBRID_POOL per retriever before fusion

@@ -26,6 +26,7 @@ from ..operators import classifier as CL
 from ..operators import dedup as D
 from ..operators import dsir as DS
 from ..operators import fulltext as FT
+from ..operators import gopher as GO
 from ..operators import graphrank as GR
 from ..operators import htmlextract as HX
 from ..operators import kmeans as KM
@@ -651,6 +652,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classify_stats": lambda s, d: CL.quality_classify_stats(
         _docs(s, d), spec="stub"
     ),
+    # --- full Gopher quality-rule verdict (SQL-verified) ---
+    "gopher_rules": lambda s, d: GO.gopher_rules(_docs(s, d)),
+    "gopher_verdict": lambda s, d: GO.gopher_verdict(_docs(s, d)),
     # --- repetition / duplicated-passage curation (SQL-verified) ---
     "repetition_metrics": lambda s, d: RP.repetition_metrics(_docs(s, d)),
     "dup_passages": lambda s, d: RP.dup_passages(_docs(s, d)),
@@ -1216,6 +1220,117 @@ def _cls_cte(p: str = "") -> str:
 
 
 _CLS_CTE = _cls_cte()
+
+
+def _gopher_rules_cte() -> str:
+    """Twin of gopher.gopher_rules, ending in the `gm` CTE with every
+    metric + flag column.  Mirrors the Spark shape: per-(doc, line) group,
+    per-DISTINCT-line regexp features, bit_or-folded stopword mask.  All
+    sums cast to bigint (DuckDB sum() widens to HUGEINT)."""
+    mask = " + ".join(
+        f"(CASE WHEN len(regexp_extract_all(line, '(?i)\\b{w}\\b')) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, w in enumerate(C.GOPHER_REQ_STOPWORDS)
+    )
+    return f"""
+gl AS (SELECT doc_id, line FROM
+         (SELECT doc_id, unnest(regexp_split_to_array(text, '\\n')) AS line
+          FROM documents)
+       WHERE trim(line) <> ''),
+gg AS (SELECT doc_id, line, cast(count(*) as bigint) AS cnt
+       FROM gl GROUP BY 1, 2),
+gf AS (SELECT doc_id, cnt,
+         cast(length(line) as bigint) AS chars,
+         cast(length(regexp_replace(line, '\\s', '', 'g')) as bigint) AS nonspace,
+         cast(len(regexp_split_to_array(trim(line), '{C.WS_SPLIT_RE}')) as bigint) AS words,
+         cast(len(regexp_extract_all(line, '{C.GOPHER_ALPHA_WORD_RE}')) as bigint) AS alpha_words,
+         cast(len(regexp_extract_all(line, '{C.GOPHER_SYMBOL_RE}')) as bigint) AS symbols,
+         CASE WHEN len(regexp_extract_all(line, '{C.GOPHER_BULLET_RE}')) > 0 THEN 1 ELSE 0 END AS bullet,
+         CASE WHEN len(regexp_extract_all(line, '{C.GOPHER_ELLIPSIS_LINE_RE}')) > 0 THEN 1 ELSE 0 END AS ell,
+         ({mask}) AS stop_mask
+       FROM gg),
+gp AS (SELECT doc_id,
+         cast(sum(cnt) as bigint) AS n_lines,
+         cast(sum(cnt * words) as bigint) AS n_words,
+         cast(sum(cnt * nonspace) as bigint) AS nonspace_chars,
+         cast(sum(cnt * chars) as bigint) AS line_chars,
+         cast(sum(cnt * alpha_words) as bigint) AS n_alpha_words,
+         cast(sum(cnt * symbols) as bigint) AS n_symbols,
+         cast(sum(cnt * bullet) as bigint) AS bullet_lines,
+         cast(sum(cnt * ell) as bigint) AS ellipsis_lines,
+         cast(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) as bigint) AS dup_lines,
+         cast(sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) as bigint) AS dup_line_chars,
+         cast(bit_count(cast(bit_or(stop_mask) as bigint)) as bigint) AS n_req_stopwords
+       FROM gf GROUP BY doc_id),
+gq AS (SELECT *,
+         (100 * nonspace_chars) // greatest(n_words, 1) AS mean_word_len_e2,
+         (1000000 * n_symbols) // greatest(n_words, 1) AS symbol_frac_e6,
+         (1000000 * bullet_lines) // greatest(n_lines, 1) AS bullet_frac_e6,
+         (1000000 * ellipsis_lines) // greatest(n_lines, 1) AS ellipsis_frac_e6,
+         (1000000 * n_alpha_words) // greatest(n_words, 1) AS alpha_frac_e6,
+         (1000000 * dup_lines) // greatest(n_lines, 1) AS dup_line_frac_e6,
+         (1000000 * dup_line_chars) // greatest(line_chars, 1) AS dup_line_char_frac_e6
+       FROM gp),
+gm AS (SELECT doc_id, n_lines, n_words, mean_word_len_e2, symbol_frac_e6,
+         bullet_frac_e6, ellipsis_frac_e6, alpha_frac_e6, n_req_stopwords,
+         dup_line_frac_e6, dup_line_char_frac_e6,
+         (n_words >= {C.GOPHER_MIN_WORDS} AND n_words <= {C.GOPHER_MAX_WORDS}) AS wordcount_ok,
+         (mean_word_len_e2 >= {C.GOPHER_MIN_WORD_LEN_E2} AND mean_word_len_e2 <= {C.GOPHER_MAX_WORD_LEN_E2}) AS wordlen_ok,
+         (symbol_frac_e6 <= {C.GOPHER_SYMBOL_MAX_E6}) AS symbol_ok,
+         (bullet_frac_e6 <= {C.GOPHER_BULLET_MAX_E6}) AS bullet_ok,
+         (ellipsis_frac_e6 <= {C.GOPHER_ELLIPSIS_MAX_E6}) AS ellipsis_ok,
+         (alpha_frac_e6 >= {C.GOPHER_ALPHA_MIN_E6}) AS alpha_ok,
+         (n_req_stopwords >= {C.GOPHER_MIN_REQ_STOPWORDS}) AS stops_ok,
+         (dup_line_frac_e6 <= {C.GOPHER_DUP_LINE_MAX_E6}) AS dup_line_ok,
+         (dup_line_char_frac_e6 <= {C.GOPHER_DUP_LINE_CHAR_MAX_E6}) AS dup_line_char_ok
+       FROM gq)"""
+
+
+def _gopher_rep_ok_cte() -> str:
+    """Per-doc repetition verdict columns from the repetition_metrics
+    arithmetic (same CTE shape as its standalone oracle), ending in
+    `rep_ok` with one coalesced boolean per published threshold."""
+    tops = ", ".join(
+        f"coalesce(min(CASE WHEN n = {n} THEN top_frac_e6 <= {thr} END), true) AS top{n}_ok"
+        for n, thr in sorted(C.GOPHER_TOP_NGRAM_MAX_E6.items())
+    )
+    dups = ", ".join(
+        f"coalesce(min(CASE WHEN n = {n} THEN dup_frac_e6 <= {thr} END), true) AS dup{n}_ok"
+        for n, thr in sorted(C.GOPHER_DUP_NGRAM_MAX_E6.items())
+    )
+    return f"""
+rw AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                          x -> x <> '') AS words
+       FROM documents),
+rd AS (SELECT doc_id, words,
+              greatest(length(array_to_string(words, ' ')), 1) AS denom FROM rw),
+rns(n) AS (VALUES {", ".join(f"({n})" for n in C.REP_NS)}),
+ri AS (SELECT doc_id, denom, n, words,
+              unnest(range(1, greatest(len(words) - n + 2, 1))) AS start_w
+       FROM rd, rns),
+rg AS (SELECT doc_id, denom, n,
+              array_to_string(words[start_w:start_w + n - 1], ' ') AS gram FROM ri),
+rcnt AS (SELECT doc_id, denom, n, gram, count(*) AS cnt FROM rg GROUP BY 1, 2, 3, 4),
+rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                    ORDER BY cnt DESC, gram) AS rn FROM rcnt),
+rper AS (SELECT doc_id, n, denom,
+                max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt,
+                max(CASE WHEN rn = 1 THEN length(gram) END) AS top_chars,
+                sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+         FROM rr GROUP BY 1, 2, 3),
+rfrac AS (SELECT doc_id, n,
+                 least((1000000 * top_cnt * top_chars) // denom, 1000000) AS top_frac_e6,
+                 least((1000000 * dup_chars) // denom, 1000000) AS dup_frac_e6
+          FROM rper),
+rep_ok AS (SELECT doc_id, {tops}, {dups} FROM rfrac GROUP BY doc_id)"""
+
+
+_GOPHER_RULES_CTE = _gopher_rules_cte()
+_GOPHER_REP_OK_CTE = _gopher_rep_ok_cte()
+_GOPHER_FLAGS = [f"top{n}_ok" for n in sorted(C.GOPHER_TOP_NGRAM_MAX_E6)] + [
+    f"dup{n}_ok" for n in sorted(C.GOPHER_DUP_NGRAM_MAX_E6)
+]
 
 ORACLE_SQL: Dict[str, str] = {
     "quality_classify": f"""
@@ -1851,6 +1966,39 @@ SELECT cast(doc_id as bigint) AS doc_id,
        cast(count(*) as bigint) AS n_bigrams,
        cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
 FROM s GROUP BY doc_id""",
+    "gopher_rules": f"""
+WITH {_GOPHER_RULES_CTE}
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(n_lines as bigint) AS n_lines, cast(n_words as bigint) AS n_words,
+       cast(mean_word_len_e2 as bigint) AS mean_word_len_e2,
+       cast(symbol_frac_e6 as bigint) AS symbol_frac_e6,
+       cast(bullet_frac_e6 as bigint) AS bullet_frac_e6,
+       cast(ellipsis_frac_e6 as bigint) AS ellipsis_frac_e6,
+       cast(alpha_frac_e6 as bigint) AS alpha_frac_e6,
+       cast(n_req_stopwords as bigint) AS n_req_stopwords,
+       cast(dup_line_frac_e6 as bigint) AS dup_line_frac_e6,
+       cast(dup_line_char_frac_e6 as bigint) AS dup_line_char_frac_e6,
+       wordcount_ok, wordlen_ok, symbol_ok, bullet_ok, ellipsis_ok, alpha_ok,
+       stops_ok, dup_line_ok, dup_line_char_ok,
+       (wordcount_ok AND wordlen_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
+        AND alpha_ok AND stops_ok AND dup_line_ok AND dup_line_char_ok)
+       AS passes_gopher
+FROM gm""",
+    "gopher_verdict": f"""
+WITH {_GOPHER_RULES_CTE},
+{_GOPHER_REP_OK_CTE},
+gr AS (SELECT doc_id,
+              (wordcount_ok AND wordlen_ok AND symbol_ok AND bullet_ok
+               AND ellipsis_ok AND alpha_ok AND stops_ok AND dup_line_ok
+               AND dup_line_char_ok) AS passes_rules
+       FROM gm)
+SELECT cast(gr.doc_id as bigint) AS doc_id, gr.passes_rules,
+       {", ".join(f"coalesce({f}, true) AS {f}" for f in _GOPHER_FLAGS)},
+       ({" AND ".join(f"coalesce({f}, true)" for f in _GOPHER_FLAGS)})
+       AS passes_repetition,
+       (gr.passes_rules AND {" AND ".join(f"coalesce({f}, true)" for f in _GOPHER_FLAGS)})
+       AS passes_gopher
+FROM gr LEFT JOIN rep_ok ON gr.doc_id = rep_ok.doc_id""",
     "repetition_metrics": f"""
 WITH w AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
