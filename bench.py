@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
     "bpe_token_counts",
@@ -248,6 +249,7 @@ def main() -> None:
         "minhash_lsh_pairs",
         "dedup_clusters",
         "simhash",
+        "winnow_matches",
         "shard_pack",
         "pack_sequences",
         "stratified_sample",

@@ -363,6 +363,25 @@ REP_NS: tuple[int, ...] = (2, 3, 4, 5, 8)
 # collision for the ~40-word vocabulary: 40^8 >> corpus shingle count)
 DUP_PASSAGE_K = 8
 
+# --- winnowing fingerprints (operators/winnow.py; Schleimer/Wilkerson/
+#     Aiken 2003, SIGMOD — public) ---
+# Word-level k-gram winnowing: window of WINNOW_W consecutive gram hashes,
+# select the minimum (rightmost occurrence on ties — min over the
+# (hash, -pos) pair), dedup selections.  Detection guarantee: any shared
+# word run of length >= WINNOW_W + WINNOW_K - 1 = 8 words yields at least
+# one shared fingerprint — the same 8-word sensitivity as DUP_PASSAGE_K.
+# Gram hash contract: the polynomial fold of the K WORD hashes,
+# ((wh1*B + wh2)%M ... ), NOT poly_hash of the joined gram string — word
+# hashes are computed once per DISTINCT word and the fold is pure codegen
+# arithmetic (the dsir lesson: never run the interpreted per-char fold
+# once per token occurrence).
+WINNOW_K = 4
+WINNOW_W = 5
+# fingerprints seen in more than this many docs are boilerplate-grade and
+# pruned before the pair join (the STOP_SHINGLE_MAX_DOCS device)
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
 # --- full Gopher quality-rule verdict (operators/gopher.py; Rae et al. 2021
 #     appendix A1.1, public) ---
 # All rules are exact-integer: fractions are *_e6 fixed-point with

@@ -37,6 +37,7 @@ from ..operators import search as S
 from ..operators import sq as SQ
 from ..operators import stats as ST
 from ..operators import textstats as TX
+from ..operators import winnow as WN
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +653,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classify_stats": lambda s, d: CL.quality_classify_stats(
         _docs(s, d), spec="stub"
     ),
+    # --- winnowing fingerprints (SQL-verified) ---
+    "winnow_fingerprints": lambda s, d: WN.winnow_fingerprints(_docs(s, d)),
+    "winnow_matches": lambda s, d: WN.winnow_matches(_docs(s, d)),
     # --- full Gopher quality-rule verdict (SQL-verified) ---
     "gopher_rules": lambda s, d: GO.gopher_rules(_docs(s, d)),
     "gopher_verdict": lambda s, d: GO.gopher_verdict(_docs(s, d)),
@@ -1326,6 +1330,44 @@ rfrac AS (SELECT doc_id, n,
 rep_ok AS (SELECT doc_id, {tops}, {dups} FROM rfrac GROUP BY doc_id)"""
 
 
+def _winnow_cte() -> str:
+    """Twin of winnow.winnow_fingerprints, ending in the `wfp` CTE with
+    (doc_id, fp_pos, fp).  Same contract arithmetic: per-distinct-word
+    poly hash, lead()-fold gram hash, rightmost-min window selection via
+    min([h, -pos])."""
+    leads = ", ".join(
+        f"lead(wh, {j}) OVER wd AS l{j}" for j in range(1, C.WINNOW_K)
+    )
+    gexpr = "wh"
+    for j in range(1, C.WINNOW_K):
+        gexpr = f"(({gexpr}) * {C.HASH_BASE} + l{j}) % {C.HASH_MOD}"
+    return f"""
+ww AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                          x -> x <> '') AS words
+       FROM documents),
+wt AS (SELECT doc_id, pos, words[pos] AS word FROM
+         (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS pos FROM ww)),
+wv AS (SELECT word, {_poly('word')} AS wh
+       FROM (SELECT DISTINCT word FROM wt)),
+wth AS (SELECT doc_id, pos, wh FROM wt JOIN wv USING (word)),
+wl AS (SELECT doc_id, pos, wh, {leads}
+       FROM wth WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+wg AS (SELECT doc_id, pos, cast({gexpr} as bigint) AS h
+       FROM wl WHERE l{C.WINNOW_K - 1} IS NOT NULL),
+wsel AS (SELECT doc_id, pos,
+           min([h, -pos]) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {C.WINNOW_W - 1} FOLLOWING) AS sel,
+           max(pos) OVER (PARTITION BY doc_id) AS m
+         FROM wg),
+wfp AS (SELECT DISTINCT doc_id, cast(-sel[2] as bigint) AS fp_pos,
+                        cast(sel[1] as bigint) AS fp
+        FROM wsel WHERE pos <= greatest(m - {C.WINNOW_W} + 1, 1))"""
+
+
+_WINNOW_CTE = _winnow_cte()
+
+
 _GOPHER_RULES_CTE = _gopher_rules_cte()
 _GOPHER_REP_OK_CTE = _gopher_rep_ok_cte()
 _GOPHER_FLAGS = [f"top{n}_ok" for n in sorted(C.GOPHER_TOP_NGRAM_MAX_E6)] + [
@@ -1966,6 +2008,28 @@ SELECT cast(doc_id as bigint) AS doc_id,
        cast(count(*) as bigint) AS n_bigrams,
        cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
 FROM s GROUP BY doc_id""",
+    "winnow_fingerprints": f"""
+WITH {_WINNOW_CTE}
+SELECT cast(doc_id as bigint) AS doc_id, fp_pos, fp FROM wfp""",
+    "winnow_matches": f"""
+WITH {_WINNOW_CTE},
+wdistinct AS (SELECT DISTINCT doc_id, fp FROM wfp),
+wsizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_fp
+           FROM wdistinct GROUP BY doc_id),
+wkept AS (SELECT doc_id, fp FROM wdistinct
+          WHERE fp IN (SELECT fp FROM wdistinct GROUP BY fp
+                       HAVING count(*) <= {C.WINNOW_MAX_DF})),
+wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  cast(count(*) as bigint) AS n_shared
+           FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= {C.WINNOW_MIN_SHARED})
+SELECT cast(doc_a as bigint) AS doc_a, cast(doc_b as bigint) AS doc_b,
+       n_shared,
+       cast((1000000 * n_shared) // least(na.n_fp, nb.n_fp) as bigint) AS overlap_e6
+FROM wpairs
+JOIN wsizes na ON na.doc_id = wpairs.doc_a
+JOIN wsizes nb ON nb.doc_id = wpairs.doc_b""",
     "gopher_rules": f"""
 WITH {_GOPHER_RULES_CTE}
 SELECT cast(doc_id as bigint) AS doc_id,
