@@ -115,7 +115,17 @@ def winnow_matches(docs: DataFrame) -> DataFrame:
     (1e6 * n_shared) div least(n_fp_a, n_fp_b)`` — a containment-style
     score: a short doc fully winnow-contained in a long one scores 1e6
     regardless of the length gap."""
-    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    # the fingerprint frame feeds sizes, document frequency AND both pair
+    # sides — multiple references plan independently (PLANS.md #11/#30),
+    # so without the checkpoint the whole explode+join+window pipeline
+    # would run up to 4x.  The checkpointed frame is (doc_id, fp) — two
+    # longs per row, no text.
+    fps = (
+        winnow_fingerprints(docs)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
     kept = fps.join(
