@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "fts_phrase_topk",
+    "tfidf_topk_terms",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -265,6 +267,8 @@ def main() -> None:
         "repetition_metrics",
         "dup_passage_stats",
         "bm25_topk_multi",
+        "fts_phrase_topk",
+        "tfidf_topk_terms",
         "hybrid_rrf",
         "vector_topk",
         "vector_topk_multi",

@@ -350,6 +350,22 @@ FTS_TOPK = 10
 FTS_TF_CAP = 10_000
 FTS_IDF_CAP_E6 = 50_000_000
 
+# Positional phrase queries (operators/fulltext.fts_phrase_topk): ordered
+# token tuples matched by exact adjacency.  q_id 2 is a 3-gram rare enough
+# to vanish at some scales (0 hits at sf0.01 — the honest answer), q_id 3
+# contains a corpus-absent token so the phrase can never match.
+FTS_PHRASES: dict[int, tuple[str, ...]] = {
+    0: ("table", "scan"),
+    1: ("value", "table"),
+    2: ("agg", "window", "group"),
+    3: ("table", "nosuchtoken"),
+}
+
+# per-doc keyword extraction (operators/fulltext.tfidf_topk_terms): top-K
+# terms by tfidf_e6 = capped idf_e6 * capped tf (int64 bound: 5e7 * 1e4 =
+# 5e11).  Rank ties break on token ASC.
+TFIDF_TOPK = 5
+
 # --- repetition metrics + duplicated-passage detection (operators/repetition.py) ---
 # Gopher-style profile: n in (2,3,4) reads as "top n-gram char fraction",
 # n in (5,8) as "duplicated n-gram char fraction" — one long-format row per

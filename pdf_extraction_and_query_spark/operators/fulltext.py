@@ -270,6 +270,129 @@ def _score_expr() -> str:
     )
 
 
+def fts_phrase_topk(
+    docs: DataFrame,
+    phrases: dict[int, tuple[str, ...]] | None = None,
+    k: int = C.FTS_TOPK,
+) -> DataFrame:
+    """Positional phrase search — exact-adjacency matching the term-level
+    FTS family cannot express (BM25 treats ("table","scan") as a bag; this
+    requires "scan" at the very next token position).  The reference's
+    retrieval layer has no phrase operator either (pgvector ranks vectors
+    only); this is positional-inverted-index semantics (Manning, Raghavan
+    & Schütze 2008 §2.4, public) re-expressed relationally.
+
+    Algorithm: tokenize with positions, keep only tokens occurring in some
+    phrase (broadcast prune), map each matched (pos, term-index) row to the
+    phrase start it would witness (``start = pos - idx``), and a start
+    where ALL ``m`` term indexes are witnessed is a phrase occurrence —
+    ``count(*) == m`` is exact because (start, idx) determines pos, so no
+    idx can be witnessed twice at one start.  Occurrences score as BM25
+    with tf = occurrence count and df = matching-doc count (the standard
+    phrase-as-virtual-term reduction), sharing ``_score_expr`` verbatim.
+
+    Scale shape (10^12 docs): the corpus-sized work is ONE narrow token
+    explode, pruned map-side by the broadcast phrase-term join BEFORE the
+    only match-sized exchange (the (doc, q, start) hash-agg over matched
+    rows only); ``dl`` is a narrow per-row projection (size of the split
+    array — no second explode, no postings pass), joined to candidates
+    doc-keyed (AQE broadcasts the candidate side); the df window runs over
+    candidate docs only.  Overlapping occurrences count separately; a
+    phrase with zero occurrences (q_id 3's absent token) emits no row."""
+    phrases = phrases or C.FTS_PHRASES
+    spark = docs.sparkSession
+    pt = spark.createDataFrame(
+        [(q, i, t) for q, ts in sorted(phrases.items()) for i, t in enumerate(ts)],
+        "q_id long, idx long, token string",
+    )
+    pl = spark.createDataFrame(
+        [(q, len(ts)) for q, ts in sorted(phrases.items())], "q_id long, m long"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+        ).alias("pos0", "token"),
+    ).where(F.col("token") != "")
+    starts = (
+        toks.join(F.broadcast(pt), "token")
+        .groupBy("doc_id", "q_id", (F.col("pos0") - F.col("idx")).alias("start"))
+        .agg(F.count("*").alias("nmatch"))
+        .join(F.broadcast(pl), "q_id")
+        .where(F.col("nmatch") == F.col("m"))
+    )
+    ptf = starts.groupBy("q_id", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dlf = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)))
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = dlf.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(1000 * sum(dl)) div count(*)").alias("avgdl_e3"),
+    )
+    scored = (
+        ptf.withColumn("df", F.count("*").over(Window.partitionBy("q_id")))
+        .join(dlf, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", "tf", F.expr(_score_expr()).alias("score_e9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("score_e9").cast("long").alias("score_e9"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = C.TFIDF_TOPK) -> DataFrame:
+    """Per-document top-K keyword extraction by TF-IDF — the corpus
+    summarization / labeling primitive (what a pipeline owner reads to see
+    WHAT a document cluster is about).  Reuses the FTS contract verbatim:
+    same tokenizer as :func:`postings`, same log-free capped ``idf_e6``,
+    ``tfidf_e6 = idf_e6 * least(tf, FTS_TF_CAP)`` (int64 bound 5e11),
+    rank ties break on token ASC.
+
+    Scale shape (10^12 docs): postings (one map-side-combined corpus
+    hash-agg) join the token-keyed df aggregate — a vocab-keyed exchange
+    of already-aggregated rows; the per-doc top-K window is the second,
+    doc-keyed exchange.  No corpus-sized window, no driver collect."""
+    post = postings(docs)
+    dfr = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        post.join(dfr, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            F.expr(
+                f"least((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1), "
+                f"cast({C.FTS_IDF_CAP_E6} as bigint)) * least(tf, {C.FTS_TF_CAP})"
+            )
+            .cast("long")
+            .alias("tfidf_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_e6"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def score_candidates(
     post: DataFrame,
     dl: DataFrame,

@@ -667,6 +667,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- full-text + hybrid retrieval (SQL-verified) ---
     "bm25_topk_multi": lambda s, d: FT.bm25_topk_multi(_docs(s, d)),
     "fts_term_stats": lambda s, d: FT.term_stats(_docs(s, d)),
+    "fts_phrase_topk": lambda s, d: FT.fts_phrase_topk(_docs(s, d)),
+    "tfidf_topk_terms": lambda s, d: FT.tfidf_topk_terms(_docs(s, d)),
     "hybrid_rrf": lambda s, d: FT.hybrid_rrf(_emb(s, d), _docs(s, d)),
     # --- embedding + search (SQL-verified) ---
     "stub_embed": lambda s, d: S.stub_embed_components(_docs(s, d)),
@@ -2131,6 +2133,57 @@ WITH {_bm25_cte(C.FTS_QUERIES)}
 SELECT cast(q_id as bigint) AS q_id, cast(doc_id as bigint) AS doc_id,
        cast(score_e9 as bigint) AS score_e9, cast(rank as bigint) AS rank
 FROM bm WHERE rank <= {C.FTS_TOPK}""",
+    "fts_phrase_topk": f"""
+WITH ww AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                          x -> x <> '') AS words
+       FROM documents),
+wt AS (SELECT doc_id, pos, words[pos] AS token FROM
+         (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS pos FROM ww)),
+pt(q_id, idx, token) AS (VALUES {", ".join(f"({q}, {i}, '{t}')" for q, ts in sorted(C.FTS_PHRASES.items()) for i, t in enumerate(ts))}),
+pl AS (SELECT q_id, count(*) AS m FROM pt GROUP BY 1),
+st AS (SELECT doc_id, q_id, pos - idx AS start, count(*) AS nmatch
+       FROM wt JOIN pt USING (token) GROUP BY 1, 2, 3),
+ptf AS (SELECT q_id, doc_id, count(*) AS tf
+        FROM st JOIN pl USING (q_id) WHERE nmatch = m GROUP BY 1, 2),
+pdl AS (SELECT doc_id, len(words) AS dl FROM ww),
+pstats AS (SELECT count(*) AS n_docs,
+                  (1000 * cast(sum(dl) as bigint)) // count(*) AS avgdl_e3
+           FROM pdl),
+pc AS (SELECT q_id, doc_id, tf, count(*) OVER (PARTITION BY q_id) AS df FROM ptf),
+psc AS (SELECT q_id, pc.doc_id, tf,
+          (least((1000000 * (2*s.n_docs - 2*pc.df + 1)) // (2*pc.df + 1),
+                 {C.FTS_IDF_CAP_E6})
+           * ((1000000 * 22 * least(tf, {C.FTS_TF_CAP}) * s.avgdl_e3) //
+              (10 * least(tf, {C.FTS_TF_CAP}) * s.avgdl_e3 + 3 * s.avgdl_e3
+               + 9000 * d.dl))
+          ) // 1000 AS score_e9
+        FROM pc JOIN pdl d USING (doc_id), pstats s)
+SELECT cast(q_id as bigint) AS q_id, cast(doc_id as bigint) AS doc_id,
+       cast(tf as bigint) AS tf, cast(score_e9 as bigint) AS score_e9,
+       cast(rank as bigint) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_e9 DESC, doc_id) AS rank
+      FROM psc)
+WHERE rank <= {C.FTS_TOPK}""",
+    "tfidf_topk_terms": f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+             FROM documents),
+post AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+tdf AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+sc AS (SELECT doc_id, post.token, tf, df,
+              least((1000000 * (2*(SELECT count(*) FROM documents) - 2*df + 1))
+                    // (2*df + 1), {C.FTS_IDF_CAP_E6})
+              * least(tf, {C.FTS_TF_CAP}) AS tfidf_e6
+       FROM post JOIN tdf USING (token))
+SELECT cast(doc_id as bigint) AS doc_id, token, cast(tf as bigint) AS tf,
+       cast(df as bigint) AS df, cast(tfidf_e6 as bigint) AS tfidf_e6,
+       cast(rank as bigint) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_e6 DESC, token) AS rank
+      FROM sc)
+WHERE rank <= {C.TFIDF_TOPK}""",
     "fts_term_stats": f"""
 WITH tok AS (SELECT doc_id,
                     unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
