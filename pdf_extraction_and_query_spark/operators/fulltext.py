@@ -363,15 +363,17 @@ def tfidf_topk_terms(docs: DataFrame, k: int = C.TFIDF_TOPK) -> DataFrame:
     ``tfidf_e6 = idf_e6 * least(tf, FTS_TF_CAP)`` (int64 bound 5e11),
     rank ties break on token ASC.
 
-    Scale shape (10^12 docs): postings (one map-side-combined corpus
-    hash-agg) join the token-keyed df aggregate — a vocab-keyed exchange
-    of already-aggregated rows; the per-doc top-K window is the second,
-    doc-keyed exchange.  No corpus-sized window, no driver collect."""
+    Scale shape (10^12 docs): ONE postings derivation (a separate df
+    aggregate would re-explode the corpus — multiple references to the
+    postings subtree plan independently, PLANS.md #11), df as a count
+    window over the token-keyed exchange, then the per-doc top-K window
+    as the second, doc-keyed exchange.  No corpus-sized driver collect."""
     post = postings(docs)
-    dfr = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        post.join(dfr, "token")
+        post.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token")).cast("long")
+        )
         .crossJoin(F.broadcast(n))
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
