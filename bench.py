@@ -62,6 +62,7 @@ _MAX_LINE = 1800
 _TRIM_ORDER = [
     "fts_phrase_topk",
     "tfidf_topk_terms",
+    "link_hits",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -291,6 +292,7 @@ def main() -> None:
         "crawl_corpus",
         "anchor_text_agg",
         "link_pagerank",
+        "link_hits",
         "semdedup",
         "sq_topk",
         "kmeans_centroids",

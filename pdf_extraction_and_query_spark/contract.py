@@ -458,6 +458,17 @@ PR_DAMP_DEN = 100
 PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # 150_000
 PR_ITERS = 3
 
+# fixed-point integer HITS (Kleinberg 1999): hub_0 = HITS_SCALE; per
+# half-step auth(v) = normalize(sum_{u->v} hub(u)*n), hub(u) =
+# normalize(sum_{u->v} auth(v)*n), where normalize divides by the step's
+# MAX raw mass and rescales to HITS_SCALE — classic HITS L2-normalizes,
+# which needs sqrt (out of contract; last-ulp-divergent across engines);
+# max-normalization is the standard exact-arithmetic alternative and
+# preserves each step's ranking.  int64 bound: scores <= 1e6, so a raw
+# sum overflows only past 9.2e12 total in-/out-weight on ONE node.
+HITS_SCALE = 1_000_000
+HITS_ITERS = 2
+
 # crawl-frontier priority (operators/graphrank.crawl_frontier): re-fetch
 # priority = (pagerank * (FRONTIER_CHANGE_BASE + change_ratio_e6))
 # div FRONTIER_CHANGE_BASE — a page that changed on every recrawl doubles

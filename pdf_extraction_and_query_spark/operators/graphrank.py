@@ -101,6 +101,77 @@ def pagerank(edges: DataFrame, iters: int = C.PR_ITERS) -> DataFrame:
     return pr
 
 
+def link_hits(edges: DataFrame, iters: int = C.HITS_ITERS) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999, "Authoritative Sources in
+    a Hyperlinked Environment", public) over a weighted edge list
+    ``(src, dst, n)`` -> ``(node, hub, auth)``.  The complementary ranking
+    signal to :func:`pagerank` for a crawl frontier: PageRank finds pages
+    link mass FLOWS INTO; HITS separates directories/index pages (hubs —
+    pages whose OUT-links point at good content) from the content itself
+    (authorities).  A frontier seeds discovery crawls from hubs and
+    refresh crawls from authorities.
+
+    Arithmetic contract (``contract.HITS_*``): hub starts at HITS_SCALE;
+    each half-step sums score*weight over edges and renormalizes so the
+    step's MAX raw mass maps to HITS_SCALE (exact int64 division — see the
+    contract note for why not L2).  All operands non-negative, so Spark
+    ``div`` == DuckDB ``//`` and the unrolled-SQL oracle value-hashes the
+    result exactly.
+
+    Scale shape (10^12 pages): edges localCheckpointed ONCE (the
+    :func:`pagerank` precedent); each half-step is one node-keyed
+    broadcast-or-shuffle join score⋈edges, one map-side-combined hash
+    aggregation on the other endpoint, a 1-row max broadcast back, and a
+    left join to the node list; score lineage truncates per half-step so
+    the plan stays O(1) deep."""
+    e = edges.select(
+        "src", "dst", F.col("n").cast("long").alias("n")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    norm = (
+        f"({C.HITS_SCALE} * coalesce(s, cast(0 as bigint))) div greatest(mx, 1)"
+    )
+    hub = nodes.select("node", F.lit(C.HITS_SCALE).cast("long").alias("hub"))
+    auth = None
+    for it in range(int(iters)):
+        araw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select("dst", F.expr("hub * n").cast("long").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        amax = araw.agg(F.max("s").cast("long").alias("mx"))
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select("node", F.expr(norm).cast("long").alias("auth"))
+            # two consumers (hub half-step + the final join) — PLANS.md #11
+            .localCheckpoint()
+        )
+        hraw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select("src", F.expr("auth * n").cast("long").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        hmax = hraw.agg(F.max("s").cast("long").alias("mx"))
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select("node", F.expr(norm).cast("long").alias("hub"))
+        )
+        # truncate lineage each round; the final round's hub has ONE
+        # consumer (the join below) so it may stay lazy
+        if it + 1 < int(iters):
+            hub = hub.localCheckpoint()
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
 def crawl_frontier(
     corpus_df: DataFrame, change_df: DataFrame, pr_df: DataFrame
 ) -> DataFrame:

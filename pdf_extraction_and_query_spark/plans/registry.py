@@ -129,6 +129,10 @@ def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.pagerank(_site_link_graph(spark, sf_dir))
 
 
+def _link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GR.link_hits(_site_link_graph(spark, sf_dir))
+
+
 def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recrawl priority queue: admissible keep-latest winners joined
     with change ratio and pagerank (all three signals recomputed inline
@@ -754,6 +758,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_in_degree": lambda s, d: HX.link_in_degree(_html_corpus(s, d)),
     "site_link_graph": _site_link_graph,
     "link_pagerank": _link_pagerank,
+    "link_hits": _link_hits,
     "crawl_frontier": _crawl_frontier,
     "frontier_schedule": lambda s, d: GR.frontier_schedule(_crawl_frontier(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
@@ -3482,6 +3487,40 @@ ORACLE_SQL["link_pagerank"] = f"""
 WITH {_HTML_META},
 {_PR_CHAIN}
 SELECT node, pr FROM pr{C.PR_ITERS}"""
+
+# fixed-point integer HITS, HITS_ITERS iterations unrolled — same
+# independent straight-line-SQL device as link_pagerank.  Per half-step:
+# raw mass = sum(score * n) over edges, renormalized so the step max maps
+# to HITS_SCALE.  All non-negative int64: `//` == Spark `div`; hugeint
+# sums cast at every aggregation (sharp-edges rule).
+_HITS_ITER = lambda k: f"""
+ar{k} AS (
+  SELECT e.dst, cast(sum(h{k - 1}.hub * e.n) as bigint) AS s
+  FROM e JOIN h{k - 1} ON e.src = h{k - 1}.node GROUP BY e.dst),
+am{k} AS (SELECT cast(greatest(max(s), 1) as bigint) AS mx FROM ar{k}),
+a{k} AS (
+  SELECT nodes.node,
+         cast(({C.HITS_SCALE} * coalesce(ar{k}.s, 0)) // am{k}.mx as bigint)
+           AS auth
+  FROM nodes LEFT JOIN ar{k} ON nodes.node = ar{k}.dst, am{k}),
+hr{k} AS (
+  SELECT e.src, cast(sum(a{k}.auth * e.n) as bigint) AS s
+  FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src),
+hm{k} AS (SELECT cast(greatest(max(s), 1) as bigint) AS mx FROM hr{k}),
+h{k} AS (
+  SELECT nodes.node,
+         cast(({C.HITS_SCALE} * coalesce(hr{k}.s, 0)) // hm{k}.mx as bigint)
+           AS hub
+  FROM nodes LEFT JOIN hr{k} ON nodes.node = hr{k}.src, hm{k})"""
+
+ORACLE_SQL["link_hits"] = f"""
+WITH {_HTML_META},
+{_PR_EDGES},
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, cast({C.HITS_SCALE} as bigint) AS hub FROM nodes),
+{",".join(_HITS_ITER(k) for k in range(1, C.HITS_ITERS + 1))}
+SELECT nodes.node, h{C.HITS_ITERS}.hub, a{C.HITS_ITERS}.auth
+FROM nodes JOIN h{C.HITS_ITERS} USING (node) JOIN a{C.HITS_ITERS} USING (node)"""
 
 # the frontier composition: keep-latest winner + policy gate (crawl_corpus
 # arithmetic) x change ratio (recrawl_change_rate arithmetic) x pagerank

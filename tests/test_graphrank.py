@@ -116,3 +116,48 @@ def test_frontier_schedule_politeness_waves(spark):
     assert out["https://a.com/p3"].wave == 3
     # depth cap: p1 (lowest priority on the busiest host) waits next cycle
     assert "https://a.com/p1" not in out and len(out) == 5
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, n long")
+
+
+def test_hits_hand_computed_two_iterations(spark):
+    """1->2, 3->2, 2->4 (unit weights), HITS_ITERS=2.
+
+    Round 1: araw(2)=2e6, araw(4)=1e6, max 2e6 -> auth 2:1e6, 4:5e5;
+    hraw(1)=hraw(3)=1e6, hraw(2)=5e5, max 1e6 -> hub 1:1e6, 3:1e6,
+    2:5e5, 4:0.  Round 2: araw(2)=2e6, araw(4)=5e5 -> auth 2:1e6,
+    4:25e4; hraw 1:1e6, 3:1e6, 2:25e4 -> hub 1:1e6, 3:1e6, 2:25e4."""
+    from pdf_extraction_and_query_spark.operators.graphrank import link_hits
+
+    out = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in link_hits(
+            _edges(spark, [("1", "2", 1), ("3", "2", 1), ("2", "4", 1)]),
+            iters=2,
+        ).collect()
+    }
+    assert out == {
+        "1": (1_000_000, 0),
+        "2": (250_000, 1_000_000),
+        "3": (1_000_000, 0),
+        "4": (0, 250_000),
+    }
+
+
+def test_hits_weighted_edges_one_iteration(spark):
+    """1->2 (n=3), 3->2 (n=1): the weight triples 1's hub evidence."""
+    from pdf_extraction_and_query_spark.operators.graphrank import link_hits
+
+    out = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in link_hits(
+            _edges(spark, [("1", "2", 3), ("3", "2", 1)]), iters=1
+        ).collect()
+    }
+    assert out == {
+        "1": (1_000_000, 0),
+        "2": (0, 1_000_000),
+        "3": (333_333, 0),
+    }
