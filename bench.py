@@ -63,6 +63,7 @@ _TRIM_ORDER = [
     "fts_phrase_topk",
     "tfidf_topk_terms",
     "link_hits",
+    "source_quality_report",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -282,6 +283,7 @@ def main() -> None:
         "search_response",
         "eval_by_category",
         "doc_stats",
+        "source_quality_report",
         "events_rollup",
         "boilerplate_flags",
         "doc_meta",

@@ -189,3 +189,75 @@ def dedup_stats(documents: DataFrame) -> DataFrame:
         F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
         "dup_rate_micro",
     )
+
+
+def source_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-SOURCE corpus-health dashboard — the row a pipeline owner reads
+    to decide which feed to throttle, re-crawl, or drop: volume (docs,
+    tokens, mean tokens), language spread, Gopher-rule pass rate, and
+    exact-duplicate rate (corpus-wide evidence attributed back to each
+    source, so a mirror site shows a high dup rate even when its copies
+    live under OTHER sources' keepers).
+
+    Composition of three already-oracle-pinned derivations (gopher_rules
+    flags, exact_dup_groups' md5 grouping, the FTS token count) rolled to
+    one row per source — counts and integer ratios only.
+
+    Scale shape (10^12 docs, 10^7 sources): the per-doc frame is derived
+    ONCE (narrow projections — the dup-group size is a count window over
+    the single content-hash exchange, not a second scan + join-back);
+    gopher flags join doc-keyed; the final rollup is one map-side-combined
+    hash agg on source.  Total: gopher's two exchanges + hash window +
+    flags join + source agg — nothing corpus-sized crosses twice."""
+    from .. import contract as C
+    from ..operators.dedup import _norm
+    from ..operators.gopher import gopher_rules
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "lang",
+        # regexp_count of \S+ runs == whitespace token count, exact for
+        # empty / all-whitespace docs too (size(split()) would count the
+        # empty fragments a lone newline leaves behind)
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(_norm(F.col("text"))).alias("grp_hash"),
+    )
+    sized = base.withColumn(
+        "gn", F.count("*").over(Window.partitionBy("grp_hash"))
+    )
+    flags = gopher_rules(docs).select("doc_id", "passes_gopher")
+    j = sized.join(flags, "doc_id", "left").select(
+        "source",
+        "lang",
+        "n_tokens",
+        (F.col("gn") >= 2).cast("long").alias("is_dup"),
+        F.coalesce(F.col("passes_gopher"), F.lit(False))
+        .cast("long")
+        .alias("ok"),
+    )
+    per = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("ok").cast("long").alias("n_gopher_pass"),
+        F.sum("is_dup").cast("long").alias("n_exact_dups"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens"),
+        "n_langs",
+        "n_gopher_pass",
+        F.expr("(1000000 * n_gopher_pass) div n_docs")
+        .cast("long")
+        .alias("gopher_pass_rate_e6"),
+        "n_exact_dups",
+        F.expr("(1000000 * n_exact_dups) div n_docs")
+        .cast("long")
+        .alias("dup_rate_e6"),
+    )

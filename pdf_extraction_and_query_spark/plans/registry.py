@@ -710,6 +710,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # --- stats (SQL-verified) ---
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
+    "source_quality_report": lambda s, d: ST.source_quality_report(_docs(s, d)),
     "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
@@ -2055,6 +2056,37 @@ SELECT cast(doc_id as bigint) AS doc_id,
         AND alpha_ok AND stops_ok AND dup_line_ok AND dup_line_char_ok)
        AS passes_gopher
 FROM gm""",
+    "source_quality_report": f"""
+WITH {_GOPHER_RULES_CTE},
+sqp AS (SELECT doc_id,
+              (wordcount_ok AND wordlen_ok AND symbol_ok AND bullet_ok
+               AND ellipsis_ok AND alpha_ok AND stops_ok AND dup_line_ok
+               AND dup_line_char_ok) AS passes_gopher
+       FROM gm),
+sqb AS (SELECT doc_id, source, lang,
+              len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+              md5({_NORM}) AS grp_hash
+       FROM documents),
+sqz AS (SELECT sqb.*, count(*) OVER (PARTITION BY grp_hash) AS gn FROM sqb),
+sqj AS (SELECT source, lang, n_tokens,
+              CASE WHEN gn >= 2 THEN 1 ELSE 0 END AS is_dup,
+              CASE WHEN coalesce(passes_gopher, false) THEN 1 ELSE 0 END AS ok
+       FROM sqz LEFT JOIN sqp USING (doc_id)),
+sqs AS (SELECT source,
+              cast(count(*) as bigint) AS n_docs,
+              cast(sum(n_tokens) as bigint) AS n_tokens,
+              cast(count(DISTINCT lang) as bigint) AS n_langs,
+              cast(sum(ok) as bigint) AS n_gopher_pass,
+              cast(sum(is_dup) as bigint) AS n_exact_dups
+       FROM sqj GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       cast(n_tokens // n_docs as bigint) AS mean_tokens,
+       n_langs, n_gopher_pass,
+       cast((1000000 * n_gopher_pass) // n_docs as bigint)
+         AS gopher_pass_rate_e6,
+       n_exact_dups,
+       cast((1000000 * n_exact_dups) // n_docs as bigint) AS dup_rate_e6
+FROM sqs""",
     "gopher_verdict": f"""
 WITH {_GOPHER_RULES_CTE},
 {_GOPHER_REP_OK_CTE},
