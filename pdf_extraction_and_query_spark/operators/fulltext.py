@@ -368,10 +368,20 @@ def tfidf_topk_terms(docs: DataFrame, k: int = C.TFIDF_TOPK) -> DataFrame:
     postings subtree plan independently, PLANS.md #11), df as a count
     window over the token-keyed exchange, then the per-doc top-K window
     as the second, doc-keyed exchange.  No corpus-sized driver collect."""
-    post = postings(docs)
-    n = docs.agg(F.count("*").alias("n_docs"))
+    return tfidf_from_postings(
+        postings(docs), docs.agg(F.count("*").alias("n_docs")), k
+    )
+
+
+def tfidf_from_postings(
+    post: DataFrame, n: DataFrame, k: int = C.TFIDF_TOPK
+) -> DataFrame:
+    """Shared tf-idf tail for every postings source (inline-derived or the
+    streaming index's merged base ∪ deltas).  ``post`` must hold at most
+    one row per (doc_id, token); ``n`` is one row (n_docs)."""
     scored = (
-        post.withColumn(
+        post.select("doc_id", "token", "tf")
+        .withColumn(
             "df", F.count("*").over(Window.partitionBy("token")).cast("long")
         )
         .crossJoin(F.broadcast(n))

@@ -125,6 +125,28 @@ def bm25_topk_merged(
     return score_candidates(post, dl, stats, queries, k)
 
 
+def tfidf_topk_merged(
+    spark: SparkSession, index_path: str, k: int = C.TFIDF_TOPK
+) -> DataFrame:
+    """Per-doc keyword extraction over the LIVE index: base \u222a delta
+    postings through the exact inline scoring tail
+    (``fulltext.tfidf_from_postings``), n_docs from the merged stats row —
+    the maintained index serves a second analytics consumer without any
+    page re-tokenized.  Unlike the BM25 readers this is corpus-wide, so no
+    bucket pruning applies (keyword extraction has no query terms to prune
+    by); it reads every postings bucket but still only summary-sized rows."""
+    from ..operators.fulltext import tfidf_from_postings
+
+    stats = _merged_stats(spark, index_path)
+    post = spark.read.parquet(f"{index_path}/postings").select(
+        "doc_id", "token", "tf"
+    )
+    dpost = _read_delta(spark, f"{index_path}/delta_postings")
+    if dpost is not None:
+        post = post.unionByName(dpost.select("doc_id", "token", "tf"))
+    return tfidf_from_postings(post, stats.select("n_docs"), k)
+
+
 def fts_compact(spark: SparkSession, index_path: str) -> None:
     """Fold deltas into the bucketed base (partition-aligned: bucket ids
     already agree) and clear them.  Parquet-backend caveat: the base

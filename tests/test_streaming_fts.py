@@ -93,3 +93,29 @@ def test_streaming_end_to_end(spark, tmp_path):
         map(tuple, bm25_topk_multi(_docs(spark, _BASE + _BATCH1), queries=_QS).collect())
     )
     assert got == want
+
+
+def test_tfidf_merged_equals_one_shot(spark, tmp_path):
+    from pdf_extraction_and_query_spark.operators.fulltext import (
+        tfidf_topk_terms,
+    )
+    from pdf_extraction_and_query_spark.streaming.fts import tfidf_topk_merged
+
+    path = _setup(spark, tmp_path)
+    make_fts_batch_processor(path)(_docs(spark, _BATCH1), 0)
+    got = sorted(map(tuple, tfidf_topk_merged(spark, path).collect()))
+    want = sorted(
+        map(tuple, tfidf_topk_terms(_docs(spark, _BASE + _BATCH1)).collect())
+    )
+    assert got == want and got
+
+
+def test_tfidf_merged_survives_compaction(spark, tmp_path):
+    from pdf_extraction_and_query_spark.streaming.fts import tfidf_topk_merged
+
+    path = _setup(spark, tmp_path)
+    make_fts_batch_processor(path)(_docs(spark, _BATCH1), 0)
+    before = sorted(map(tuple, tfidf_topk_merged(spark, path).collect()))
+    fts_compact(spark, path)
+    after = sorted(map(tuple, tfidf_topk_merged(spark, path).collect()))
+    assert before == after
