@@ -64,6 +64,7 @@ _TRIM_ORDER = [
     "tfidf_topk_terms",
     "link_hits",
     "source_quality_report",
+    "curation_funnel",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -260,6 +261,7 @@ def main() -> None:
         "dsir_sample",
         "curate_corpus_full",
         "curate_corpus_v2",
+        "curation_funnel",
         "quality_classify",
         "ccnet_buckets",
         "lm_fluency",

@@ -491,3 +491,61 @@ def dataset_split_stats(docs: DataFrame) -> DataFrame:
         F.min("split_bucket").cast("long").alias("min_bucket"),
         F.max("split_bucket").cast("long").alias("max_bucket"),
     )
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """The documents-side attrition report (the training twin of the crawl
+    side's ``corpus_funnel``), ONE row of stage counts a pipeline owner
+    reads before launching a run: docs in the pool -> quality pass ->
+    sample keep -> dedup keeper -> token mass kept -> train/val/test
+    membership of the kept set.  Every stage reuses the EXACT predicate /
+    hash / band arithmetic of its standalone operator (curate_corpus,
+    dataset_split), so the funnel can never disagree with the operators
+    it summarizes.
+
+    Scale shape (10^12 docs): one narrow scan reduces every doc to a
+    summary row (flags + md5 + buckets, no text) which is
+    localCheckpointed ONCE — the pre-filter counts and the keeper window
+    both consume it (independent planning, PLANS.md #11); the keeper
+    window is the same single content-hash exchange curate_corpus pays;
+    both consumers end in 1-row aggregates crossJoined back together."""
+    from .dedup import _norm
+
+    t = F.col("text")
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        ((words >= 10) & (stops / words <= 0.5)).alias("q"),
+        (_sample_bucket() < _sample_rate()).alias("s"),
+        F.md5(_norm(t)).alias("h"),
+        _split_label(_split_bucket().cast("long")).alias("split"),
+    ).localCheckpoint()
+    stages = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("q").cast("long")).cast("long").alias("n_quality"),
+        F.sum((F.col("q") & F.col("s")).cast("long"))
+        .cast("long")
+        .alias("n_sampled"),
+    )
+    w = Window.partitionBy("h")
+    kept = (
+        base.where(F.col("q") & F.col("s"))
+        .withColumn("keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .where("keeper")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_words").cast("long").alias("n_tokens_kept"),
+            F.sum((F.col("split") == "train").cast("long"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long"))
+            .cast("long")
+            .alias("n_val"),
+            F.sum((F.col("split") == "test").cast("long"))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    return stages.crossJoin(F.broadcast(kept))

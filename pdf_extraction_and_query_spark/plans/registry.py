@@ -646,6 +646,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": lambda s, d: PK.source_mix(_docs(s, d)),
     "source_mix_sample": lambda s, d: PK.source_mix_sample(_docs(s, d)),
     "curate_corpus": lambda s, d: PK.curate_corpus(_docs(s, d)),
+    "curation_funnel": lambda s, d: PK.curation_funnel(_docs(s, d)),
     "curate_corpus_full": lambda s, d: PK.curate_corpus_full(_docs(s, d)),
     "curate_corpus_v2": lambda s, d: PK.curate_corpus_v2(_docs(s, d)),
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
@@ -1781,6 +1782,40 @@ SELECT cast(doc_id as bigint) AS doc_id, lang,
        cast(sample_bucket as bigint) AS sample_bucket
 FROM f
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""",
+    "curation_funnel": f"""
+WITH cfb AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS n_words,
+         (len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) >= 10
+          AND len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}'))
+              / len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) <= 0.5)
+           AS q,
+         (('0x' || substr(md5('{C.SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+            % {C.SAMPLE_MOD}
+          < CASE {' '.join(f"WHEN lang = '{lang}' THEN {micro}" for lang, micro in sorted(C.SAMPLE_RATES_MICRO.items()))} ELSE {C.SAMPLE_DEFAULT_MICRO} END)
+           AS s,
+         md5({_NORM}) AS h,
+         ('0x' || substr(md5('{C.SPLIT_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+            % {C.SAMPLE_MOD} AS sb
+  FROM documents),
+cfs AS (SELECT cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN q THEN 1 ELSE 0 END) as bigint) AS n_quality,
+               cast(sum(CASE WHEN q AND s THEN 1 ELSE 0 END) as bigint) AS n_sampled
+        FROM cfb),
+cfk AS (SELECT n_words,
+               CASE WHEN sb < {C.SPLIT_VAL_MICRO} THEN 'val'
+                    WHEN sb < {C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM cfb WHERE q AND s
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)),
+cfa AS (SELECT cast(count(*) as bigint) AS n_kept,
+               cast(coalesce(sum(n_words), 0) as bigint) AS n_tokens_kept,
+               cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) as bigint) AS n_train,
+               cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) as bigint) AS n_val,
+               cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) as bigint) AS n_test
+        FROM cfk)
+SELECT n_docs, n_quality, n_sampled, n_kept, n_tokens_kept, n_train, n_val, n_test
+FROM cfs, cfa""",
     "curate_corpus_full": f"""
 WITH {_dup_passage_cte(C.DUP_PASSAGE_K)},
 cov AS (SELECT doc_id,

@@ -53,3 +53,33 @@ def test_redact_pii_counts_and_tokens(spark):
     assert C.PII_EMAIL_TOKEN in r["redacted"] and C.PII_URL_TOKEN in r["redacted"]
     assert "@" not in r["redacted"] and "https://" not in r["redacted"]
     assert r["redacted"].startswith("plain body")
+
+
+def test_curation_funnel_agrees_with_standalone_operators(spark):
+    """The funnel is a summary of curate_corpus + dataset_split — its
+    stage counts must equal counting the operators' own outputs."""
+    import duckdb
+    from pdf_extraction_and_query_spark.operators.packing import (
+        curate_corpus,
+        curation_funnel,
+        dataset_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    f = curation_funnel(docs).collect()[0]
+    kept = curate_corpus(docs)
+    assert f["n_kept"] == kept.count()
+    assert f["n_docs"] == docs.count()
+    assert f["n_train"] + f["n_val"] + f["n_test"] == f["n_kept"]
+    assert f["n_docs"] >= f["n_quality"] >= f["n_sampled"] >= f["n_kept"] > 0
+    kept_ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    splits = {
+        r["split"]: r["n"]
+        for r in dataset_split(docs.where(F.col("doc_id").isin(kept_ids)))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert f["n_train"] == splits.get("train", 0)
+    assert f["n_val"] == splits.get("val", 0)
+    assert f["n_test"] == splits.get("test", 0)
