@@ -65,6 +65,8 @@ _TRIM_ORDER = [
     "link_hits",
     "source_quality_report",
     "curation_funnel",
+    "cms_heavy_hitters",
+    "hll_vocab",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -303,6 +305,8 @@ def main() -> None:
         "frontier_schedule",
         "bpe_token_counts",
         "retrieval_eval",
+        "cms_heavy_hitters",
+        "hll_vocab",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

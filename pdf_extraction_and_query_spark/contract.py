@@ -469,6 +469,53 @@ PR_ITERS = 3
 HITS_SCALE = 1_000_000
 HITS_ITERS = 2
 
+# --- mergeable corpus sketches (operators/sketches.py) ---
+# Count-min sketch (Cormode & Muthukrishnan 2005): CMS_D independent hash
+# rows x CMS_W buckets; row hashes are poly_hash("cms{i}:" || token) %
+# CMS_W.  Merging two sketches = cell-wise sum (associative), which is
+# the whole point at 10^12 docs: per-partition sketches combine without
+# a vocab-sized shuffle.  estimate(t) = min over rows of the t-bucket —
+# ALWAYS >= the true count (one-sided error; unit-tested invariant).
+CMS_D = 4
+CMS_W = 256
+CMS_TOPK = 20  # audit rows: top-K exact tokens vs their CMS estimates
+# HyperLogLog (Flajolet 2007) over the corpus VOCABULARY, exact-integer
+# variant: register j = poly_hash(token) % HLL_M; the remaining quotient
+# v < HASH_MOD/HLL_M fits HLL_VBITS bits and ranks as
+# HLL_VBITS - bitlength(v) + 1 (v = 0 -> HLL_VBITS + 1).  The harmonic
+# mean is computed in fixed point: S = sum_j 2^(HLL_SHIFT - M_j) exactly
+# in int64 (M_j <= HLL_VBITS + 1 << HLL_SHIFT), and the raw estimate is
+# (HLL_ALPHA_NUM * m^2 * 2^HLL_SHIFT) div (HLL_ALPHA_DEN * S) — no
+# floats, no ln, so the estimate itself value-hashes across engines.
+# The standard small-range linear-counting correction needs ln() (out of
+# contract); the operator reports raw + register occupancy instead and
+# the unit test pins the accuracy envelope on the fixture vocab.
+HLL_M = 64
+HLL_VBITS = 24  # HASH_MOD / HLL_M < 2^24
+HLL_SHIFT = 40
+HLL_ALPHA_NUM = 709  # alpha_64 = 0.709 (Flajolet Fig. 3)
+HLL_ALPHA_DEN = 1000
+# Flajolet's small-range correction est = m * ln(m / V) (V = empty
+# registers) applies when est_raw < 5m/2 and V > 0.  ln() at QUERY time
+# is out of contract (libm, last-ulp-divergent) — but V has only HLL_M
+# possible values, so the correction ships as an AUTHORED fixed-point
+# lookup table (ln ran once, here, at authoring time; both engines
+# interpolate the same literals): HLL_LN64_E6[V] = round(ln(64/V)*1e6).
+HLL_SMALL_RANGE_MAX = 5 * HLL_M // 2  # 160
+HLL_LN64_E6: tuple[int, ...] = (
+    0,  # V = 0 unused (correction requires V > 0)
+    4158883, 3465736, 3060271, 2772589, 2549445, 2367124, 2212973,
+    2079442, 1961659, 1856298, 1760988, 1673976, 1593934, 1519826,
+    1450833, 1386294, 1325670, 1268511, 1214444, 1163151, 1114361,
+    1067841, 1023389, 980829, 940007, 900787, 863046, 826679,
+    791587, 757686, 724896, 693147, 662376, 632523, 603535,
+    575364, 547965, 521297, 495321, 470004, 445311, 421213,
+    397683, 374693, 352221, 330242, 308735, 287682, 267063,
+    246860, 227057, 207639, 188591, 169899, 151550, 133531,
+    115832, 98440, 81346, 64539, 48009, 31749, 15748,
+    0,
+)
+
 # crawl-frontier priority (operators/graphrank.crawl_frontier): re-fetch
 # priority = (pagerank * (FRONTIER_CHANGE_BASE + change_ratio_e6))
 # div FRONTIER_CHANGE_BASE — a page that changed on every recrawl doubles

@@ -1,0 +1,255 @@
+"""Mergeable corpus sketches: count-min heavy hitters and an
+exact-integer HyperLogLog — the bounded-memory summaries a 10^12-doc
+pipeline keeps where exact tables would not fit or merge.
+
+Public algorithms: Cormode & Muthukrishnan 2005 (count-min sketch),
+Flajolet et al. 2007 (HyperLogLog).  The reference repo keeps no corpus
+summaries at all (its stats endpoint counts rows in Postgres,
+src/vector_store/pgvector_client.py:379-401); sketches join the
+LLM-data-pipeline family as the monitoring/telemetry members: a crawler
+fleet emits per-partition sketches, the coordinator merges them
+cell-wise (CMS: +, HLL: max) without ever shuffling the vocabulary.
+
+Determinism contract (constants in ``contract``): both sketches hash
+with ``textstats.poly_hash`` (codepoint fold mod HASH_MOD) and both
+final estimates are exact int64 arithmetic — the CMS estimate is a min
+of integer cell counts; the HLL harmonic mean runs in fixed point
+(S = Σ 2^(HLL_SHIFT − M_j), raw = (α_num·m²·2^shift) div (α_den·S)) so
+even the APPROXIMATE answers value-hash across engines.  The
+small-range HLL correction needs ln(m/V) — but V has only HLL_M
+possible values, so it ships as an AUTHORED fixed-point lookup table
+(contract.HLL_LN64_E6: libm ran once at authoring time, never at query
+time), keeping the CORRECTED estimate exact-int64 too.
+
+Scale shape (10^12 docs):
+  * both sketches reduce the corpus in ONE map-side-combined hash
+    aggregation over the distinct-token frame (the interpreted poly_hash
+    runs once per DISTINCT token — PLANS.md #31); the sketch itself is
+    CMS_D×CMS_W (resp. HLL_M) rows — driver-safe, broadcast-safe.
+  * mergeability is tested, not just claimed: sketch(A ∪ B) ==
+    cell-wise merge(sketch(A), sketch(B)) exactly, because both cell
+    updates (sum, max) are associative integer folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import contract as C
+from .textstats import poly_hash
+
+
+def _token_counts(docs: DataFrame) -> DataFrame:
+    """(token, cnt) — the FTS tokenizer contract, one corpus hash-agg."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _cms_bucket(i: int, token) -> F.Column:
+    return (poly_hash(F.concat(F.lit(f"cms{i}:"), token)) % C.CMS_W).cast(
+        "long"
+    )
+
+
+def cms_sketch(docs: DataFrame) -> DataFrame:
+    """The count-min table (row, bucket, cnt) — at most CMS_D * CMS_W
+    rows; absent cells are zero.  Rows fan out via one posexplode over
+    the CMS_D bucket coordinates of each DISTINCT token."""
+    return cms_sketch_from_counts(_token_counts(docs))
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = C.CMS_TOPK) -> DataFrame:
+    """The audit row per top-K exact token: its true count, the CMS
+    estimate (min over rows of its cells), and the overcount — the CMS
+    one-sided-error guarantee makes ``overcount >= 0`` an invariant.
+
+    The token-count frame feeds the sketch AND the top-K — independent
+    planning (PLANS.md #11), so it is localCheckpointed (vocab-sized
+    summary rows, no text)."""
+    tc = _token_counts(docs).localCheckpoint()
+    sk = cms_sketch_from_counts(tc)
+    top = (
+        tc.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(int(k))
+        .withColumnRenamed("cnt", "exact_cnt")
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("token")) for i in range(C.CMS_D)])
+        ).alias("row", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sk), ["row", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def cms_sketch_from_counts(tc: DataFrame) -> DataFrame:
+    """:func:`cms_sketch` over an already-aggregated (token, cnt) frame —
+    the merge seam: per-partition / per-batch count frames sketch
+    independently and the sketches add cell-wise."""
+    coords = tc.select(
+        "cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("token")) for i in range(C.CMS_D)])
+        ).alias("row", "bucket"),
+    )
+    return coords.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two count-min tables — the distributed-combine
+    operation (associative, commutative)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _hll_rank(v: F.Column) -> F.Column:
+    """HLL_VBITS - bitlength(v) + 1; v = 0 -> HLL_VBITS + 1.  bitlength
+    via the base-2 string — exact for all non-negative int64."""
+    return (
+        F.when(v == 0, F.lit(C.HLL_VBITS + 1))
+        .otherwise(C.HLL_VBITS - F.length(F.conv(v, 10, 2)) + 1)
+        .cast("long")
+    )
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(j, rank): the HLL_M register table over the corpus vocabulary —
+    register j = poly_hash(token) % m, rank = leading-zero rank of the
+    quotient; merge of two register tables = per-register max.  Registers
+    never hit by any token are absent (implicitly rank 0)."""
+    return hll_registers_from_tokens(_token_counts(docs).select("token"))
+
+
+def hll_registers_from_tokens(tok: DataFrame) -> DataFrame:
+    """:func:`hll_registers` over an already-distinct (token) frame — the
+    merge seam (per-batch register tables combine by per-register max)."""
+    h = tok.select(poly_hash(F.col("token")).alias("h"))
+    jr = h.select(
+        (F.col("h") % C.HLL_M).cast("long").alias("j"),
+        _hll_rank(F.expr(f"h div {C.HLL_M}")).alias("r"),
+    )
+    return jr.groupBy("j").agg(F.max("r").cast("long").alias("rank"))
+
+
+def hll_vocab(docs: DataFrame) -> DataFrame:
+    """ONE self-auditing row: m, registers hit, the fixed-point harmonic
+    sum S, the raw HLL estimate, the small-range-corrected estimate
+    (authored ln table — module docstring), and the exact distinct-token
+    count next to it (the ivf_recall / pq_recall precedent: the sketch
+    answer and its ground truth in one report).  err_e6 is the corrected
+    estimate's signed fixed-point relative error."""
+    # one corpus derivation feeds registers AND the exact audit count —
+    # independent planning (PLANS.md #11), so it is localCheckpointed
+    tc = _token_counts(docs).localCheckpoint()
+    regs = hll_registers_from_tokens(tc.select("token"))
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_registers_hit"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {C.HLL_SHIFT} - rank)"))
+        .cast("long")
+        .alias("s_hit"),
+    )
+    exact = tc.agg(F.count("*").cast("long").alias("exact_distinct"))
+    m, shift = C.HLL_M, C.HLL_SHIFT
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "n_registers_hit",
+            # registers never hit contribute 2^shift each (rank 0)
+            (
+                F.col("s_hit")
+                + (F.lit(m) - F.col("n_registers_hit"))
+                * F.lit(1 << shift).cast("long")
+            )
+            .cast("long")
+            .alias("s"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "n_registers_hit",
+            "s",
+            F.expr(
+                f"({C.HLL_ALPHA_NUM} * {m} * {m} * cast({1 << shift} as bigint))"
+                f" div ({C.HLL_ALPHA_DEN} * s)"
+            )
+            .cast("long")
+            .alias("est_raw"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "n_registers_hit",
+            "s",
+            "est_raw",
+            # Flajolet small-range correction: est = m * ln(m/V) via the
+            # authored fixed-point table (contract.HLL_LN64_E6)
+            F.when(
+                (F.col("est_raw") < C.HLL_SMALL_RANGE_MAX)
+                & (F.col("n_registers_hit") < m),
+                F.floor(
+                    (
+                        F.lit(m)
+                        * F.element_at(
+                            F.array(*[F.lit(v) for v in C.HLL_LN64_E6]),
+                            (F.lit(m) - F.col("n_registers_hit") + 1).cast(
+                                "int"
+                            ),
+                        )
+                    ).cast("long")
+                    / F.lit(1_000_000)
+                ),
+            )
+            .otherwise(F.col("est_raw"))
+            .cast("long")
+            .alias("est"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "n_registers_hit",
+            "s",
+            "est_raw",
+            "est",
+            "exact_distinct",
+            F.expr(
+                "(1000000 * (est - exact_distinct)) div "
+                "greatest(exact_distinct, 1)"
+            )
+            .cast("long")
+            .alias("err_e6"),
+        )
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-register max of two register tables — the distributed-combine
+    operation (associative, commutative, idempotent)."""
+    return (
+        a.unionByName(b).groupBy("j").agg(F.max("rank").cast("long").alias("rank"))
+    )

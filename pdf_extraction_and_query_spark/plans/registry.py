@@ -35,6 +35,7 @@ from ..operators import packing as PK
 from ..operators import pq as PQ
 from ..operators import search as S
 from ..operators import sq as SQ
+from ..operators import sketches as SK
 from ..operators import stats as ST
 from ..operators import textstats as TX
 from ..operators import winnow as WN
@@ -712,6 +713,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stats (SQL-verified) ---
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
     "source_quality_report": lambda s, d: ST.source_quality_report(_docs(s, d)),
+    "cms_heavy_hitters": lambda s, d: SK.cms_heavy_hitters(_docs(s, d)),
+    "hll_vocab": lambda s, d: SK.hll_vocab(_docs(s, d)),
     "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
@@ -2256,6 +2259,64 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf_e6 DESC, token) AS rank
       FROM sc)
 WHERE rank <= {C.TFIDF_TOPK}""",
+    "cms_heavy_hitters": f"""
+WITH ctok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+              FROM documents),
+ctc AS (SELECT token, cast(count(*) as bigint) AS cnt
+        FROM ctok WHERE token <> '' GROUP BY 1),
+cbk AS (SELECT token, cnt, i,
+               {_poly("'cms' || cast(i as varchar) || ':' || token")} % {C.CMS_W}
+                 AS bucket
+        FROM ctc CROSS JOIN (SELECT unnest(range(0, {C.CMS_D})) AS i)),
+csk AS (SELECT i, bucket, cast(sum(cnt) as bigint) AS cell
+        FROM cbk GROUP BY 1, 2),
+ctop AS (SELECT token, cnt AS exact_cnt FROM ctc
+         ORDER BY cnt DESC, token LIMIT {C.CMS_TOPK}),
+cest AS (SELECT t.token, t.exact_cnt, cast(min(s.cell) as bigint) AS cms_est
+         FROM ctop t JOIN cbk b USING (token)
+              JOIN csk s ON b.i = s.i AND b.bucket = s.bucket
+         GROUP BY 1, 2)
+SELECT token, exact_cnt, cms_est,
+       cast(cms_est - exact_cnt as bigint) AS overcount
+FROM cest""",
+    "hll_vocab": f"""
+WITH htok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+              FROM documents),
+htc AS (SELECT DISTINCT token FROM htok WHERE token <> ''),
+hh AS (SELECT {_poly("token")} AS h FROM htc),
+hjr AS (SELECT h % {C.HLL_M} AS j,
+               CASE WHEN (h // {C.HLL_M}) = 0 THEN {C.HLL_VBITS + 1}
+                    ELSE {C.HLL_VBITS} - length(bin(h // {C.HLL_M})) + 1 END AS r
+        FROM hh),
+hreg AS (SELECT j, cast(max(r) as bigint) AS rank FROM hjr GROUP BY 1),
+hagg AS (SELECT cast(count(*) as bigint) AS n_registers_hit,
+                cast(sum(cast(1 as bigint) << ({C.HLL_SHIFT} - rank)) as bigint)
+                  AS s_hit
+         FROM hreg),
+hex AS (SELECT cast(count(*) as bigint) AS exact_distinct FROM htc),
+hs AS (SELECT cast({C.HLL_M} as bigint) AS m, n_registers_hit,
+              cast(s_hit + ({C.HLL_M} - n_registers_hit)
+                   * (cast(1 as bigint) << {C.HLL_SHIFT}) as bigint) AS s,
+              exact_distinct
+       FROM hagg, hex),
+he AS (SELECT m, n_registers_hit, s,
+              cast(({C.HLL_ALPHA_NUM} * {C.HLL_M} * {C.HLL_M}
+                    * (cast(1 as bigint) << {C.HLL_SHIFT}))
+                   // ({C.HLL_ALPHA_DEN} * s) as bigint) AS est_raw,
+              exact_distinct
+       FROM hs),
+hf AS (SELECT m, n_registers_hit, s, est_raw,
+              cast(CASE WHEN est_raw < {C.HLL_SMALL_RANGE_MAX}
+                         AND n_registers_hit < {C.HLL_M}
+                        THEN ({C.HLL_M} * ([{", ".join(map(str, C.HLL_LN64_E6))}])
+                              [({C.HLL_M} - n_registers_hit) + 1]) // 1000000
+                        ELSE est_raw END as bigint) AS est,
+              exact_distinct
+       FROM he)
+SELECT m, n_registers_hit, s, est_raw, est, exact_distinct,
+       cast((1000000 * (est - exact_distinct))
+            // greatest(exact_distinct, 1) as bigint) AS err_e6
+FROM hf""",
     "fts_term_stats": f"""
 WITH tok AS (SELECT doc_id,
                     unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
