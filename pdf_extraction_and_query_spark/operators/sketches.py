@@ -117,6 +117,29 @@ def cms_sketch_from_counts(tc: DataFrame) -> DataFrame:
     )
 
 
+def cms_estimate(sk: DataFrame, tokens: list[str]) -> DataFrame:
+    """(token, cms_est) for explicit probe tokens against a sketch table —
+    the read side every sketch source shares (inline or the streaming
+    index's merged cells).  A token whose cells are all absent estimates
+    0 (left join, coalesce) — count-min's answer for a never-seen key."""
+    spark = sk.sparkSession
+    tok = spark.createDataFrame([(t,) for t in sorted(set(tokens))],
+                                "token string")
+    probes = tok.select(
+        "token",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("token")) for i in range(C.CMS_D)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sk), ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(
+            F.coalesce(F.min("cnt"), F.lit(0)).cast("long").alias("cms_est")
+        )
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cell-wise sum of two count-min tables — the distributed-combine
     operation (associative, commutative)."""
@@ -167,17 +190,42 @@ def hll_vocab(docs: DataFrame) -> DataFrame:
     # independent planning (PLANS.md #11), so it is localCheckpointed
     tc = _token_counts(docs).localCheckpoint()
     regs = hll_registers_from_tokens(tc.select("token"))
+    exact = tc.agg(F.count("*").cast("long").alias("exact_distinct"))
+    return (
+        hll_estimate_from_registers(regs)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "n_registers_hit",
+            "s",
+            "est_raw",
+            "est",
+            "exact_distinct",
+            F.expr(
+                "(1000000 * (est - exact_distinct)) div "
+                "greatest(exact_distinct, 1)"
+            )
+            .cast("long")
+            .alias("err_e6"),
+        )
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """ONE row (m, n_registers_hit, s, est_raw, est) from a register
+    table — the read side every register source shares (inline-derived or
+    the streaming index's merged base ∪ deltas); the stream keeps ONLY
+    registers (that is the sketch's point), so this carries no exact
+    audit columns."""
     agg = regs.agg(
         F.count("*").cast("long").alias("n_registers_hit"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {C.HLL_SHIFT} - rank)"))
         .cast("long")
         .alias("s_hit"),
     )
-    exact = tc.agg(F.count("*").cast("long").alias("exact_distinct"))
     m, shift = C.HLL_M, C.HLL_SHIFT
     return (
-        agg.crossJoin(F.broadcast(exact))
-        .select(
+        agg.select(
             F.lit(m).cast("long").alias("m"),
             "n_registers_hit",
             # registers never hit contribute 2^shift each (rank 0)
@@ -188,7 +236,6 @@ def hll_vocab(docs: DataFrame) -> DataFrame:
             )
             .cast("long")
             .alias("s"),
-            "exact_distinct",
         )
         .select(
             "m",
@@ -200,7 +247,6 @@ def hll_vocab(docs: DataFrame) -> DataFrame:
             )
             .cast("long")
             .alias("est_raw"),
-            "exact_distinct",
         )
         .select(
             "m",
@@ -228,21 +274,6 @@ def hll_vocab(docs: DataFrame) -> DataFrame:
             .otherwise(F.col("est_raw"))
             .cast("long")
             .alias("est"),
-            "exact_distinct",
-        )
-        .select(
-            "m",
-            "n_registers_hit",
-            "s",
-            "est_raw",
-            "est",
-            "exact_distinct",
-            F.expr(
-                "(1000000 * (est - exact_distinct)) div "
-                "greatest(exact_distinct, 1)"
-            )
-            .cast("long")
-            .alias("err_e6"),
         )
     )
 

@@ -1,0 +1,124 @@
+"""Streaming corpus-sketch maintenance: the incremental twins of
+``operators/sketches`` (count-min cells, HyperLogLog registers).
+
+This is the telemetry a live ingest keeps where exact tables cannot:
+per-micro-batch sketch summaries into ``batch_id`` delta partitions,
+merged reads = cell-wise merge of base ∪ unfolded deltas — and because
+BOTH merge laws are associative integer folds (CMS: sum, HLL: max), the
+merged sketch is EXACTLY the one-shot sketch over every document ever
+ingested (equality tested, not approximately-equal).
+
+The exactly-once / compaction discipline (folded_max watermark,
+snapshot-pinned partition clears) lives in the shared engine
+``streaming/deltaindex.py`` — CMS reuses it like linkgraph's counts
+(sum-merged, non-idempotent under re-fold, so the watermark matters);
+HLL's max-merge is idempotent, but it rides the same engine for one
+discipline everywhere.  The stream keeps ONLY sketch rows (CMS_D×CMS_W
+cells + ≤HLL_M registers per batch): a 10^12-doc ingest moves a few KB
+of summary per batch, never vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_estimate_from_registers,
+    hll_registers,
+)
+from . import deltaindex
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+_CMS_COLS = ["row", "bucket", "cnt"]
+_HLL_COLS = ["j", "rank"]
+
+
+def _merge_cms(summaries: DataFrame) -> DataFrame:
+    return summaries.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def _merge_hll(summaries: DataFrame) -> DataFrame:
+    return summaries.groupBy("j").agg(
+        F.max("rank").cast("long").alias("rank")
+    )
+
+
+def sketch_init(docs: DataFrame, root: str) -> None:
+    """One-shot base build over an initial corpus."""
+    deltaindex.init_index(cms_sketch(docs), f"{root}/cms")
+    deltaindex.init_index(hll_registers(docs), f"{root}/hll")
+
+
+def make_sketch_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body: sketch the micro-batch alone (a few KB of
+    cells/registers) into ``batch_id`` delta partitions of both indexes —
+    exactly-once under the shared watermark discipline."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deltaindex.write_delta(cms_sketch(batch_df), f"{root}/cms", batch_id)
+        deltaindex.write_delta(
+            hll_registers(batch_df), f"{root}/hll", batch_id
+        )
+
+    return process_batch
+
+
+def cms_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live count-min table — cell-identical to ``cms_sketch`` over
+    every document ever ingested."""
+    return deltaindex.read_merged(spark, f"{root}/cms", _CMS_COLS, _merge_cms)
+
+
+def hll_registers_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live register table — register-identical to ``hll_registers``
+    over every document ever ingested."""
+    return deltaindex.read_merged(spark, f"{root}/hll", _HLL_COLS, _merge_hll)
+
+
+def cms_estimate_merged(
+    spark: SparkSession, root: str, tokens: list[str]
+) -> DataFrame:
+    """Probe the LIVE sketch for token-count estimates — same read tail
+    as the batch side (``operators.sketches.cms_estimate``)."""
+    return cms_estimate(cms_merged(spark, root), tokens)
+
+
+def hll_estimate_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live distinct-vocabulary estimate (raw + small-range-corrected)
+    from merged registers only — no exact audit columns: the stream never
+    kept the vocabulary, which is the sketch's point."""
+    return hll_estimate_from_registers(hll_registers_merged(spark, root))
+
+
+def sketch_compact(spark: SparkSession, root: str) -> None:
+    """Fold unfolded deltas of both indexes into their bases."""
+    deltaindex.compact(spark, f"{root}/cms", _CMS_COLS, _merge_cms)
+    deltaindex.compact(spark, f"{root}/hll", _HLL_COLS, _merge_hll)
+
+
+def stream_sketch_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for new document parquet files (doc_id, text)
+    and keep both sketches current (delta appends; run ``sketch_compact``
+    on a maintenance cadence)."""
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(
+        make_sketch_batch_processor(root)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

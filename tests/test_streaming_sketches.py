@@ -1,0 +1,99 @@
+"""Streaming sketch maintenance: merged cells/registers must equal the
+one-shot sketches over everything ingested (the merge laws make this
+EXACT equality), replays must be exactly-once (CMS cells sum — not
+idempotent), compaction must not change a row, and the live estimates
+must equal the batch-side read tails."""
+
+from pdf_extraction_and_query_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_registers,
+)
+from pdf_extraction_and_query_spark.streaming.sketches import (
+    DOCS_SCHEMA,
+    cms_estimate_merged,
+    cms_merged,
+    hll_estimate_merged,
+    hll_registers_merged,
+    make_sketch_batch_processor,
+    sketch_compact,
+    sketch_init,
+    stream_sketch_maintenance,
+)
+
+_BASE = [(0, "apple banana apple cherry"), (1, "banana durian banana")]
+_B1 = [(2, "cherry cherry apple fig"), (3, "grape banana fig fig kiwi")]
+_B2 = [(4, "mango apple kiwi kiwi")]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _setup(spark, tmp_path):
+    root = str(tmp_path / "sk")
+    sketch_init(_docs(spark, _BASE), root)
+    return root
+
+
+def _cells(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merged_equals_one_shot(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    proc = make_sketch_batch_processor(root)
+    proc(_docs(spark, _B1), 0)
+    proc(_docs(spark, _B2), 1)
+    every = _docs(spark, _BASE + _B1 + _B2)
+    assert _cells(cms_merged(spark, root)) == _cells(cms_sketch(every))
+    assert _cells(hll_registers_merged(spark, root)) == _cells(
+        hll_registers(every)
+    )
+
+
+def test_replay_exactly_once_and_compact_preserving(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    proc = make_sketch_batch_processor(root)
+    proc(_docs(spark, _B1), 0)
+    once = _cells(cms_merged(spark, root))
+    proc(_docs(spark, _B1), 0)  # crash-replay: cells must NOT double
+    assert _cells(cms_merged(spark, root)) == once
+    sketch_compact(spark, root)
+    assert _cells(cms_merged(spark, root)) == once
+    assert _cells(hll_registers_merged(spark, root)) == _cells(
+        hll_registers(_docs(spark, _BASE + _B1))
+    )
+    # replay of an already-FOLDED batch must also be a no-op (watermark)
+    proc(_docs(spark, _B1), 0)
+    assert _cells(cms_merged(spark, root)) == once
+
+
+def test_live_estimates_match_batch_tails(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    make_sketch_batch_processor(root)(_docs(spark, _B1), 0)
+    every = _docs(spark, _BASE + _B1)
+    toks = ["apple", "fig", "neverseen"]
+    live = _cells(cms_estimate_merged(spark, root, toks))
+    batch = _cells(cms_estimate(cms_sketch(every), toks))
+    assert live == batch
+    assert ("neverseen", 0) in live
+    live_est = hll_estimate_merged(spark, root).collect()[0]
+    assert live_est["est"] > 0
+    assert "exact_distinct" not in live_est.asDict()
+
+
+def test_available_now_end_to_end(spark, tmp_path):
+    root = _setup(spark, tmp_path)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _docs(spark, _B1).write.parquet(str(inp / "b1"))
+    q = stream_sketch_maintenance(
+        spark, str(inp) + "/*", root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    every = _docs(spark, _BASE + _B1)
+    assert _cells(cms_merged(spark, root)) == _cells(cms_sketch(every))
+    assert _cells(hll_registers_merged(spark, root)) == _cells(
+        hll_registers(every)
+    )
