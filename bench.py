@@ -67,6 +67,7 @@ _TRIM_ORDER = [
     "curation_funnel",
     "cms_heavy_hitters",
     "hll_vocab",
+    "bloom_contamination",
     "winnow_matches",
     "gopher_verdict",
     "retrieval_eval",
@@ -307,6 +308,7 @@ def main() -> None:
         "retrieval_eval",
         "cms_heavy_hitters",
         "hll_vocab",
+        "bloom_contamination",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

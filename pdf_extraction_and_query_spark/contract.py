@@ -502,6 +502,22 @@ HLL_ALPHA_DEN = 1000
 # lookup table (ln ran once, here, at authoring time; both engines
 # interpolate the same literals): HLL_LN64_E6[V] = round(ln(64/V)*1e6).
 HLL_SMALL_RANGE_MAX = 5 * HLL_M // 2  # 160
+# Bloom filter (Bloom 1970), the membership sketch: BLOOM_BITS bits
+# stored as BLOOM_BITS/BLOOM_WORD int64 words holding BLOOM_WORD bits
+# each (32 bits per word keeps every mask = 1<<bit far from the int64
+# sign bit, so bit_or/& agree across engines); the BLOOM_K positions of
+# a key are poly_hash("bf{i}:" || key) % BLOOM_BITS.  Merge = per-word
+# bitwise OR (associative, idempotent).  One-sided error: a key that
+# was inserted is ALWAYS reported maybe-present (no false negatives) —
+# the invariant the contamination pre-filter relies on.
+# Sizing: FPR ~= (1 - e^(-K*n/BITS))^K; the fixture eval split holds
+# 1.1k/1.4k/9.8k distinct shingles at sf0.001/0.01/0.1, so 65536 bits
+# (a 2048-word, 16 KB broadcast) keeps FPR at 0.01%/0.02%/4.7% — sized
+# for the largest fixture, and still 5 orders of magnitude smaller than
+# broadcasting the shingle strings at production eval-set sizes.
+BLOOM_BITS = 65536
+BLOOM_WORD = 32
+BLOOM_K = 3
 HLL_LN64_E6: tuple[int, ...] = (
     0,  # V = 0 unused (correction requires V > 0)
     4158883, 3465736, 3060271, 2772589, 2549445, 2367124, 2212973,

@@ -284,3 +284,121 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         a.unionByName(b).groupBy("j").agg(F.max("rank").cast("long").alias("rank"))
     )
+
+
+def _bloom_pos(i: int, key) -> F.Column:
+    return (poly_hash(F.concat(F.lit(f"bf{i}:"), key)) % C.BLOOM_BITS).cast(
+        "long"
+    )
+
+
+def bloom_build(keys: DataFrame) -> DataFrame:
+    """(word_idx, bits): the Bloom word table over a (key) frame — at most
+    BLOOM_BITS/BLOOM_WORD rows, built in one map-side-combined bit_or
+    aggregation; merge of two tables = per-word OR."""
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(i, F.col("key")) for i in range(C.BLOOM_K)])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p div {C.BLOOM_WORD}").cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(p % {C.BLOOM_WORD} as int))"
+            ).alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").cast("long").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-word OR of two Bloom tables — the distributed-combine
+    operation (associative, commutative, idempotent)."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(bloom: DataFrame, keys: DataFrame) -> DataFrame:
+    """(key, maybe): maybe = every one of the key's BLOOM_K bits is set.
+    The word table (<= 32 rows) broadcasts; a word no insert ever touched
+    is absent and coalesces to 0 (bit unset)."""
+    pr = keys.select(
+        "key",
+        F.explode(
+            F.array(*[_bloom_pos(i, F.col("key")) for i in range(C.BLOOM_K)])
+        ).alias("p"),
+    ).select(
+        "key",
+        F.expr(f"p div {C.BLOOM_WORD}").cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(p % {C.BLOOM_WORD} as int))"
+        ).alias("m"),
+    )
+    j = pr.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+    ).cast("int")
+    return j.groupBy("key").agg((F.min(hit) == 1).alias("maybe"))
+
+
+def bloom_contamination(docs: DataFrame) -> DataFrame:
+    """The Bloom-pre-filtered train/eval contamination report — the
+    at-scale shape of ``dedup.contamination_check``: the eval split's
+    distinct shingles compress to a <=32-row word table (vs broadcasting
+    the full shingle set), every training doc reports its shingle count,
+    Bloom maybe-hits, EXACT hits (the audit), and the false-positive
+    count — ``n_bloom_hits >= n_exact_hits`` is the no-false-negative
+    guarantee (unit-tested invariant), so Bloom-negative shingles are
+    safe to skip in the exact pass.
+
+    Scale shape: Bloom probes hash once per DISTINCT train shingle
+    (PLANS.md #31) against the broadcast word table; the exact audit is
+    the same broadcast eval-shingle join contamination_check pays; one
+    doc-keyed count aggregation."""
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(docs)
+    is_eval = (F.col("doc_id") % C.EVAL_MOD) == C.EVAL_RESIDUE
+    eval_sh = sh.where(is_eval).select("sh").distinct()
+    train = sh.where(~is_eval)
+    bloom = bloom_build(eval_sh.withColumnRenamed("sh", "key"))
+    probe = bloom_probe(
+        bloom, train.select("sh").distinct().withColumnRenamed("sh", "key")
+    ).withColumnRenamed("key", "sh")
+    hits = (
+        train.join(probe, "sh")
+        .join(
+            F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.col("maybe").cast("long"))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.count("_hit").cast("long").alias("n_exact_hits"),
+        )
+    )
+    base = docs.where(~is_eval).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0))
+            .cast("long")
+            .alias("n_exact_hits"),
+        )
+        .withColumn(
+            "n_false_pos",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).cast("long"),
+        )
+    )

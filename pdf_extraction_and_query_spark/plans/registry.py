@@ -715,6 +715,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_report": lambda s, d: ST.source_quality_report(_docs(s, d)),
     "cms_heavy_hitters": lambda s, d: SK.cms_heavy_hitters(_docs(s, d)),
     "hll_vocab": lambda s, d: SK.hll_vocab(_docs(s, d)),
+    "bloom_contamination": lambda s, d: SK.bloom_contamination(_docs(s, d)),
     "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
@@ -2279,6 +2280,43 @@ cest AS (SELECT t.token, t.exact_cnt, cast(min(s.cell) as bigint) AS cms_est
 SELECT token, exact_cnt, cms_est,
        cast(cms_est - exact_cnt as bigint) AS overcount
 FROM cest""",
+    "bloom_contamination": f"""
+WITH {_SH_CTE},
+bev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {C.EVAL_MOD} = {C.EVAL_RESIDUE}),
+btr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {C.EVAL_MOD} <> {C.EVAL_RESIDUE}),
+bep AS (SELECT {_poly("'bf' || cast(i as varchar) || ':' || sh")} % {C.BLOOM_BITS} AS p
+        FROM bev CROSS JOIN (SELECT unnest(range(0, {C.BLOOM_K})) AS i)),
+bw AS (SELECT p // {C.BLOOM_WORD} AS word_idx,
+              cast(bit_or(cast(1 as bigint) << cast(p % {C.BLOOM_WORD} as int))
+                   as bigint) AS bits
+       FROM bep GROUP BY 1),
+btp AS (SELECT sh,
+               {_poly("'bf' || cast(i as varchar) || ':' || sh")} % {C.BLOOM_BITS} AS p
+        FROM (SELECT DISTINCT sh FROM btr)
+             CROSS JOIN (SELECT unnest(range(0, {C.BLOOM_K})) AS i)),
+bpr AS (SELECT sh,
+               min(CASE WHEN coalesce(bits, 0) & m <> 0 THEN 1 ELSE 0 END) AS maybe
+        FROM (SELECT sh, p // {C.BLOOM_WORD} AS word_idx,
+                     cast(1 as bigint) << cast(p % {C.BLOOM_WORD} as int) AS m
+              FROM btp) t
+             LEFT JOIN bw USING (word_idx)
+        GROUP BY sh),
+bh AS (SELECT doc_id,
+              cast(count(*) as bigint) AS n_shingles,
+              cast(sum(maybe) as bigint) AS n_bloom_hits,
+              cast(sum(CASE WHEN bev.sh IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                AS n_exact_hits
+       FROM btr JOIN bpr USING (sh) LEFT JOIN bev USING (sh)
+       GROUP BY doc_id)
+SELECT cast(d.doc_id as bigint) AS doc_id,
+       cast(coalesce(n_shingles, 0) as bigint) AS n_shingles,
+       cast(coalesce(n_bloom_hits, 0) as bigint) AS n_bloom_hits,
+       cast(coalesce(n_exact_hits, 0) as bigint) AS n_exact_hits,
+       cast(coalesce(n_bloom_hits, 0) - coalesce(n_exact_hits, 0) as bigint)
+         AS n_false_pos
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {C.EVAL_MOD} <> {C.EVAL_RESIDUE}) d
+LEFT JOIN bh USING (doc_id)""",
     "hll_vocab": f"""
 WITH htok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
               FROM documents),

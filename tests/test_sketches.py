@@ -84,3 +84,62 @@ def test_hll_fixture_accuracy_envelope(spark):
     assert row["est_raw"] > row["exact_distinct"]
     assert abs(row["err_e6"]) < 200_000
     assert row["est"] > 0 and row["s"] > 0
+
+
+def _keys(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "key string")
+
+
+def test_bloom_no_false_negatives_and_probe(spark):
+    from pdf_extraction_and_query_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    inserted = [f"key{i}" for i in range(50)]
+    bloom = bloom_build(_keys(spark, inserted))
+    out = {
+        r["key"]: r["maybe"]
+        for r in bloom_probe(
+            bloom, _keys(spark, inserted + ["nope1", "nope2"])
+        ).collect()
+    }
+    # every inserted key MUST report maybe (one-sided error)
+    assert all(out[k] for k in inserted)
+    # 2 probes into a 65536-bit filter holding 50 keys: fp chance ~1e-9
+    assert not out["nope1"] and not out["nope2"]
+
+
+def test_bloom_union_equals_or_merge(spark):
+    from pdf_extraction_and_query_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = [f"a{i}" for i in range(30)]
+    b = [f"b{i}" for i in range(30)]
+    whole = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_build(_keys(spark, a + b)).collect()
+    }
+    merged = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_merge(
+            bloom_build(_keys(spark, a)), bloom_build(_keys(spark, b))
+        ).collect()
+    }
+    assert whole == merged and whole
+
+
+def test_bloom_contamination_invariants(spark):
+    from pdf_extraction_and_query_spark.operators.sketches import (
+        bloom_contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = bloom_contamination(docs).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]  # no false negatives
+        assert r["n_shingles"] >= r["n_bloom_hits"]
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"]
