@@ -4,9 +4,9 @@
 This is the telemetry a live ingest keeps where exact tables cannot:
 per-micro-batch sketch summaries into ``batch_id`` delta partitions,
 merged reads = cell-wise merge of base ∪ unfolded deltas — and because
-BOTH merge laws are associative integer folds (CMS: sum, HLL: max), the
-merged sketch is EXACTLY the one-shot sketch over every document ever
-ingested (equality tested, not approximately-equal).
+all three merge laws are associative integer folds (CMS: sum, HLL: max,
+Bloom: OR), the merged sketch is EXACTLY the one-shot sketch over every
+document ever ingested (equality tested, not approximately-equal).
 
 The exactly-once / compaction discipline (folded_max watermark,
 snapshot-pinned partition clears) lives in the shared engine
@@ -27,17 +27,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sketches import (
+    bloom_build,
+    bloom_probe,
     cms_estimate,
     cms_sketch,
     hll_estimate_from_registers,
     hll_registers,
 )
+from ..operators.dedup import doc_shingles
 from . import deltaindex
 
 DOCS_SCHEMA = "doc_id long, text string"
 
 _CMS_COLS = ["row", "bucket", "cnt"]
 _HLL_COLS = ["j", "rank"]
+_BLOOM_COLS = ["word_idx", "bits"]
 
 
 def _merge_cms(summaries: DataFrame) -> DataFrame:
@@ -52,15 +56,34 @@ def _merge_hll(summaries: DataFrame) -> DataFrame:
     )
 
 
+def _merge_bloom(summaries: DataFrame) -> DataFrame:
+    return summaries.groupBy("word_idx").agg(
+        F.bit_or("bits").cast("long").alias("bits")
+    )
+
+
+def _doc_bloom(docs: DataFrame) -> DataFrame:
+    """Bloom words over a doc batch's distinct shingles — the streaming
+    insert side of the contamination pre-filter (the EVAL side builds
+    once, batch-side; here the continuously-growing side is the corpus
+    itself, answering "was any shingle of this page seen before?"-style
+    membership against the whole ingest history)."""
+    return bloom_build(
+        doc_shingles(docs).select("sh").distinct().withColumnRenamed("sh", "key")
+    )
+
+
 def sketch_init(docs: DataFrame, root: str) -> None:
     """One-shot base build over an initial corpus."""
     deltaindex.init_index(cms_sketch(docs), f"{root}/cms")
     deltaindex.init_index(hll_registers(docs), f"{root}/hll")
+    deltaindex.init_index(_doc_bloom(docs), f"{root}/bloom")
 
 
 def make_sketch_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` body: sketch the micro-batch alone (a few KB of
-    cells/registers) into ``batch_id`` delta partitions of both indexes —
+    cells/registers/words) into ``batch_id`` delta partitions of all three
+    indexes —
     exactly-once under the shared watermark discipline."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,6 +91,7 @@ def make_sketch_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
         deltaindex.write_delta(
             hll_registers(batch_df), f"{root}/hll", batch_id
         )
+        deltaindex.write_delta(_doc_bloom(batch_df), f"{root}/bloom", batch_id)
 
     return process_batch
 
@@ -99,10 +123,29 @@ def hll_estimate_merged(spark: SparkSession, root: str) -> DataFrame:
     return hll_estimate_from_registers(hll_registers_merged(spark, root))
 
 
+def bloom_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live Bloom word table over every shingle ever ingested —
+    word-identical to a one-shot build (OR is associative AND idempotent,
+    so even overlapping batches cannot corrupt it)."""
+    return deltaindex.read_merged(
+        spark, f"{root}/bloom", _BLOOM_COLS, _merge_bloom
+    )
+
+
+def bloom_probe_merged(
+    spark: SparkSession, root: str, keys: list[str]
+) -> DataFrame:
+    """Membership probes against the LIVE filter — same read tail as the
+    batch side (``operators.sketches.bloom_probe``)."""
+    kdf = spark.createDataFrame([(k,) for k in sorted(set(keys))], "key string")
+    return bloom_probe(bloom_merged(spark, root), kdf)
+
+
 def sketch_compact(spark: SparkSession, root: str) -> None:
-    """Fold unfolded deltas of both indexes into their bases."""
+    """Fold unfolded deltas of all three indexes into their bases."""
     deltaindex.compact(spark, f"{root}/cms", _CMS_COLS, _merge_cms)
     deltaindex.compact(spark, f"{root}/hll", _HLL_COLS, _merge_hll)
+    deltaindex.compact(spark, f"{root}/bloom", _BLOOM_COLS, _merge_bloom)
 
 
 def stream_sketch_maintenance(
@@ -113,7 +156,7 @@ def stream_sketch_maintenance(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for new document parquet files (doc_id, text)
-    and keep both sketches current (delta appends; run ``sketch_compact``
+    and keep all three sketches current (delta appends; run ``sketch_compact``
     on a maintenance cadence)."""
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     writer = stream.writeStream.foreachBatch(

@@ -97,3 +97,33 @@ def test_available_now_end_to_end(spark, tmp_path):
     assert _cells(hll_registers_merged(spark, root)) == _cells(
         hll_registers(every)
     )
+
+
+def test_bloom_merged_equals_one_shot_and_probe(spark, tmp_path):
+    from pdf_extraction_and_query_spark.operators.dedup import doc_shingles
+    from pdf_extraction_and_query_spark.operators.sketches import bloom_build
+    from pdf_extraction_and_query_spark.streaming.sketches import (
+        bloom_merged,
+        bloom_probe_merged,
+    )
+
+    root = _setup(spark, tmp_path)
+    proc = make_sketch_batch_processor(root)
+    long_docs = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "eta theta iota kappa lambda mu"),
+    ]
+    proc(_docs(spark, long_docs), 0)
+    every = _docs(spark, _BASE + long_docs)
+    whole = bloom_build(
+        doc_shingles(every).select("sh").distinct().withColumnRenamed("sh", "key")
+    )
+    assert _cells(bloom_merged(spark, root)) == _cells(whole)
+    got = {
+        r["key"]: r["maybe"]
+        for r in bloom_probe_merged(
+            spark, root, ["alpha beta gamma", "beta gamma delta", "never seen this"]
+        ).collect()
+    }
+    assert got["alpha beta gamma"] and got["beta gamma delta"]
+    assert not got["never seen this"]
