@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "mmr_topk",
+    "knn_classify",
     "fts_phrase_topk",
     "tfidf_topk_terms",
     "link_hits",
@@ -279,6 +281,9 @@ def main() -> None:
         "hybrid_rrf",
         "vector_topk",
         "vector_topk_multi",
+        "knn_join",
+        "knn_classify",
+        "mmr_topk",
         "pq_topk",
         "pq_recall",
         "ivfpq_topk",

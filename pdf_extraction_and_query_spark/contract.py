@@ -93,6 +93,29 @@ PQ_SUB = EMBED_DIM // PQ_M
 PQ_K = 16
 PQ_RERANK = 32
 SIM_BUCKETS = ((0.8, "high"), (0.6, "medium"), (0.4, "low"))  # else "minimal"
+# --- all-kNN join (every vector -> its KNN_K nearest corpus neighbors,
+# IVF-blocked: candidates come only from each query's IVF_PROBE nearest
+# centroid lists — the batch kNN-graph build used by kNN-LM retrieval,
+# semantic-dedup graphs, and recommendation pipelines) ---
+KNN_K = 5
+# --- kNN label propagation (weak supervision: a seed subset carries
+# trusted labels, every unlabeled vector takes the majority vote of its
+# KNN_CLASSIFY_K nearest SEED neighbors inside its IVF probe set).
+# Seeds = vec_id % KNN_SEED_MOD == 0 (deterministic 25% labeled split —
+# a pure row function like EVAL_MOD, so it is resumable and the DuckDB
+# twin replays it exactly).  Vote ties -> smaller label. ---
+KNN_SEED_MOD = 4
+KNN_CLASSIFY_K = 5
+# --- MMR diversified re-ranking (Carbonell & Goldstein 1998, public):
+# greedy over a relevance top-MMR_POOL shortlist, score = MMR_LAMBDA_NUM *
+# rel_e12 - MMR_LAMBDA_COMP * max_sim_e12 (integer, lambda = 0.7 with the
+# /10 denominator folded into both weights — no division, so no
+# Spark-div-vs-DuckDB-floor seam); first pick = pure relevance
+# (max_sim_e12 = 0 by contract). Ties -> smaller vec_id. ---
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA_NUM = 7
+MMR_LAMBDA_COMP = 3
 
 # --- embedding-cosine near-dup ---
 # Threshold 0.35, NOT a production 0.9: the driver embeddings are

@@ -674,3 +674,240 @@ def retrieval_eval_by_label(
         .cast("long")
         .alias("mean_precision_micro"),
     )
+
+
+def _ivf_ranked(
+    embeddings: DataFrame, n_centroids: int, n_probe: int
+) -> DataFrame:
+    """The shared IVF blocking frame for corpus-wide neighbor operators
+    (:func:`knn_join`, :func:`knn_classify`): every vector ranked against
+    every centroid (one broadcast scoring pass, one vec_id window), kept
+    to ``rn <= n_probe``.  ``rn == 1`` is the inverted-list assignment,
+    ``rn <= n_probe`` the probe set — a vector's probe list always starts
+    with its own list.  localCheckpointed because the two roles are
+    separate plan branches (PLANS.md #11); at production scale this frame
+    IS the persisted ivf_build assignment, already on disk."""
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    scored = cand.join(F.broadcast(_centroids(embeddings, n_centroids))).select(
+        "vec_id", "ev", "cent_id", _dot_vec(F.col("ev"), F.col("cv")).alias("cdot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .localCheckpoint()
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = C.KNN_K,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """All-kNN join: EVERY corpus vector gets its ``k`` nearest neighbors
+    (self excluded) — the batch kNN-graph build behind kNN-LM retrieval
+    corpora, semantic-dedup graphs, and item-item recommenders.  Brute
+    force is O(n^2) dots; this is the IVF-blocked form: each query meets
+    only the candidate lists of its ``n_probe`` nearest centroids.
+
+    One broadcast scoring pass ranks every (vector, centroid) pair; the
+    SAME ranked frame yields both roles — ``rn == 1`` is the candidate's
+    inverted-list assignment, ``rn <= n_probe`` is the query's probe set
+    (a vector's probe list always starts with its own list, so the join
+    below never loses the self-block).  The ranked frame is consumed by
+    two plan branches, which Spark plans independently (PLANS.md #11), so
+    it is localCheckpointed once — at production scale this frame IS the
+    persisted IVF assignment (``ivf_build``), already on disk.
+
+    The block join shuffles both sides once on ``cent_id`` — queries
+    replicate x n_probe, candidates not at all; per-block pairing is the
+    standard IVF batch-join shape (block sizes are bounded by list sizes,
+    and AQE skew-split applies to a hot list).  Scoring is the Arrow
+    int64 kernel; per-query top-k is one row_number window (one q_id
+    shuffle).  Output: (q_id, nb_id, rank, dot_e12), rank 1-based,
+    deterministic (dot desc, nb_id asc) tie-break — bit-stable vs the
+    DuckDB replay."""
+    ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
+    assigned = ranked.where(F.col("rn") == 1).select(
+        "cent_id", F.col("vec_id").alias("nb_id"), F.col("ev").alias("nv")
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "cent_id"
+    )
+    pairs = (
+        probes.join(assigned, "cent_id")
+        .where(F.col("q_id") != F.col("nb_id"))
+        .select("q_id", "nb_id", _dot_vec(F.col("qv"), F.col("nv")).alias("dot_e12"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("nb_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("nb_id").cast("long").alias("nb_id"),
+            "rank",
+            F.col("dot_e12").cast("long").alias("dot_e12"),
+        )
+    )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = C.MMR_K,
+    pool: int = C.MMR_POOL,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein 1998, public): greedily pick ``k`` results from the
+    relevance top-``pool`` shortlist, each pick maximizing
+    ``MMR_LAMBDA_NUM * rel_e12 - MMR_LAMBDA_COMP * max_sim_e12`` where
+    ``max_sim_e12`` is the candidate's max integer dot against the
+    already-selected set (0 for the first pick by contract — pure
+    relevance).  Ties break to the smaller vec_id; all arithmetic is
+    int64 (|7 * dot| <= 7 * 64e12 << 2^63), so the selection sequence is
+    bit-stable vs the DuckDB unrolled replay.
+
+    Scale shape: the DISTRIBUTED part is the shortlist — orderBy+limit
+    compiles to TakeOrderedAndProject over the corpus (per-partition
+    partial top-pool, driver merge).  The greedy itself is inherently
+    sequential over O(pool) rows x O(k) rounds; it runs on the collected
+    shortlist — a metadata-sized collect (pool rows of dim-64 vectors,
+    the codebook/probe-list precedent), exactly where production
+    re-rankers run their final stage."""
+    spark = embeddings.sparkSession
+    short = (
+        with_query(embeddings, query_vec_id)
+        .select("vec_id", "ev", _dot_vec(F.col("ev"), F.col("qv")).alias("rel_e12"))
+        .orderBy(F.desc("rel_e12"), F.asc("vec_id"))
+        .limit(pool)
+    )
+    rows = short.collect()
+    cand = {
+        int(r["vec_id"]): (np.asarray(r["ev"], dtype=np.int64), int(r["rel_e12"]))
+        for r in rows
+    }
+    picked: list[tuple[int, int, int, int, int]] = []  # rank, id, rel, maxsim, score
+    sel_vecs: list[np.ndarray] = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for vid in sorted(cand):  # ascending id = deterministic tie-break
+            ev, rel = cand[vid]
+            ms = max((int(ev @ s) for s in sel_vecs), default=0)
+            score = C.MMR_LAMBDA_NUM * rel - C.MMR_LAMBDA_COMP * ms
+            if best is None or score > best[4]:
+                best = (rank, vid, rel, ms, score)
+        picked.append(best)
+        sel_vecs.append(cand.pop(best[1])[0])
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("rank", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("rel_e12", LongType(), False),
+            StructField("max_sim_e12", LongType(), False),
+            StructField("mmr_score", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [tuple(int(x) for x in p) for p in picked], schema
+    )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    k: int = C.KNN_CLASSIFY_K,
+    seed_mod: int = C.KNN_SEED_MOD,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """kNN label propagation — the weak-supervision labeling stage of a
+    training-data pipeline: a trusted SEED subset (``vec_id % seed_mod ==
+    0``, a pure row function so the split is deterministic, resumable,
+    and replayable in SQL) carries labels; every other vector takes the
+    majority vote of its ``k`` nearest seed neighbors, candidates blocked
+    to the query's IVF probe lists exactly like :func:`knn_join`.
+
+    Scale shape: the ranked frame is the shared IVF assignment
+    (:func:`_ivf_ranked`); seeds-with-labels join is vec_id-keyed against
+    a projection of the same table (at scale: the label sidecar); the
+    block join shuffles once on cent_id (queries x n_probe vs seed lists
+    only — the candidate side is ALREADY 1/seed_mod of the corpus before
+    the exchange); top-k + vote + argmax are two skinny q_id exchanges.
+    Queries whose probe lists hold no seed get no row (explicit
+    abstention — at production k/probe sizes this is the long-tail
+    escalation queue, not silent mislabeling).
+
+    Output: (vec_id, pred_label, n_votes, true_label, correct) — carrying
+    the held-back true label makes the frame double as the propagation
+    quality report (``correct`` is exact because the fixture labels every
+    vector; production would have NULL true labels outside eval slices).
+    """
+    ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
+    labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
+    seeds = (
+        ranked.where(F.col("rn") == 1)
+        .where(F.col("vec_id") % seed_mod == 0)
+        .join(labels, "vec_id")
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("nb_id"),
+            F.col("ev").alias("nv"),
+            F.col("label").alias("nb_label"),
+        )
+    )
+    probes = ranked.where(F.col("vec_id") % seed_mod != 0).select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "cent_id"
+    )
+    pairs = probes.join(seeds, "cent_id").select(
+        "q_id", "nb_id", "nb_label", _dot_vec(F.col("qv"), F.col("nv")).alias("dot")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("nb_id"))
+    topk = pairs.withColumn("r", F.row_number().over(wk)).where(F.col("r") <= k)
+    votes = topk.groupBy("q_id", "nb_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("nb_label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    return pred.join(labels, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "pred_label",
+        "n_votes",
+        F.col("label").alias("true_label"),
+        (F.col("pred_label") == F.col("label")).cast("long").alias("correct"),
+    )
+
+
+def knn_classify_accuracy(
+    embeddings: DataFrame,
+    k: int = C.KNN_CLASSIFY_K,
+    seed_mod: int = C.KNN_SEED_MOD,
+) -> DataFrame:
+    """Per-true-label propagation quality rollup over
+    :func:`knn_classify`: coverage (how many unlabeled vectors got a
+    vote at all) and accuracy (integer micro units).  One skinny
+    true_label exchange over the classify output."""
+    cls = knn_classify(embeddings, k=k, seed_mod=seed_mod)
+    return (
+        cls.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classified"),
+            F.sum("correct").cast("long").alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_classified",
+            "n_correct",
+            F.expr("n_correct * 1000000L DIV n_classified").alias("accuracy_micro"),
+        )
+    )

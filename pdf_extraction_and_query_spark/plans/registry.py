@@ -690,6 +690,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
+    "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
+    "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
+    "knn_classify": lambda s, d: S.knn_classify(_emb(s, d)),
+    "knn_classify_accuracy": lambda s, d: S.knn_classify_accuracy(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
@@ -3766,3 +3770,153 @@ SELECT href, cast(count(*) as bigint) AS n_inlinks,
        cast(sum(CASE WHEN in_main THEN 1 ELSE 0 END) as bigint)
          AS n_inlinks_main
 FROM alll GROUP BY href"""
+
+# --- all-kNN join (operators/search.py knn_join): every vector's KNN_K
+# nearest neighbors, IVF-blocked — ONE ranked (vector, centroid) frame
+# yields both the rn=1 inverted-list assignment and the rn<=IVF_PROBE
+# probe set; candidates meet queries only inside probed lists.  The
+# oracle replays the identical blocking (it is part of the contract:
+# IVF-kNN is approximate, so the block structure IS the semantics).
+ORACLE_SQL["knn_join"] = f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+ranked AS (
+  SELECT vec_id, ev, cent_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn <= {C.IVF_PROBE}),
+assigned AS (SELECT cent_id, vec_id AS nb_id, ev AS nv
+             FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, ev AS pqv, cent_id FROM ranked),
+pairs AS (
+  SELECT q_id, nb_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> pqv[i] * nv[i])) as bigint) AS dot_e12
+  FROM probes JOIN assigned USING (cent_id)
+  WHERE q_id <> nb_id)
+SELECT cast(q_id as bigint) AS q_id, cast(nb_id as bigint) AS nb_id,
+       cast(rank as bigint) AS rank, dot_e12
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dot_e12 DESC, nb_id) AS rank
+      FROM pairs)
+WHERE rank <= {C.KNN_K}"""
+
+# --- MMR diversified re-ranking (operators/search.py mmr_topk): greedy
+# over the relevance top-MMR_POOL shortlist, score = MMR_LAMBDA_NUM *
+# rel - MMR_LAMBDA_COMP * max_sim(selected); first pick ms = 0 by
+# contract.  The greedy is unrolled — MMR_K explicit rounds, each pick
+# re-derived from the pool minus the previous picks; integer throughout,
+# ties to the smaller vec_id, so the sequence is bit-stable.
+def _mmr_sql() -> str:
+    dot_se = (
+        f"cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+        f"i -> po.ev[i] * se.ev[i])) as bigint)"
+    )
+    parts = [
+        f"""WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+q AS (SELECT {_FP_VEC} AS qv FROM embeddings WHERE vec_id = 0),
+pool AS (SELECT vec_id, ev, {_DOT} AS rel
+         FROM c, q ORDER BY rel DESC, vec_id LIMIT {C.MMR_POOL}),
+p1 AS (SELECT cast(1 as bigint) AS rank, vec_id, ev, rel,
+              cast(0 as bigint) AS ms,
+              cast({C.MMR_LAMBDA_NUM} as bigint) * rel AS score
+       FROM pool ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    for k in range(2, C.MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, ev FROM p{i}" for i in range(1, k)
+        )
+        parts.append(
+            f"""p{k} AS (
+  SELECT cast({k} as bigint) AS rank, po.vec_id, po.ev, po.rel, m.ms,
+         cast({C.MMR_LAMBDA_NUM} as bigint) * po.rel
+           - cast({C.MMR_LAMBDA_COMP} as bigint) * m.ms AS score
+  FROM pool po
+  JOIN (SELECT po.vec_id, max({dot_se}) AS ms
+        FROM pool po, ({sel}) se GROUP BY po.vec_id) m USING (vec_id)
+  WHERE po.vec_id NOT IN (SELECT vec_id FROM ({sel}))
+  ORDER BY score DESC, po.vec_id LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, ms, score FROM p{i}"
+        for i in range(1, C.MMR_K + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT rank, cast(vec_id as bigint) AS vec_id, rel AS rel_e12,
+       ms AS max_sim_e12, score AS mmr_score
+FROM ({final})"""
+    )
+
+
+ORACLE_SQL["mmr_topk"] = _mmr_sql()
+
+# --- kNN label propagation (operators/search.py knn_classify): seeds =
+# vec_id % KNN_SEED_MOD == 0 carry labels; every other vector votes over
+# its KNN_CLASSIFY_K nearest seeds inside its IVF probe lists.  The CTE
+# prefix is knn_join's blocking with the candidate side restricted to
+# seeds; the vote argmax mirrors the Spark (n_votes desc, label asc)
+# row_number exactly.
+_KNN_CLS_CTES = f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+lab AS (SELECT vec_id, cast(label as bigint) AS label FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+scored AS (
+  SELECT c.vec_id, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+ranked AS (
+  SELECT vec_id, ev, cent_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn <= {C.IVF_PROBE}),
+seeds AS (
+  SELECT r.cent_id, r.vec_id AS nb_id, r.ev AS nv, lab.label AS nb_label
+  FROM ranked r JOIN lab ON lab.vec_id = r.vec_id
+  WHERE r.rn = 1 AND r.vec_id % {C.KNN_SEED_MOD} = 0),
+probes AS (
+  SELECT vec_id AS q_id, ev AS pqv, cent_id FROM ranked
+  WHERE vec_id % {C.KNN_SEED_MOD} <> 0),
+pairs AS (
+  SELECT q_id, nb_id, nb_label,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> pqv[i] * nv[i])) as bigint) AS dot
+  FROM probes JOIN seeds USING (cent_id)),
+topk AS (
+  SELECT q_id, nb_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY dot DESC, nb_id) AS r
+    FROM pairs) WHERE r <= {C.KNN_CLASSIFY_K}),
+votes AS (
+  SELECT q_id, nb_label, cast(count(*) as bigint) AS n_votes
+  FROM topk GROUP BY q_id, nb_label),
+pred AS (
+  SELECT q_id AS vec_id, nb_label AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY n_votes DESC, nb_label) AS vr
+    FROM votes) WHERE vr = 1),
+cls AS (
+  SELECT cast(p.vec_id as bigint) AS vec_id, p.pred_label, p.n_votes,
+         lab.label AS true_label,
+         cast(CASE WHEN p.pred_label = lab.label THEN 1 ELSE 0 END
+              as bigint) AS correct
+  FROM pred p JOIN lab ON lab.vec_id = p.vec_id)"""
+
+ORACLE_SQL["knn_classify"] = _KNN_CLS_CTES + """
+SELECT vec_id, pred_label, n_votes, true_label, correct FROM cls"""
+
+ORACLE_SQL["knn_classify_accuracy"] = _KNN_CLS_CTES + """
+SELECT true_label,
+       cast(count(*) as bigint) AS n_classified,
+       cast(sum(correct) as bigint) AS n_correct,
+       cast(sum(correct) * 1000000 // count(*) as bigint) AS accuracy_micro
+FROM cls GROUP BY true_label"""
