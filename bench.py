@@ -62,6 +62,7 @@ _MAX_LINE = 1800
 _TRIM_ORDER = [
     "mmr_topk",
     "knn_classify",
+    "cluster_topics",
     "fts_phrase_topk",
     "tfidf_topk_terms",
     "link_hits",
@@ -308,6 +309,7 @@ def main() -> None:
         "semdedup",
         "sq_topk",
         "kmeans_centroids",
+        "cluster_topics",
         "frontier_schedule",
         "bpe_token_counts",
         "retrieval_eval",

@@ -157,3 +157,79 @@ def ivf_topk_trained(
     from .search import _rank_topk
 
     return _rank_topk(hits, k)
+
+
+def cluster_assign(
+    embeddings: DataFrame, k: int = C.KM_K, iters: int = C.KM_ITERS
+) -> DataFrame:
+    """(vec_id, cent_id) assignment against the FINAL trained centroids —
+    one Arrow pass, no shuffle (the quantizer is broadcast metadata)."""
+    cents = kmeans_np(embeddings, k, iters)
+    ev = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    return ev.select("vec_id", _assign_l2(cents)(F.col("ev")).alias("cent_id"))
+
+
+def cluster_topics(
+    embeddings: DataFrame, docs: DataFrame, topk: int = C.TFIDF_TOPK
+) -> DataFrame:
+    """Topic labels for the trained embedding clusters: top-K TF-IDF terms
+    per cluster, treating each cluster as ONE super-document — the
+    corpus-understanding step behind domain mixing / source weighting (a
+    pipeline owner reads this to see WHAT each cluster is, then sets
+    per-cluster sampling temperatures).
+
+    Reuses both existing contracts verbatim: the kmeans assignment
+    (`cluster_assign`, final-centroid Arrow pass) and the FTS TF-IDF
+    scoring (`fulltext.tfidf_from_postings` — same tokenizer, same
+    log-free capped idf, n := number of non-empty clusters).  Scale
+    shape: postings derived ONCE (PLANS.md #11), the doc→cluster re-key
+    is a doc_id-keyed join against the skinny assignment, then one
+    (cluster, token) hash-agg — cluster-level postings are vocabulary-
+    sized, everything after is metadata."""
+    from .fulltext import postings, tfidf_from_postings
+
+    assigned = cluster_assign(embeddings).withColumnRenamed("vec_id", "doc_id")
+    cpost = (
+        postings(docs)
+        .join(assigned, "doc_id")
+        .groupBy("cent_id", "token")
+        .agg(F.sum("tf").alias("tf"))
+        .withColumnRenamed("cent_id", "doc_id")
+    )
+    n = assigned.agg(F.countDistinct("cent_id").alias("n_docs"))
+    out = tfidf_from_postings(cpost, n, topk)
+    return out.select(
+        F.col("doc_id").cast("long").alias("cluster_id"),
+        "token",
+        "tf",
+        "df",
+        "tfidf_e6",
+        "rank",
+    )
+
+
+def cluster_summary(embeddings: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-cluster size report (n_docs, n_tokens) over the trained
+    assignment — the denominator frame for cluster-level sampling
+    decisions.  One skinny cent_id agg; token totals ride the postings
+    aggregate (docs whose text is empty contribute zero, not NULL)."""
+    from .fulltext import postings
+
+    assigned = cluster_assign(embeddings).withColumnRenamed("vec_id", "doc_id")
+    sizes = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    toks = (
+        postings(docs)
+        .join(assigned, "doc_id")
+        .groupBy("cent_id")
+        .agg(F.sum("tf").cast("long").alias("n_tokens"))
+    )
+    return (
+        sizes.join(toks, "cent_id", "left")
+        .select(
+            F.col("cent_id").cast("long").alias("cluster_id"),
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        )
+    )

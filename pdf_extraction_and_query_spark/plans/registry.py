@@ -682,6 +682,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "kmeans_centroids": lambda s, d: KM.kmeans_centroids(_emb(s, d)),
     "ivf_topk_trained": lambda s, d: KM.ivf_topk_trained(_emb(s, d)),
+    "cluster_topics": lambda s, d: KM.cluster_topics(_emb(s, d), _docs(s, d)),
+    "cluster_summary": lambda s, d: KM.cluster_summary(_emb(s, d), _docs(s, d)),
     "sq_codes": lambda s, d: SQ.sq_codes(_emb(s, d)),
     "sq_topk": lambda s, d: SQ.sq_topk(_emb(s, d)),
     "sq_recall": lambda s, d: SQ.sq_recall(_emb(s, d)),
@@ -3920,3 +3922,52 @@ SELECT true_label,
        cast(sum(correct) as bigint) AS n_correct,
        cast(sum(correct) * 1000000 // count(*) as bigint) AS accuracy_micro
 FROM cls GROUP BY true_label"""
+
+# --- cluster topic labels (operators/kmeans.py cluster_topics): top-K
+# TF-IDF terms per TRAINED embedding cluster, each cluster one
+# super-document.  Oracle = the unrolled Lloyd rounds (the
+# ivf_topk_trained precedent) + the tfidf_topk_terms scoring re-keyed by
+# cluster; n = number of non-empty clusters.
+_CLUSTER_CTES = f"""
+WITH {_kmeans_ctes()},
+sF AS (
+  SELECT c.vec_id, t.cent_id,
+         cast(list_sum(list_transform(t.cv, x -> x * x)) as bigint)
+         - 2 * cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+               i -> c.ev[i] * t.cv[i])) as bigint) AS d
+  FROM c, {_KM_FINAL} t),
+aF AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cent_id) AS rn
+    FROM sF) WHERE rn = 1),
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
+        FROM documents),
+post AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         WHERE token <> '' GROUP BY 1, 2),
+cpost AS (SELECT a.cent_id, p.token, cast(sum(p.tf) as bigint) AS tf
+          FROM post p JOIN aF a ON a.vec_id = p.doc_id GROUP BY 1, 2),
+ncl AS (SELECT count(distinct cent_id) AS n FROM aF)"""
+
+ORACLE_SQL["cluster_topics"] = _CLUSTER_CTES + f""",
+tdf AS (SELECT token, count(*) AS df FROM cpost GROUP BY 1),
+sc AS (SELECT cent_id, cpost.token, tf, df,
+              least((1000000 * (2*(SELECT n FROM ncl) - 2*df + 1))
+                    // (2*df + 1), {C.FTS_IDF_CAP_E6})
+              * least(tf, {C.FTS_TF_CAP}) AS tfidf_e6
+       FROM cpost JOIN tdf USING (token))
+SELECT cast(cent_id as bigint) AS cluster_id, token,
+       cast(tf as bigint) AS tf, cast(df as bigint) AS df,
+       cast(tfidf_e6 as bigint) AS tfidf_e6, cast(rank as bigint) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY cent_id
+                                   ORDER BY tfidf_e6 DESC, token) AS rank
+      FROM sc)
+WHERE rank <= {C.TFIDF_TOPK}"""
+
+ORACLE_SQL["cluster_summary"] = _CLUSTER_CTES + """
+SELECT cast(a.cent_id as bigint) AS cluster_id,
+       cast(count(*) as bigint) AS n_docs,
+       cast(coalesce((SELECT sum(tf) FROM cpost cp
+                      WHERE cp.cent_id = a.cent_id), 0) as bigint) AS n_tokens
+FROM aF a GROUP BY a.cent_id"""

@@ -83,3 +83,39 @@ def test_probe_all_clusters_equals_brute_force(spark):
 def test_training_moves_centroids_on_gate_corpus(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert (KM.kmeans_np(emb) != KM._init_np(emb, C.KM_K)).any()
+
+
+def test_cluster_topics_shape_and_consistency(spark):
+    """Cluster topic labels: ranks contiguous per cluster, df counts the
+    clusters (never the docs) a term appears in, and every labeled
+    cluster exists in the assignment."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = KM.cluster_topics(emb, docs).toPandas()
+    assert len(got) > 0
+    per = got.groupby("cluster_id")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
+    assert (per["count"] <= C.TFIDF_TOPK).all()
+    n_clusters = (
+        KM.cluster_assign(emb).select("cent_id").distinct().count()
+    )
+    assert got["df"].between(1, n_clusters).all()
+    assert set(got["cluster_id"]) <= set(
+        r.cent_id for r in KM.cluster_assign(emb).select("cent_id").distinct().collect()
+    )
+
+
+def test_cluster_summary_totals_match_corpus(spark):
+    """Summary partitions the corpus: n_docs sums to the embedding count,
+    n_tokens to the corpus token total (empty-text docs contribute 0)."""
+    from pdf_extraction_and_query_spark.operators.fulltext import _tokens
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = KM.cluster_summary(emb, docs).toPandas()
+    assert got["n_docs"].sum() == emb.count()
+    n_emb_docs = docs.join(
+        emb.selectExpr("vec_id as doc_id"), "doc_id"
+    )
+    assert got["n_tokens"].sum() == _tokens(n_emb_docs).count()
