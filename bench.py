@@ -62,6 +62,7 @@ _MAX_LINE = 1800
 _TRIM_ORDER = [
     "mmr_topk",
     "knn_classify",
+    "knn_dedup_clusters",
     "cluster_topics",
     "fts_phrase_topk",
     "tfidf_topk_terms",
@@ -284,6 +285,7 @@ def main() -> None:
         "vector_topk_multi",
         "knn_join",
         "knn_classify",
+        "knn_dedup_clusters",
         "mmr_topk",
         "pq_topk",
         "pq_recall",

@@ -796,3 +796,27 @@ def semdedup_stats(embeddings: DataFrame) -> DataFrame:
             F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def knn_dedup_clusters(
+    embeddings: DataFrame, k: int = C.KNN_DEDUP_K, max_iters: int = 60
+) -> DataFrame:
+    """SemDeDup-style GRAPH dedup over the RECIPROCAL nearest-neighbor
+    edge set (search.mutual_knn_pairs at k=1, the best-buddies
+    criterion): connected components partition the reciprocal-NN graph
+    into semantic duplicate groups, min-id keeper per group — the
+    cluster-free alternative to :func:`semdedup` (no quantizer to train,
+    no cosine threshold to tune; reciprocity at k=1 is the selectivity —
+    contract.py documents why larger k is the retrieval-graph setting,
+    not the dedup setting).  Runs the large-star/small-star rounds
+    because reciprocal-NN graphs CHAIN by construction (a near-dup
+    series A~B~C where A,C are not each other's nearest) — exactly the
+    long-path shape minlabel is slow on.  Same output contract as
+    dedup_clusters: (doc_id, cluster_rep, is_keeper), only clustered
+    docs emitted."""
+    from .search import mutual_knn_pairs
+
+    pairs = mutual_knn_pairs(embeddings, k=k).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components_star(pairs, max_iters=max_iters)

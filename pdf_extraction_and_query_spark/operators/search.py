@@ -722,26 +722,46 @@ def knn_join(
     it is localCheckpointed once — at production scale this frame IS the
     persisted IVF assignment (``ivf_build``), already on disk.
 
-    The block join shuffles both sides once on ``cent_id`` — queries
-    replicate x n_probe, candidates not at all; per-block pairing is the
-    standard IVF batch-join shape (block sizes are bounded by list sizes,
-    and AQE skew-split applies to a hot list).  Scoring is the Arrow
-    int64 kernel; per-query top-k is one row_number window (one q_id
-    shuffle).  Output: (q_id, nb_id, rank, dot_e12), rank 1-based,
-    deterministic (dot desc, nb_id asc) tie-break — bit-stable vs the
-    DuckDB replay."""
+    Both sides shuffle once on ``cent_id`` into a GROUPED MATMUL kernel
+    (cogrouped ``applyInPandas``): per list, one Q @ N^T einsum scores the
+    whole block and emits only each query's per-LIST top-k — top-k
+    distributes over unions (any global top-k edge is in its own list's
+    top-k), so the q_id exchange then merges k rows per probed list, not
+    list-sized pair sets.  The row-wise join twin (materializing every
+    candidate pair with both dim-64 vectors) measured 7.4 s vs ~1 s at
+    sf0.1 — the Arrow transfer of 1.5M x 128-int pair rows, not the dots,
+    was the cost (PLANS.md #14 family); it survives as
+    :func:`_knn_join_rowwise`, the semantic spec, bit-equality-tested.
+    Parallelism is bounded by the list count — n_lists grows ~sqrt(n)
+    at scale (and the fan-in is pinned by an explicit repartition on
+    cent_id, the grouped-map AQE caveat).  Output: (q_id, nb_id, rank,
+    dot_e12), rank 1-based, deterministic (dot desc, nb_id asc)
+    tie-break — bit-stable vs the DuckDB replay."""
     ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
-    assigned = ranked.where(F.col("rn") == 1).select(
-        "cent_id", F.col("vec_id").alias("nb_id"), F.col("ev").alias("nv")
+    shuffle_n = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    probes = ranked.select(
+    blocked = _block_topk_pairs(
+        _knn_probe_rows(ranked), _knn_assign_rows(ranked), k, shuffle_n
+    )
+    return _knn_rank(blocked, k)
+
+
+def _knn_probe_rows(ranked: DataFrame) -> DataFrame:
+    return ranked.select(
         F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "cent_id"
     )
-    pairs = (
-        probes.join(assigned, "cent_id")
-        .where(F.col("q_id") != F.col("nb_id"))
-        .select("q_id", "nb_id", _dot_vec(F.col("qv"), F.col("nv")).alias("dot_e12"))
+
+
+def _knn_assign_rows(ranked: DataFrame) -> DataFrame:
+    return ranked.where(F.col("rn") == 1).select(
+        "cent_id", F.col("vec_id").alias("nb_id"), F.col("ev").alias("nv")
     )
+
+
+def _knn_rank(pairs: DataFrame, k: int) -> DataFrame:
+    """Global per-query top-k + 1-based rank over (q_id, nb_id, dot_e12)
+    candidate rows — one skinny q_id exchange."""
     wk = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("nb_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(wk).cast("long"))
@@ -753,6 +773,87 @@ def knn_join(
             F.col("dot_e12").cast("long").alias("dot_e12"),
         )
     )
+
+
+def _block_topk_pairs(
+    probes: DataFrame, assigned: DataFrame, k: int, shuffle_n: int
+) -> DataFrame:
+    """Grouped-matmul per-list scoring: cogroup probe and assignment rows
+    by cent_id; per list, ONE int64 ``Q @ N^T`` scores the block exactly
+    (|dot| <= 64e12 << 2^63) and a lexsort keeps each query's top-k with
+    the global (dot desc, nb asc) tie-break — so the per-list partials
+    merge to the exact global top-k downstream.  Self-pairs are masked to
+    int64-min before the sort and dropped on emit.  Explicit repartition
+    pins the fan-in (AQE coalescing is blind to per-group Python cost —
+    CLAUDE.md sharp edge)."""
+    import numpy as np
+    import pandas as pd
+
+    def block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series([], dtype="int64"),
+                "nb_id": pd.Series([], dtype="int64"),
+                "dot_e12": pd.Series([], dtype="int64"),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        Q = np.stack(left["qv"].to_numpy()).astype(np.int64, copy=False)
+        N = np.stack(right["nv"].to_numpy()).astype(np.int64, copy=False)
+        q_ids = left["q_id"].to_numpy()
+        nb_ids = right["nb_id"].to_numpy()
+        D = Q @ N.T
+        # mask self-pairs to min+1: the sort key is -D, and -(int64 min)
+        # overflows back to itself (would sort the self-pair FIRST);
+        # -(min+1) = int64 max sorts it last.  Real dots are bounded by
+        # 64e12, so the sentinel can never collide.
+        sentinel = np.iinfo(np.int64).min + 1
+        D[q_ids[:, None] == nb_ids[None, :]] = sentinel
+        kk = min(k, D.shape[1])
+        # per-row order by (dot desc, nb asc): lexsort is stable,
+        # secondary key first
+        order = np.lexsort(
+            (np.broadcast_to(nb_ids, D.shape), -D), axis=1
+        )[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = order.ravel()
+        dots = D[np.repeat(np.arange(D.shape[0]), kk), cols]
+        keep = dots != sentinel
+        return pd.DataFrame(
+            {
+                "q_id": rows[keep],
+                "nb_id": nb_ids[cols][keep],
+                "dot_e12": dots[keep],
+            }
+        )
+
+    return (
+        probes.repartition(shuffle_n, "cent_id")
+        .groupBy("cent_id")
+        .cogroup(assigned.repartition(shuffle_n, "cent_id").groupBy("cent_id"))
+        .applyInPandas(block, "q_id long, nb_id long, dot_e12 long")
+    )
+
+
+def _knn_join_rowwise(
+    embeddings: DataFrame,
+    k: int = C.KNN_K,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """Row-wise join twin of :func:`knn_join` — the semantic spec (every
+    candidate pair materialized, `_dot_vec` scoring, one global window).
+    Kept for the bit-equality test; 7x slower at sf0.1 because the
+    cent_id exchange carries both dim-64 vectors in every pair row."""
+    ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
+    pairs = (
+        _knn_probe_rows(ranked)
+        .join(_knn_assign_rows(ranked), "cent_id")
+        .where(F.col("q_id") != F.col("nb_id"))
+        .select("q_id", "nb_id", _dot_vec(F.col("qv"), F.col("nv")).alias("dot_e12"))
+    )
+    return _knn_rank(pairs, k)
 
 
 def mmr_topk(
@@ -910,4 +1011,34 @@ def knn_classify_accuracy(
             "n_correct",
             F.expr("n_correct * 1000000L DIV n_classified").alias("accuracy_micro"),
         )
+    )
+
+
+def mutual_knn_pairs(
+    embeddings: DataFrame,
+    k: int = C.KNN_K,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """Mutual-kNN edge set: (a, b) kept iff b is in kNN(a) AND a is in
+    kNN(b) — the standard parameter-free near-dup graph (no cosine
+    threshold to tune: mutuality itself is the selectivity, so the same
+    setting works on corpora with different similarity distributions).
+    Feeds :func:`~..operators.dedup.knn_dedup_clusters`.
+
+    Scale shape: the graph is built once (:func:`knn_join`,
+    localCheckpointed here because BOTH orientations consume it — two
+    references plan independently, PLANS.md #11), then one self
+    equi-join on the 5-rows-per-vector edge table — k·n rows a side,
+    never the corpus.  Output canonical (vec_a < vec_b), dot carried
+    from the forward edge (symmetric by construction)."""
+    g = knn_join(embeddings, k, n_centroids, n_probe).localCheckpoint()
+    fwd = g.select(
+        F.col("q_id").alias("vec_a"), F.col("nb_id").alias("vec_b"), "dot_e12"
+    )
+    rev = g.select(F.col("nb_id").alias("vec_a"), F.col("q_id").alias("vec_b"))
+    return (
+        fwd.join(rev, ["vec_a", "vec_b"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "dot_e12")
     )

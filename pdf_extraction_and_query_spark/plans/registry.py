@@ -696,6 +696,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
     "knn_classify": lambda s, d: S.knn_classify(_emb(s, d)),
     "knn_classify_accuracy": lambda s, d: S.knn_classify_accuracy(_emb(s, d)),
+    "mutual_knn_pairs": lambda s, d: S.mutual_knn_pairs(_emb(s, d)),
+    "knn_dedup_clusters": lambda s, d: D.knn_dedup_clusters(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
@@ -3779,7 +3781,8 @@ FROM alll GROUP BY href"""
 # probe set; candidates meet queries only inside probed lists.  The
 # oracle replays the identical blocking (it is part of the contract:
 # IVF-kNN is approximate, so the block structure IS the semantics).
-ORACLE_SQL["knn_join"] = f"""
+def _knn_ctes(knn_k: int) -> str:
+    return f"""
 WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
 cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
           WHERE vec_id < {C.IVF_CENTROIDS}),
@@ -3801,13 +3804,54 @@ pairs AS (
          cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
               i -> pqv[i] * nv[i])) as bigint) AS dot_e12
   FROM probes JOIN assigned USING (cent_id)
-  WHERE q_id <> nb_id)
+  WHERE q_id <> nb_id),
+g AS (
+  SELECT q_id, nb_id, rank, dot_e12
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dot_e12 DESC, nb_id) AS rank
+        FROM pairs)
+  WHERE rank <= {knn_k})"""
+
+
+def _mutual_cte(knn_k: int) -> str:
+    """mutual-kNN edge set over g: (a, b) survives iff the edge exists in
+    BOTH directions; canonical a < b, dot from the forward edge."""
+    return (
+        _knn_ctes(knn_k)
+        + """,
+mutual AS (
+  SELECT a.q_id AS vec_a, a.nb_id AS vec_b, a.dot_e12
+  FROM g a JOIN g b ON b.q_id = a.nb_id AND b.nb_id = a.q_id
+  WHERE a.q_id < a.nb_id)"""
+    )
+
+
+ORACLE_SQL["knn_join"] = _knn_ctes(C.KNN_K) + """
 SELECT cast(q_id as bigint) AS q_id, cast(nb_id as bigint) AS nb_id,
-       cast(rank as bigint) AS rank, dot_e12
-FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-                                   ORDER BY dot_e12 DESC, nb_id) AS rank
-      FROM pairs)
-WHERE rank <= {C.KNN_K}"""
+       cast(rank as bigint) AS rank, dot_e12 FROM g"""
+
+ORACLE_SQL["mutual_knn_pairs"] = _mutual_cte(C.KNN_K) + """
+SELECT cast(vec_a as bigint) AS vec_a, cast(vec_b as bigint) AS vec_b,
+       dot_e12 FROM mutual"""
+
+# SemDeDup-style graph dedup: connected components over the RECIPROCAL
+# nearest-neighbor edges (k = KNN_DEDUP_K = 1, the best-buddies
+# criterion) — recursive transitive closure, the dedup_clusters oracle
+# tail (an independent algorithm from the engine's large-star/small-star)
+ORACLE_SQL["knn_dedup_clusters"] = (
+    _mutual_cte(C.KNN_DEDUP_K).replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + """,
+kedges AS (SELECT vec_a AS src, vec_b AS dst FROM mutual
+           UNION SELECT vec_b AS src, vec_a AS dst FROM mutual),
+kreach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM kedges) t
+  UNION
+  SELECT r.src, e.dst FROM kreach r JOIN kedges e ON r.dst = e.src)
+SELECT cast(src as bigint) AS doc_id,
+       cast(min(dst) as bigint) AS cluster_rep,
+       (src = min(dst)) AS is_keeper
+FROM kreach GROUP BY src"""
+)
 
 # --- MMR diversified re-ranking (operators/search.py mmr_topk): greedy
 # over the relevance top-MMR_POOL shortlist, score = MMR_LAMBDA_NUM *

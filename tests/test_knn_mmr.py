@@ -227,3 +227,71 @@ def test_knn_classify_strong_signal_propagates_perfectly(spark):
     assert (got["pred_label"] == got["vec_id"] % 4).all()
     # 4 same-cluster seed votes out of 5 (the 5th is a cross-cluster fill)
     assert (got["n_votes"] == 4).all()
+
+
+def test_mutual_pairs_are_exactly_the_reciprocal_edges(spark):
+    """Independent replay: build the directed kNN edge set, intersect
+    with its transpose in pandas, compare."""
+    from pdf_extraction_and_query_spark.operators.search import mutual_knn_pairs
+
+    emb = _emb(spark)
+    g = knn_join(emb).toPandas()
+    directed = {(int(r.q_id), int(r.nb_id)): int(r.dot_e12) for r in g.itertuples()}
+    want = sorted(
+        (a, b, d)
+        for (a, b), d in directed.items()
+        if a < b and (b, a) in directed
+    )
+    got = sorted(
+        (int(r.vec_a), int(r.vec_b), int(r.dot_e12))
+        for r in mutual_knn_pairs(emb).toPandas().itertuples()
+    )
+    assert got == want and got
+
+
+def test_knn_dedup_clusters_match_union_find_replay(spark):
+    """The component partition over reciprocal-NN pairs must equal a
+    driver-side union-find on the same edge set."""
+    from pdf_extraction_and_query_spark.operators.dedup import knn_dedup_clusters
+    from pdf_extraction_and_query_spark.operators.search import mutual_knn_pairs
+
+    emb = _emb(spark)
+    pairs = [
+        (int(r.vec_a), int(r.vec_b))
+        for r in mutual_knn_pairs(emb, k=C.KNN_DEDUP_K).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # canonical rep = min member of each component
+    comp: dict[int, list[int]] = {}
+    for x, r in want.items():
+        comp.setdefault(r, []).append(x)
+    rep = {x: min(members) for r, members in comp.items() for x in members}
+
+    got = {
+        int(r.doc_id): (int(r.cluster_rep), bool(r.is_keeper))
+        for r in knn_dedup_clusters(emb).collect()
+    }
+    assert got == {x: (rep[x], rep[x] == x) for x in rep} and got
+
+
+def test_knn_grouped_kernel_equals_rowwise_twin(spark):
+    """PLANS.md #14 family: the grouped-matmul block kernel must be
+    bit-identical to the row-wise join spec on the full gate fixture."""
+    from pdf_extraction_and_query_spark.operators.search import _knn_join_rowwise
+
+    emb = _emb(spark)
+    got = sorted(map(tuple, knn_join(emb).collect()))
+    want = sorted(map(tuple, _knn_join_rowwise(emb).collect()))
+    assert got == want and got
