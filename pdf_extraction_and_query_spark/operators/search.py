@@ -934,11 +934,12 @@ def knn_classify(
     to the query's IVF probe lists exactly like :func:`knn_join`.
 
     Scale shape: the ranked frame is the shared IVF assignment
-    (:func:`_ivf_ranked`); seeds-with-labels join is vec_id-keyed against
-    a projection of the same table (at scale: the label sidecar); the
-    block join shuffles once on cent_id (queries x n_probe vs seed lists
-    only — the candidate side is ALREADY 1/seed_mod of the corpus before
-    the exchange); top-k + vote + argmax are two skinny q_id exchanges.
+    (:func:`_ivf_ranked`); scoring is the same cogrouped per-list matmul
+    kernel as :func:`knn_join` (finding #34 — pair rows never carry
+    vectors) over the SEED slice of the assignment only (the candidate
+    side is already 1/seed_mod of the corpus before the exchange); the
+    label join happens AFTER the skinny global top-k (k rows per query),
+    not on pair rows; vote + argmax are two more skinny q_id exchanges.
     Queries whose probe lists hold no seed get no row (explicit
     abstention — at production k/probe sizes this is the long-tail
     escalation queue, not silent mislabeling).
@@ -950,25 +951,17 @@ def knn_classify(
     """
     ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
     labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
-    seeds = (
-        ranked.where(F.col("rn") == 1)
-        .where(F.col("vec_id") % seed_mod == 0)
-        .join(labels, "vec_id")
-        .select(
-            "cent_id",
-            F.col("vec_id").alias("nb_id"),
-            F.col("ev").alias("nv"),
-            F.col("label").alias("nb_label"),
-        )
+    seeds = _knn_assign_rows(ranked).where(F.col("nb_id") % seed_mod == 0)
+    probes = _knn_probe_rows(ranked).where(F.col("q_id") % seed_mod != 0)
+    shuffle_n = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    probes = ranked.where(F.col("vec_id") % seed_mod != 0).select(
-        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "cent_id"
+    topk = _knn_rank(_block_topk_pairs(probes, seeds, k, shuffle_n), k).join(
+        labels.select(
+            F.col("vec_id").alias("nb_id"), F.col("label").alias("nb_label")
+        ),
+        "nb_id",
     )
-    pairs = probes.join(seeds, "cent_id").select(
-        "q_id", "nb_id", "nb_label", _dot_vec(F.col("qv"), F.col("nv")).alias("dot")
-    )
-    wk = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("nb_id"))
-    topk = pairs.withColumn("r", F.row_number().over(wk)).where(F.col("r") <= k)
     votes = topk.groupBy("q_id", "nb_label").agg(F.count(F.lit(1)).alias("n_votes"))
     wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("nb_label"))
     pred = (
