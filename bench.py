@@ -63,6 +63,7 @@ _TRIM_ORDER = [
     "mmr_topk",
     "knn_classify",
     "knn_dedup_clusters",
+    "ivf_stats",
     "cluster_topics",
     "fts_phrase_topk",
     "tfidf_topk_terms",
@@ -286,6 +287,7 @@ def main() -> None:
         "knn_join",
         "knn_classify",
         "knn_dedup_clusters",
+        "ivf_stats",
         "mmr_topk",
         "pq_topk",
         "pq_recall",

@@ -951,11 +951,25 @@ def knn_classify(
     """
     ranked = _ivf_ranked(embeddings, n_centroids, n_probe)
     labels = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
-    seeds = _knn_assign_rows(ranked).where(F.col("nb_id") % seed_mod == 0)
-    probes = _knn_probe_rows(ranked).where(F.col("q_id") % seed_mod != 0)
     shuffle_n = int(
         embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    return classify_from_ranked(ranked, labels, k, seed_mod, shuffle_n)
+
+
+def classify_from_ranked(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int,
+    seed_mod: int,
+    shuffle_n: int,
+) -> DataFrame:
+    """The classify tail shared by the inline :func:`knn_classify` and
+    the streaming-maintained form (streaming/knn.knn_classify_merged):
+    ``ranked`` is any `_ivf_ranked`-shaped frame (vec_id, ev, cent_id,
+    rn), ``labels`` = (vec_id, label long)."""
+    seeds = _knn_assign_rows(ranked).where(F.col("nb_id") % seed_mod == 0)
+    probes = _knn_probe_rows(ranked).where(F.col("q_id") % seed_mod != 0)
     topk = _knn_rank(_block_topk_pairs(probes, seeds, k, shuffle_n), k).join(
         labels.select(
             F.col("vec_id").alias("nb_id"), F.col("label").alias("nb_label")
@@ -1034,4 +1048,34 @@ def mutual_knn_pairs(
         fwd.join(rev, ["vec_a", "vec_b"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "dot_e12")
+    )
+
+
+def ivf_stats(
+    embeddings: DataFrame, n_centroids: int = C.IVF_CENTROIDS
+) -> DataFrame:
+    """IVF index-health report: per-inverted-list population plus its
+    share and load factor (1e6 = perfectly balanced) — what an operator
+    reads before trusting probe-count recall math, since a skewed list
+    both hurts the blocked joins (hot block) and distorts recall (a probe
+    into a mega-list scans half the corpus).  One skinny cent_id agg over
+    the assignment; the totals ride a broadcast 1-row aggregate."""
+    assigned = _ivf_assign(embeddings, n_centroids).select("cent_id")
+    sizes = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = sizes.agg(
+        F.sum("n_vectors").alias("total"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cent_id").cast("long").alias("cent_id"),
+            "n_vectors",
+            F.expr("n_vectors * 1000000L DIV total").alias("share_micro"),
+            F.expr("n_vectors * n_lists * 1000000L DIV total").alias(
+                "load_micro"
+            ),
+        )
     )

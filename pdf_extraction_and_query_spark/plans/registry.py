@@ -698,6 +698,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify_accuracy": lambda s, d: S.knn_classify_accuracy(_emb(s, d)),
     "mutual_knn_pairs": lambda s, d: S.mutual_knn_pairs(_emb(s, d)),
     "knn_dedup_clusters": lambda s, d: D.knn_dedup_clusters(_emb(s, d)),
+    "ivf_stats": lambda s, d: S.ivf_stats(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
@@ -4015,3 +4016,28 @@ SELECT cast(a.cent_id as bigint) AS cluster_id,
        cast(coalesce((SELECT sum(tf) FROM cpost cp
                       WHERE cp.cent_id = a.cent_id), 0) as bigint) AS n_tokens
 FROM aF a GROUP BY a.cent_id"""
+
+# --- IVF index-health report (operators/search.py ivf_stats): list
+# populations + share/load factors over the rn=1 assignment
+ORACLE_SQL["ivf_stats"] = f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+scored AS (
+  SELECT c.vec_id, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+sizes AS (SELECT cent_id, cast(count(*) as bigint) AS n_vectors
+          FROM assigned GROUP BY 1),
+tot AS (SELECT cast(sum(n_vectors) as bigint) AS total,
+               cast(count(*) as bigint) AS n_lists FROM sizes)
+SELECT cast(cent_id as bigint) AS cent_id, n_vectors,
+       cast(n_vectors * 1000000 // total as bigint) AS share_micro,
+       cast(n_vectors * n_lists * 1000000 // total as bigint) AS load_micro
+FROM sizes, tot"""

@@ -229,3 +229,29 @@ def knn_compact(spark: SparkSession, root: str, k: int = C.KNN_K) -> None:
         tables.replace_table(folded, f"{root}/edges/base")
         shutil.rmtree(f"{root}/edges/delta", ignore_errors=True)
     spark.catalog.refreshByPath(root)
+
+
+def knn_classify_merged(
+    spark: SparkSession,
+    root: str,
+    labels: DataFrame,
+    k: int = C.KNN_CLASSIFY_K,
+    seed_mod: int = C.KNN_SEED_MOD,
+) -> DataFrame:
+    """Live weak-supervision labeling over the MAINTAINED index: run the
+    shared classify tail (operators/search.classify_from_ranked) on the
+    base ∪ delta assignment — new vectors are classified the moment
+    their batch lands, and new SEEDS retroactively improve old queries'
+    votes (their list membership is already in the delta).  Equal to the
+    one-shot knn_classify over everything ingested whenever the frozen
+    centroids match the union corpus's (the init-split contract all the
+    *_merged twins share).  ``labels`` = (vec_id, label) — at scale the
+    label sidecar, never the vectors."""
+    from ..operators.search import classify_from_ranked
+
+    ranked = _old_ranked(spark, root, before_bid=1 << 62)
+    labels = labels.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return classify_from_ranked(ranked, labels, k, seed_mod, shuffle_n)

@@ -94,3 +94,43 @@ def test_two_batches_replay_and_compact(spark, tmp_path):
     assert _graph(knn_graph_merged(spark, root)) == once
     knn_compact(spark, root)  # idempotent when nothing to fold
     assert _graph(knn_graph_merged(spark, root)) == once
+
+
+def test_classify_merged_equals_one_shot(spark, tmp_path):
+    """Live weak-supervision labeling over the maintained index: the
+    merged classify must equal one-shot knn_classify over everything
+    ingested — including RETROACTIVE seed effects (streamed-in seeds
+    join old queries' candidate lists through the delta assignment)."""
+    from pdf_extraction_and_query_spark.operators.search import knn_classify
+    from pdf_extraction_and_query_spark.streaming.knn import knn_classify_merged
+
+    emb, base, (batch,) = _split(spark)
+    root = str(tmp_path / "knn")
+    knn_stream_init(base, root)
+    make_knn_batch_processor(root)(batch, 0)
+
+    labels = emb.select("vec_id", "label")
+    got = sorted(map(tuple, knn_classify_merged(spark, root, labels).collect()))
+    want = sorted(map(tuple, knn_classify(emb).collect()))
+    assert got == want and got
+
+    # the streamed batch contains seeds (vec_id % KNN_SEED_MOD == 0 among
+    # 400..499), and at least one OLD query's prediction row must differ
+    # from classify-over-base-only — the retroactive seed path is live
+    base_only = {
+        r.vec_id: (r.pred_label, r.n_votes)
+        for r in knn_classify(base).collect()
+    }
+    merged = {r.vec_id: (r.pred_label, r.n_votes) for r in got_rows(got)}
+    changed = {
+        v for v, p in merged.items() if v in base_only and base_only[v] != p
+    }
+    assert changed, "no old query's vote changed after the seed batch"
+
+
+def got_rows(rows):
+    class R:
+        def __init__(self, t):
+            self.vec_id, self.pred_label, self.n_votes = t[0], t[1], t[2]
+
+    return [R(t) for t in rows]
