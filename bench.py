@@ -61,6 +61,7 @@ _MAX_LINE = 1800
 # data/bench_full.json either way
 _TRIM_ORDER = [
     "mmr_topk",
+    "mmr_topk_multi",
     "knn_classify",
     "knn_dedup_clusters",
     "ivf_stats",
@@ -289,6 +290,7 @@ def main() -> None:
         "knn_dedup_clusters",
         "ivf_stats",
         "mmr_topk",
+        "mmr_topk_multi",
         "pq_topk",
         "pq_recall",
         "ivfpq_topk",

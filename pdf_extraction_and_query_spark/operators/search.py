@@ -886,12 +886,20 @@ def mmr_topk(
         .orderBy(F.desc("rel_e12"), F.asc("vec_id"))
         .limit(pool)
     )
-    rows = short.collect()
     cand = {
         int(r["vec_id"]): (np.asarray(r["ev"], dtype=np.int64), int(r["rel_e12"]))
-        for r in rows
+        for r in short.collect()
     }
-    picked: list[tuple[int, int, int, int, int]] = []  # rank, id, rel, maxsim, score
+    return spark.createDataFrame(_mmr_greedy(cand, k), _MMR_SCHEMA)
+
+
+def _mmr_greedy(
+    cand: dict[int, tuple["np.ndarray", int]], k: int
+) -> list[tuple[int, int, int, int, int]]:
+    """The sequential MMR recurrence over one collected shortlist —
+    shared by the single-query and batch forms.  Returns
+    (rank, vec_id, rel_e12, max_sim_e12, mmr_score) tuples."""
+    picked: list[tuple[int, int, int, int, int]] = []
     sel_vecs: list[np.ndarray] = []
     for rank in range(1, min(k, len(cand)) + 1):
         best = None
@@ -901,22 +909,60 @@ def mmr_topk(
             score = C.MMR_LAMBDA_NUM * rel - C.MMR_LAMBDA_COMP * ms
             if best is None or score > best[4]:
                 best = (rank, vid, rel, ms, score)
-        picked.append(best)
+        picked.append(tuple(int(x) for x in best))
         sel_vecs.append(cand.pop(best[1])[0])
-    from pyspark.sql.types import LongType, StructField, StructType
+    return picked
 
-    schema = StructType(
-        [
-            StructField("rank", LongType(), False),
-            StructField("vec_id", LongType(), False),
-            StructField("rel_e12", LongType(), False),
-            StructField("max_sim_e12", LongType(), False),
-            StructField("mmr_score", LongType(), False),
-        ]
+
+_MMR_SCHEMA = (
+    "rank long, vec_id long, rel_e12 long, max_sim_e12 long, mmr_score long"
+)
+
+
+def mmr_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.MMR_K,
+    pool: int = C.MMR_POOL,
+) -> DataFrame:
+    """Batch MMR: diversified top-k for the first ``n_queries`` query
+    vectors in one pass.  The distributed half is ONE broadcast
+    query-set scoring pass + a single q_id row_number window (the
+    vector_topk_multi shape) keeping each query's top-``pool``; the
+    greedy runs per query over the collected shortlists
+    (n_queries x pool rows of dim-64 ints — metadata-sized).  Selection
+    sequences are bit-identical to running :func:`mmr_topk` per query
+    (tests pin it), and the DuckDB twin unrolls the recurrence with a
+    per-q_id QUALIFY argmax per round."""
+    spark = embeddings.sparkSession
+    qs = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
     )
-    return spark.createDataFrame(
-        [tuple(int(x) for x in p) for p in picked], schema
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
     )
+    scored = cand.join(F.broadcast(qs)).select(
+        "q_id", "vec_id", "ev", _dot_vec(F.col("ev"), F.col("qv")).alias("rel_e12")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel_e12"), F.asc("vec_id"))
+    rows = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= pool)
+        .collect()
+    )
+    pools: dict[int, dict[int, tuple[np.ndarray, int]]] = {}
+    for r in rows:
+        pools.setdefault(int(r["q_id"]), {})[int(r["vec_id"])] = (
+            np.asarray(r["ev"], dtype=np.int64),
+            int(r["rel_e12"]),
+        )
+    out = [
+        (q,) + pick
+        for q in sorted(pools)
+        for pick in _mmr_greedy(pools[q], k)
+    ]
+    return spark.createDataFrame(out, "q_id long, " + _MMR_SCHEMA)
 
 
 def knn_classify(

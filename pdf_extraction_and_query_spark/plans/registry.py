@@ -694,6 +694,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
     "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
+    "mmr_topk_multi": lambda s, d: S.mmr_topk_multi(_emb(s, d)),
     "knn_classify": lambda s, d: S.knn_classify(_emb(s, d)),
     "knn_classify_accuracy": lambda s, d: S.knn_classify_accuracy(_emb(s, d)),
     "mutual_knn_pairs": lambda s, d: S.mutual_knn_pairs(_emb(s, d)),
@@ -4041,3 +4042,69 @@ SELECT cast(cent_id as bigint) AS cent_id, n_vectors,
        cast(n_vectors * 1000000 // total as bigint) AS share_micro,
        cast(n_vectors * n_lists * 1000000 // total as bigint) AS load_micro
 FROM sizes, tot"""
+
+# --- batch MMR (operators/search.py mmr_topk_multi): the single-query
+# unrolled recurrence generalized with a per-q_id QUALIFY argmax per
+# round; selection sequences == mmr_topk run per query.
+def _mmr_multi_sql() -> str:
+    dot_se = (
+        f"cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+        f"i -> po.ev[i] * se.ev[i])) as bigint)"
+    )
+    parts = [
+        f"""WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+qs AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+       WHERE vec_id < {C.MULTI_QUERY_N}),
+scored AS (
+  SELECT qs.q_id, c.vec_id, c.ev,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * qv[i])) as bigint) AS rel
+  FROM c, qs),
+pool AS (
+  SELECT q_id, vec_id, ev, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {C.MMR_POOL}),
+p1 AS (
+  SELECT q_id, cast(1 as bigint) AS rank, vec_id, ev, rel,
+         cast(0 as bigint) AS ms,
+         cast({C.MMR_LAMBDA_NUM} as bigint) * rel AS score
+  FROM pool
+  QUALIFY row_number() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, vec_id) = 1)"""
+    ]
+    for k in range(2, C.MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT q_id, vec_id, ev FROM p{i}" for i in range(1, k)
+        )
+        parts.append(
+            f"""p{k} AS (
+  SELECT po.q_id, cast({k} as bigint) AS rank, po.vec_id, po.ev, po.rel,
+         m.ms,
+         cast({C.MMR_LAMBDA_NUM} as bigint) * po.rel
+           - cast({C.MMR_LAMBDA_COMP} as bigint) * m.ms AS score
+  FROM pool po
+  JOIN (SELECT po.q_id, po.vec_id, max({dot_se}) AS ms
+        FROM pool po JOIN ({sel}) se ON se.q_id = po.q_id
+        GROUP BY po.q_id, po.vec_id) m
+    ON m.q_id = po.q_id AND m.vec_id = po.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM ({sel}) s
+                    WHERE s.q_id = po.q_id AND s.vec_id = po.vec_id)
+  QUALIFY row_number() OVER (PARTITION BY po.q_id
+                             ORDER BY score DESC, po.vec_id) = 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT q_id, rank, vec_id, rel, ms, score FROM p{i}"
+        for i in range(1, C.MMR_K + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT cast(q_id as bigint) AS q_id, rank,
+       cast(vec_id as bigint) AS vec_id, rel AS rel_e12,
+       ms AS max_sim_e12, score AS mmr_score
+FROM ({final})"""
+    )
+
+
+ORACLE_SQL["mmr_topk_multi"] = _mmr_multi_sql()

@@ -295,3 +295,25 @@ def test_knn_grouped_kernel_equals_rowwise_twin(spark):
     got = sorted(map(tuple, knn_join(emb).collect()))
     want = sorted(map(tuple, _knn_join_rowwise(emb).collect()))
     assert got == want and got
+
+
+def test_mmr_multi_equals_per_query_runs(spark):
+    """Batch MMR == mmr_topk run independently per query, every query."""
+    from pdf_extraction_and_query_spark.operators.search import mmr_topk_multi
+
+    emb = _emb(spark)
+    got = {
+        (int(r.q_id), int(r["rank"])): (
+            int(r.vec_id), int(r.rel_e12), int(r.max_sim_e12), int(r.mmr_score)
+        )
+        for r in mmr_topk_multi(emb).collect()
+    }
+    for q in range(C.MULTI_QUERY_N):
+        single = mmr_topk(emb, query_vec_id=q).collect()
+        assert len(single) == C.MMR_K
+        for r in single:
+            assert got[(q, int(r["rank"]))] == (
+                int(r.vec_id), int(r.rel_e12), int(r.max_sim_e12),
+                int(r.mmr_score),
+            )
+    assert len(got) == C.MULTI_QUERY_N * C.MMR_K
