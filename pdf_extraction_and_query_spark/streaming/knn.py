@@ -109,7 +109,7 @@ def knn_stream_init(
     """Freeze centroids, persist the ranked assignment, and seed the edge
     base with the init corpus's own kNN graph."""
     cents = _centroids(embeddings, n_centroids)
-    cents.write.mode("overwrite").parquet(f"{root}/_centroids")
+    tables.replace_table(cents, f"{root}/_centroids")
     cand = embeddings.select(
         "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
     )
@@ -141,7 +141,7 @@ def make_knn_batch_processor(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bid = int(batch_id)
-        cents = spark.read.parquet(f"{root}/_centroids")
+        cents = tables.read_table(spark, f"{root}/_centroids")
         cand = batch_df.select(
             "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
         )
