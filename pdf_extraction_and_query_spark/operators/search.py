@@ -1125,3 +1125,58 @@ def ivf_stats(
             ),
         )
     )
+
+
+def knn_brute(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
+    """Exact all-kNN ground truth: every (a, b) pair scored, per-query
+    top-k — O(n^2) dots, the small-scale YARDSTICK for
+    :func:`knn_recall` (the ngram_jaccard-brute precedent; at corpus
+    scale the blocked :func:`knn_join` is the operator, this is the
+    evaluation denominator run on a sample)."""
+    c = embeddings.select("vec_id", fixed_point_vec(F.col("embedding")).alias("ev"))
+    a = c.select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"))
+    pairs = a.join(c, a.q_id != c.vec_id).select(
+        "q_id",
+        F.col("vec_id").alias("nb_id"),
+        _dot_vec(F.col("qv"), F.col("ev")).alias("dot_e12"),
+    )
+    return _knn_rank(pairs, k)
+
+
+def knn_recall(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
+    """Graph-quality rollup for the IVF-blocked kNN join: ONE row —
+    edge recall of :func:`knn_join` against the exact :func:`knn_brute`
+    graph, plus rank-1 (nearest-neighbor) recall, both fixed-point.
+    The evaluation an owner runs before trusting the blocked graph for
+    dedup or retrieval (the ivf_recall/pq_recall precedent, aimed at the
+    all-pairs operator)."""
+    approx = knn_join(embeddings, k).localCheckpoint()
+    brute = knn_brute(embeddings, k).localCheckpoint()
+    hits = brute.join(
+        approx.select("q_id", "nb_id"), ["q_id", "nb_id"], "left_semi"
+    )
+    hits1 = brute.where(F.col("rank") == 1).join(
+        approx.where(F.col("rank") == 1).select("q_id", "nb_id"),
+        ["q_id", "nb_id"],
+        "left_semi",
+    )
+    return (
+        brute.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(hits1.agg(F.count(F.lit(1)).alias("n_hits_rank1")))
+        .crossJoin(
+            brute.select("q_id").distinct().agg(
+                F.count(F.lit(1)).alias("n_queries")
+            )
+        )
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("n_hits * 1000000L DIV n_truth").alias("recall_micro"),
+            F.col("n_hits_rank1").cast("long").alias("n_hits_rank1"),
+            F.expr("n_hits_rank1 * 1000000L DIV n_queries").alias(
+                "recall1_micro"
+            ),
+        )
+    )

@@ -700,6 +700,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_knn_pairs": lambda s, d: S.mutual_knn_pairs(_emb(s, d)),
     "knn_dedup_clusters": lambda s, d: D.knn_dedup_clusters(_emb(s, d)),
     "ivf_stats": lambda s, d: S.ivf_stats(_emb(s, d)),
+    "knn_recall": lambda s, d: S.knn_recall(_emb(s, d)),
     "vector_topk_filtered": lambda s, d: S.vector_topk_filtered(_emb(s, d), _docs(s, d)),
     # --- product quantization (IVFADC building block, SQL-verified) ---
     "pq_codes": lambda s, d: PQ.pq_codes(_emb(s, d)),
@@ -4108,3 +4109,33 @@ FROM ({final})"""
 
 
 ORACLE_SQL["mmr_topk_multi"] = _mmr_multi_sql()
+
+# --- kNN graph recall (operators/search.py knn_recall): one row — edge
+# recall of the IVF-blocked graph vs the exact O(n^2) ground truth,
+# plus rank-1 recall.  The brute CTE is the yardstick twin (the
+# ngram_jaccard-brute precedent).
+ORACLE_SQL["knn_recall"] = _knn_ctes(C.KNN_K) + f""",
+call AS (SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+                cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                     i -> a.ev[i] * b.ev[i])) as bigint) AS dot_e12
+         FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+bg AS (
+  SELECT q_id, nb_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY dot_e12 DESC, nb_id) AS rank
+    FROM call)
+  WHERE rank <= {C.KNN_K}),
+hits AS (SELECT bg.q_id, bg.nb_id FROM bg JOIN g
+         ON g.q_id = bg.q_id AND g.nb_id = bg.nb_id),
+h1 AS (SELECT bg.q_id FROM bg JOIN g
+       ON g.q_id = bg.q_id AND g.nb_id = bg.nb_id
+       WHERE bg.rank = 1 AND g.rank = 1)
+SELECT cast((SELECT count(distinct q_id) FROM bg) as bigint) AS n_queries,
+       cast((SELECT count(*) FROM bg) as bigint) AS n_truth,
+       cast((SELECT count(*) FROM hits) as bigint) AS n_hits,
+       cast((SELECT count(*) FROM hits) * 1000000
+            // (SELECT count(*) FROM bg) as bigint) AS recall_micro,
+       cast((SELECT count(*) FROM h1) as bigint) AS n_hits_rank1,
+       cast((SELECT count(*) FROM h1) * 1000000
+            // (SELECT count(distinct q_id) FROM bg) as bigint)
+         AS recall1_micro"""
