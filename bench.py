@@ -65,7 +65,6 @@ _TRIM_ORDER = [
     "knn_classify",
     "knn_dedup_clusters",
     "ivf_stats",
-    "knn_recall",
     "cluster_topics",
     "fts_phrase_topk",
     "tfidf_topk_terms",
@@ -290,7 +289,6 @@ def main() -> None:
         "knn_classify",
         "knn_dedup_clusters",
         "ivf_stats",
-        "knn_recall",
         "mmr_topk",
         "mmr_topk_multi",
         "pq_topk",

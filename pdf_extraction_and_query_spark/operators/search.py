@@ -1120,6 +1120,9 @@ def ivf_stats(
             F.col("cent_id").cast("long").alias("cent_id"),
             "n_vectors",
             F.expr("n_vectors * 1000000L DIV total").alias("share_micro"),
+            # int64 bound: n_vectors * n_lists ~ total, so the product is
+            # ~ total * 1e6 — exact while the indexed corpus stays under
+            # ~9e12 vectors; past that, compute load from share_micro
             F.expr("n_vectors * n_lists * 1000000L DIV total").alias(
                 "load_micro"
             ),
