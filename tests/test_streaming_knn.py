@@ -134,3 +134,19 @@ def got_rows(rows):
             self.vec_id, self.pred_label, self.n_votes = t[0], t[1], t[2]
 
     return [R(t) for t in rows]
+
+
+def test_compact_between_batches_then_more_batches(spark, tmp_path):
+    """The legal compact schedule: fold at a committed boundary, keep
+    streaming.  Edges folded to k rows/query must still merge exactly
+    with later batches' deltas (top-k-over-unions soundness after a
+    fold)."""
+    emb, base, batches = _split(spark, cuts=(350, 425))
+    root = str(tmp_path / "knn")
+    knn_stream_init(base, root)
+    proc = make_knn_batch_processor(root)
+    proc(batches[0], 0)
+    knn_compact(spark, root)          # boundary fold mid-stream
+    proc(batches[1], 1)
+    got = _graph(knn_graph_merged(spark, root))
+    assert got == _graph(knn_join(emb)) and got
