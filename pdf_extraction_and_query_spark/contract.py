@@ -584,3 +584,51 @@ ANCHOR_QUERIES: dict[int, tuple[str, ...]] = {
     2: ("table", "scan", "fast"),
     3: ("accept", "nosuchanchor"),
 }
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (operators/eventflow.py + the HDR sketch in
+# operators/sketches.py).  The events table carries IEEE-double `value`
+# and microsecond timestamps; nothing in this family ever sums doubles —
+# * timestamps are exact epoch MICROSECONDS (Spark unix_micros == DuckDB
+#   epoch_us; the events_rollup oracle already pins second-level epoch
+#   agreement, micros is the same internal value),
+# * `value` is exact 2-decimal in the fixture, so round(value*100) is an
+#   exact int64 fixed-point (EVT_VALUE_E2; the fixture property is
+#   asserted in tests/test_eventflow.py),
+# * orderings use the (ts_us, event_id) total order encoded as the
+#   fixed-width sortable string key EVT_KEY_FMT — byte-wise string
+#   comparison and min() are engine-neutral, struct min is not.  Widths
+#   are sized for any non-negative int64 (20 digits).
+EVT_KEY_FMT = "%020d-%020d"
+# as-of join (eventflow.asof_join_events): each ASOF_LEFT event picks up
+# the latest STRICTLY-earlier ASOF_RIGHT event of the same user (ties on
+# right ts broken by max event_id; a right event at exactly the left ts
+# does NOT match — DuckDB `ASOF LEFT JOIN ... ON r.ts < l.ts` semantics).
+ASOF_LEFT = "purchase"
+ASOF_RIGHT = "click"
+# conversion funnel (eventflow.event_funnel): ordered step chain; step k
+# must be STRICTLY after the user's chosen step k-1 event in the
+# (ts_us, event_id) order, each step choosing its EARLIEST admissible
+# event; completion = reaching the last step within FUNNEL_HORIZON_US of
+# step 1.
+FUNNEL_STEPS: tuple[str, ...] = ("signup", "click", "purchase")
+FUNNEL_HORIZON_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+# retention cohorts (eventflow.retention_cohorts): epoch-aligned weeks
+# (week = floor(epoch_seconds / 604800)); cohort = week of the user's
+# first event; ages tracked up to RETENTION_MAX_WEEKS.
+WEEK_S = 7 * 24 * 3600
+RETENTION_MAX_WEEKS = 8
+# HDR-style log-bucketed quantile sketch (sketches.hdr_sketch; the
+# HdrHistogram public design): for fixed-point v >= 0 with
+# S = HDR_SUB_BITS,  e = max(0, bitlength(v) - S),  m = v >> e,
+# bucket = e * 2^S + m  (monotone nondecreasing in v),
+# lower bound lb = m << e.  Relative quantile error <= 2^-(S-1) ~ 3.1%.
+# Merge of two sketches = per-(key, bucket) count SUM (associative) —
+# partitions sketch independently at 10^12 rows and only ~e_max * 2^S
+# summary rows per key ever move.  Quantile readout: rank r_p =
+# ceil(p * n / 100), estimate = lb of the first bucket whose cumulative
+# count reaches r_p; the exact audit value is computed BY COUNTING over
+# the distinct-value frame (the short_outliers precedent), never by
+# sorting raw rows.
+HDR_SUB_BITS = 6
+HDR_PCTS: tuple[int, ...] = (50, 90, 99)

@@ -1,0 +1,233 @@
+"""Event-stream analytics over the events table — the operational twin of
+the corpus operators: as-of join, ordered conversion funnel, and weekly
+retention cohorts.  These are the operators Spark has no built-in for
+(as-of join, windowFunnel) re-expressed as window/aggregate compositions,
+the task brief's "composition of existing DataFrame ops" tier.
+
+Reference parity: the reference's analytics surface is batch aggregates
+over evaluation runs (scripts/analyze_results.py:40-60); this family is
+the extension surface the brief asks for beyond it (event-time analytics a
+training-data platform runs over its ingestion/usage telemetry).
+
+Determinism contract (contract.py EVT_*, FUNNEL_*, RETENTION_*): no
+double ever aggregates — timestamps are exact epoch microseconds, every
+ordering is the (ts_us, event_id) total order encoded as the fixed-width
+sortable string key EVT_KEY_FMT (byte-wise min/compare is engine-neutral;
+struct min is not portable to the DuckDB oracle).
+
+Scale notes (100 TB design):
+  * asof_join_events: ONE exchange on user_id; the window state is O(1)
+    per row (last-seen right summary), never a per-user buffer.  The
+    event_type filter pushes to the scan.
+  * event_funnel: the three chained "earliest admissible step" minima are
+    unbounded windows over the SAME user_id partitioning — one exchange,
+    three pipelined Window operators, and the final per-user collapse
+    reuses the partitioning (no second exchange).  The join-per-step
+    alternative (the oracle's formulation) would re-shuffle the event
+    stream once per step.
+  * retention_cohorts: cohort week is a window min over the same single
+    user_id exchange; the (user, week) collapse reuses the partitioning;
+    only the (cohort, age) summary frame (users x weeks upper bound,
+    heavily collapsed) crosses the second exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import contract as C
+
+
+def _evt_key(ts_us: Column, event_id: Column) -> Column:
+    """The (ts_us, event_id) total order as a fixed-width sortable string
+    (contract EVT_KEY_FMT)."""
+    return F.format_string(C.EVT_KEY_FMT, ts_us, event_id)
+
+
+def _evt_base(events: DataFrame, types: tuple[str, ...]) -> DataFrame:
+    """(user_id, event_type, event_id, ts_us, k) for the given types —
+    the narrow pushed-down projection every operator here starts from."""
+    # the fixture ts is TIMESTAMP_NTZ: unix_micros() rejects it and a cast
+    # to TIMESTAMP would inject the session timezone — wall-clock diff from
+    # the epoch is tz-independent and equals DuckDB epoch_us exactly
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    return events.where(F.col("event_type").isin(*types)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        ts_us.alias("ts_us"),
+        _evt_key(ts_us, F.col("event_id")).alias("k"),
+    )
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = C.ASOF_LEFT,
+    right_type: str = C.ASOF_RIGHT,
+) -> DataFrame:
+    """As-of join: each ``left_type`` event matched to the latest
+    STRICTLY-earlier ``right_type`` event of the same user (DuckDB
+    ``ASOF LEFT JOIN ... ON r.ts_us < l.ts_us`` semantics; ties on right
+    ts broken by max event_id — contract.py).
+
+    Shape: instead of a range join (quadratic in collisions) the two
+    streams stay ONE stream: a single user_id window ordered so that at
+    equal ts every left row sorts BEFORE every right row, with frame
+    ``rowsBetween(unboundedPreceding, -1)`` — so a right event at exactly
+    the left ts is outside the frame (strict <), and ``last(right_summary,
+    ignorenulls)`` is the as-of match.  One exchange; O(1) window state.
+    """
+    ev = _evt_base(events, (left_type, right_type))
+    # left rows order before right rows at equal ts -> strict-< frame
+    type_rank = F.when(F.col("event_type") == left_type, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", type_rank, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    right_summary = F.when(
+        F.col("event_type") == right_type,
+        F.struct(
+            F.col("ts_us").alias("r_ts_us"),
+            F.col("event_id").alias("r_event_id"),
+        ),
+    )
+    j = ev.withColumn("r", F.last(right_summary, ignorenulls=True).over(w))
+    return j.where(F.col("event_type") == left_type).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("r.r_event_id").cast("long").alias("match_event_id"),
+        F.col("r.r_ts_us").cast("long").alias("match_ts_us"),
+        (F.col("ts_us") - F.col("r.r_ts_us")).cast("long").alias("lag_us"),
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = C.FUNNEL_STEPS,
+    horizon_us: int = C.FUNNEL_HORIZON_US,
+) -> DataFrame:
+    """Ordered conversion funnel (ClickHouse windowFunnel analog): per
+    user, step k is the EARLIEST ``steps[k]`` event strictly after the
+    chosen step k-1 event in the (ts_us, event_id) order; ``completed``
+    iff the last step lands within ``horizon_us`` of step 1.  Users with
+    no step-1 event emit no row.
+
+    One exchange on user_id; the chained minima are pipelined unbounded
+    windows over that partitioning (module docstring).
+    """
+    ev = _evt_base(events, steps)
+    w = Window.partitionBy("user_id")
+    cur = ev
+    prev_k = None
+    for i, step in enumerate(steps):
+        admissible = F.col("event_type") == step
+        if prev_k is not None:
+            admissible = admissible & (F.col("k") > F.col(prev_k))
+        cur = cur.withColumn(
+            f"k{i + 1}", F.min(F.when(admissible, F.col("k"))).over(w)
+        )
+        prev_k = f"k{i + 1}"
+    ks = [f"k{i + 1}" for i in range(len(steps))]
+    per_user = (
+        cur.groupBy("user_id")
+        .agg(*[F.min(k).alias(k) for k in ks])
+        .where(F.col("k1").isNotNull())
+    )
+    ts_cols = [
+        F.substring(F.col(k), 1, 20).cast("long").alias(f"t{i + 1}_us")
+        for i, k in enumerate(ks)
+    ]
+    level = sum(
+        (F.col(k).isNotNull().cast("long") for k in ks),
+        F.lit(0).cast("long"),
+    )
+    last_t = F.substring(F.col(ks[-1]), 1, 20).cast("long")
+    first_t = F.substring(F.col(ks[0]), 1, 20).cast("long")
+    completed = (
+        F.col(ks[-1]).isNotNull() & ((last_t - first_t) <= F.lit(horizon_us))
+    ).cast("long")
+    return per_user.select(
+        "user_id",
+        *ts_cols,
+        level.alias("level"),
+        completed.alias("completed"),
+    )
+
+
+def funnel_report(events: DataFrame) -> DataFrame:
+    """ONE row: users entering each funnel step, completions within the
+    horizon, and fixed-point step conversions — the dashboard read over
+    :func:`event_funnel`'s per-user frame (which is already a per-user
+    summary; this is a tiny second aggregate)."""
+    f = event_funnel(events)
+    n = len(C.FUNNEL_STEPS)
+    aggs = [
+        F.sum((F.col("level") >= i + 1).cast("long")).alias(f"n_step{i + 1}")
+        for i in range(n)
+    ] + [F.sum("completed").cast("long").alias("n_completed")]
+    rep = f.agg(*aggs)
+    convs = [
+        F.expr(
+            f"(1000000 * n_step{i + 1}) div greatest(n_step{i}, 1)"
+        ).alias(f"conv{i}_{i + 1}_e6")
+        for i in range(1, n)
+    ]
+    completion = F.expr(
+        f"(1000000 * n_completed) div greatest(n_step1, 1)"
+    ).alias("completion_e6")
+    return rep.select(
+        *[F.col(f"n_step{i + 1}").cast("long") for i in range(n)],
+        F.col("n_completed").cast("long"),
+        *convs,
+        completion,
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, max_weeks: int = C.RETENTION_MAX_WEEKS
+) -> DataFrame:
+    """Weekly retention matrix: cohort = epoch-aligned week of the user's
+    first event; one row per (cohort_week, age_weeks) with the number of
+    cohort users active at that age and the fixed-point retained ratio
+    (age 0 is the cohort size by construction — a user's first event is
+    in the cohort week).
+
+    One exchange on user_id (cohort window + (user, week) collapse share
+    it); the (cohort, age) rollup and the cohort-size window run over the
+    collapsed summary frame only.
+    """
+    week = F.floor(F.unix_timestamp("ts") / C.WEEK_S).cast("long")
+    ev = events.select(F.col("user_id").cast("long").alias("user_id"), week.alias("week"))
+    w = Window.partitionBy("user_id")
+    with_cohort = ev.withColumn("cohort_week", F.min("week").over(w))
+    active = (
+        with_cohort.groupBy("user_id", "cohort_week", "week")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("age_weeks", (F.col("week") - F.col("cohort_week")).cast("long"))
+        .where(F.col("age_weeks") <= max_weeks)
+    )
+    mat = active.groupBy("cohort_week", "age_weeks").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return mat.withColumn(
+        "n_cohort",
+        F.max(F.when(F.col("age_weeks") == 0, F.col("n_active")))
+        .over(wc)
+        .cast("long"),
+    ).select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        "n_cohort",
+        F.expr("(1000000 * n_active) div greatest(n_cohort, 1)")
+        .cast("long")
+        .alias("retained_e6"),
+    )

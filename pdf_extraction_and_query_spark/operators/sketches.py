@@ -402,3 +402,136 @@ def bloom_contamination(docs: DataFrame) -> DataFrame:
             (F.col("n_bloom_hits") - F.col("n_exact_hits")).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-bucketed quantile sketch (the HdrHistogram public design):
+# the mergeable quantile summary for latency/value distributions.  Bucket
+# arithmetic is pure int64 (contract.HDR_SUB_BITS; see contract.py for the
+# (e, m) derivation and the error bound), merge = per-(key, bucket) count
+# sum, and the quantile readout plus its EXACT audit both run over
+# summary-sized frames (distinct buckets / distinct values), never a raw
+# sort.
+
+
+def _value_e2(v) -> F.Column:
+    """Fixed-point e2 of the events `value` double — exact for the
+    2-decimal fixture (asserted in tests/test_eventflow.py)."""
+    return F.round(v * 100).cast("long")
+
+
+def hdr_sketch(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, bucket, lb, cnt): the per-key log-bucket histogram over the
+    fixed-point value — ONE map-side-combined hash aggregation; the
+    result is ~(e_max * 2^HDR_SUB_BITS) rows per key."""
+    base = events.select(
+        F.col(key).alias("key"), _value_e2(F.col("value")).alias("_hdr_n")
+    ).withColumn(
+        "_hdr_e",
+        F.greatest(
+            F.length(F.conv(F.col("_hdr_n"), 10, 2)).cast("int")
+            - F.lit(C.HDR_SUB_BITS),
+            F.lit(0),
+        ),
+    )
+    s = C.HDR_SUB_BITS
+    coords = base.select(
+        "key",
+        (
+            F.col("_hdr_e").cast("long") * (1 << s)
+            + F.expr("shiftright(_hdr_n, _hdr_e)")
+        ).alias("bucket"),
+        F.expr("shiftleft(shiftright(_hdr_n, _hdr_e), _hdr_e)")
+        .cast("long")
+        .alias("lb"),
+    )
+    return coords.groupBy("key", "bucket").agg(
+        F.max("lb").cast("long").alias("lb"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-(key, bucket) count sum — the distributed-combine operation
+    (lb is a function of bucket, so max == either side's value)."""
+    return (
+        a.unionByName(b)
+        .groupBy("key", "bucket")
+        .agg(
+            F.max("lb").cast("long").alias("lb"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def hdr_quantiles(events: DataFrame) -> DataFrame:
+    """Per event_type value quantiles: for each pct in contract.HDR_PCTS
+    the sketch ESTIMATE (lower bound of the first bucket whose cumulative
+    count reaches rank ceil(pct*n/100)) next to the EXACT value at that
+    rank (computed by counting over the distinct-value frame — the
+    short_outliers precedent) and the signed fixed-point relative error.
+    Self-auditing one-row-per-key report, the ivf_recall/hll_vocab shape.
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col("event_type").alias("key"),
+        _value_e2(F.col("value")).alias("v"),
+    )
+    # sketch side: cumulative counts over bucket order (summary frame)
+    sk = hdr_sketch(events)
+    wk = Window.partitionBy("key")
+    wb = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    skc = sk.select(
+        "key",
+        "lb",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wk).alias("n"),
+    )
+    # exact side: cumulative counts over the distinct-value frame
+    vc = base.groupBy("key", "v").agg(F.count("*").alias("cnt"))
+    wv = wk.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcc = vc.select(
+        "key",
+        "v",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wk).alias("n"),
+    )
+
+    def _rank(p: int) -> str:
+        return f"(({p} * n) + 99) div 100"
+
+    est_aggs = [
+        F.min(F.when(F.expr(f"cum >= {_rank(p)}"), F.col("lb")))
+        .cast("long")
+        .alias(f"est{p}_e2")
+        for p in C.HDR_PCTS
+    ]
+    exact_aggs = [
+        F.min(F.when(F.expr(f"cum >= {_rank(p)}"), F.col("v")))
+        .cast("long")
+        .alias(f"exact{p}_e2")
+        for p in C.HDR_PCTS
+    ]
+    est = skc.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"), *est_aggs
+    )
+    exact = vcc.groupBy("key").agg(*exact_aggs)
+    errs = [
+        F.expr(
+            f"(1000000 * (est{p}_e2 - exact{p}_e2)) div greatest(exact{p}_e2, 1)"
+        )
+        .cast("long")
+        .alias(f"err{p}_e6")
+        for p in C.HDR_PCTS
+    ]
+    return (
+        est.join(exact, "key")
+        .select(
+            F.col("key").alias("event_type"),
+            "n",
+            *[F.col(f"est{p}_e2") for p in C.HDR_PCTS],
+            *[F.col(f"exact{p}_e2") for p in C.HDR_PCTS],
+            *errs,
+        )
+    )

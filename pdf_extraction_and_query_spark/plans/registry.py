@@ -25,6 +25,7 @@ from ..operators import bpe as BP
 from ..operators import classifier as CL
 from ..operators import dedup as D
 from ..operators import dsir as DS
+from ..operators import eventflow as EV
 from ..operators import fulltext as FT
 from ..operators import gopher as GO
 from ..operators import graphrank as GR
@@ -778,6 +779,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_hits": _link_hits,
     "crawl_frontier": _crawl_frontier,
     "frontier_schedule": lambda s, d: GR.frontier_schedule(_crawl_frontier(s, d)),
+    # event-stream analytics (operators/eventflow.py): as-of join,
+    # ordered funnel, retention cohorts — plus the HDR quantile sketch
+    "events_asof": lambda s, d: EV.asof_join_events(_events(s, d)),
+    "event_funnel": lambda s, d: EV.event_funnel(_events(s, d)),
+    "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
+    "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
+    "value_quantiles": lambda s, d: SK.hdr_quantiles(_events(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -4139,3 +4147,129 @@ SELECT cast((SELECT count(distinct q_id) FROM bg) as bigint) AS n_queries,
        cast((SELECT count(*) FROM h1) * 1000000
             // (SELECT count(distinct q_id) FROM bg) as bigint)
          AS recall1_micro"""
+
+
+# --- event-stream analytics (operators/eventflow.py).  The as-of oracle
+# is DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent algorithm
+# from the Spark window formulation; the strict-< semantics coincide with
+# the contract tie rule because the fixture has no per-user right-type ts
+# ties (asserted in tests/test_eventflow.py).  The funnel oracle uses the
+# join-per-step formulation (independent of Spark's chained windows).
+_EVT_E = f"""
+e AS (SELECT cast(user_id as bigint) AS user_id, event_type,
+             cast(event_id as bigint) AS event_id,
+             epoch_us(ts) AS ts_us,
+             printf('{C.EVT_KEY_FMT.replace("%", "%")}', epoch_us(ts),
+                    cast(event_id as bigint)) AS k
+      FROM events)
+"""
+
+ORACLE_SQL["events_asof"] = f"""
+WITH {_EVT_E},
+l AS (SELECT event_id, user_id, ts_us FROM e
+      WHERE event_type = '{C.ASOF_LEFT}'),
+r AS (SELECT event_id, user_id, ts_us FROM e
+      WHERE event_type = '{C.ASOF_RIGHT}')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS match_event_id, r.ts_us AS match_ts_us,
+       l.ts_us - r.ts_us AS lag_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts_us < l.ts_us"""
+
+_FUNNEL_CTES = f"""
+WITH {_EVT_E},
+s1 AS (SELECT user_id, min(k) AS k1 FROM e
+       WHERE event_type = '{C.FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(k) AS k2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = '{C.FUNNEL_STEPS[1]}' AND k > k1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(k) AS k3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = '{C.FUNNEL_STEPS[2]}' AND k > k2 GROUP BY 1),
+f AS (
+  SELECT s1.user_id,
+         cast(substr(k1, 1, 20) as bigint) AS t1_us,
+         cast(substr(k2, 1, 20) as bigint) AS t2_us,
+         cast(substr(k3, 1, 20) as bigint) AS t3_us,
+         cast(cast(k1 IS NOT NULL as int) + cast(k2 IS NOT NULL as int)
+              + cast(k3 IS NOT NULL as int) as bigint) AS level,
+         cast(CASE WHEN k3 IS NOT NULL
+                    AND cast(substr(k3, 1, 20) as bigint)
+                        - cast(substr(k1, 1, 20) as bigint)
+                        <= {C.FUNNEL_HORIZON_US}
+                   THEN 1 ELSE 0 END as bigint) AS completed
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id)
+"""
+
+ORACLE_SQL["event_funnel"] = _FUNNEL_CTES + "SELECT * FROM f"
+
+ORACLE_SQL["funnel_report"] = _FUNNEL_CTES + f""",
+agg AS (SELECT
+  cast(count(*) FILTER (level >= 1) as bigint) AS n_step1,
+  cast(count(*) FILTER (level >= 2) as bigint) AS n_step2,
+  cast(count(*) FILTER (level >= 3) as bigint) AS n_step3,
+  cast(coalesce(sum(completed), 0) as bigint) AS n_completed
+  FROM f)
+SELECT n_step1, n_step2, n_step3, n_completed,
+       cast(1000000 * n_step2 // greatest(n_step1, 1) as bigint) AS conv1_2_e6,
+       cast(1000000 * n_step3 // greatest(n_step2, 1) as bigint) AS conv2_3_e6,
+       cast(1000000 * n_completed // greatest(n_step1, 1) as bigint)
+         AS completion_e6
+FROM agg"""
+
+ORACLE_SQL["retention_cohorts"] = f"""
+WITH ev AS (SELECT cast(user_id as bigint) AS user_id,
+                   cast(floor(floor(epoch(ts)) / {C.WEEK_S}) as bigint) AS week
+            FROM events),
+u AS (SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort_week FROM ev),
+a AS (SELECT DISTINCT user_id, cohort_week, week FROM u),
+m AS (SELECT cohort_week, week - cohort_week AS age_weeks,
+             cast(count(*) as bigint) AS n_active
+      FROM a WHERE week - cohort_week <= {C.RETENTION_MAX_WEEKS}
+      GROUP BY 1, 2),
+w AS (SELECT cohort_week, age_weeks, n_active,
+             cast(max(CASE WHEN age_weeks = 0 THEN n_active END)
+                  OVER (PARTITION BY cohort_week) as bigint) AS n_cohort
+      FROM m)
+SELECT cohort_week, age_weeks, n_active, n_cohort,
+       cast(1000000 * n_active // greatest(n_cohort, 1) as bigint)
+         AS retained_e6
+FROM w"""
+
+# --- HDR-style quantile sketch (operators/sketches.hdr_quantiles) —
+# the oracle replays the exact bucket arithmetic (contract.HDR_SUB_BITS)
+# over DuckDB's bin()/shift operators; all counts/ranks exact int64.
+_HDR_S = C.HDR_SUB_BITS
+_HDR_RANKS = {p: f"(({p} * n) + 99) // 100" for p in C.HDR_PCTS}
+
+ORACLE_SQL["value_quantiles"] = f"""
+WITH b AS (SELECT event_type AS key,
+                  cast(round(value * 100) as bigint) AS v FROM events),
+c AS (SELECT key, v,
+             greatest(length(bin(v)) - {_HDR_S}, 0) AS e FROM b),
+sk AS (SELECT key, e * {1 << _HDR_S} + (v >> e) AS bucket,
+              cast(((v >> e) << e) as bigint) AS lb,
+              cast(count(*) as bigint) AS cnt
+       FROM c GROUP BY 1, 2, 3),
+skc AS (SELECT key, lb,
+               cast(sum(cnt) OVER (PARTITION BY key ORDER BY bucket)
+                    as bigint) AS cum,
+               cast(sum(cnt) OVER (PARTITION BY key) as bigint) AS n
+        FROM sk),
+vc AS (SELECT key, v, cast(count(*) as bigint) AS cnt FROM b GROUP BY 1, 2),
+vcc AS (SELECT key, v,
+               cast(sum(cnt) OVER (PARTITION BY key ORDER BY v)
+                    as bigint) AS cum,
+               cast(sum(cnt) OVER (PARTITION BY key) as bigint) AS n
+        FROM vc),
+est AS (SELECT key, max(n) AS n,
+  {", ".join(f"min(CASE WHEN cum >= {_HDR_RANKS[p]} THEN lb END) AS est{p}_e2" for p in C.HDR_PCTS)}
+  FROM skc GROUP BY key),
+ex AS (SELECT key,
+  {", ".join(f"min(CASE WHEN cum >= {_HDR_RANKS[p]} THEN v END) AS exact{p}_e2" for p in C.HDR_PCTS)}
+  FROM vcc GROUP BY key)
+SELECT est.key AS event_type, cast(n as bigint) AS n,
+  {", ".join(f"cast(est{p}_e2 as bigint) AS est{p}_e2" for p in C.HDR_PCTS)},
+  {", ".join(f"cast(exact{p}_e2 as bigint) AS exact{p}_e2" for p in C.HDR_PCTS)},
+  {", ".join(f"cast(1000000 * (est{p}_e2 - exact{p}_e2) // greatest(exact{p}_e2, 1) as bigint) AS err{p}_e6" for p in C.HDR_PCTS)}
+FROM est JOIN ex ON est.key = ex.key"""
