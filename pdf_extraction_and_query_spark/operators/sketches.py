@@ -464,6 +464,37 @@ def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def hdr_estimates_from_sketch(sk: DataFrame) -> DataFrame:
+    """(key, n, est{p}_e2 per contract.HDR_PCTS) from a sketch table —
+    the read tail every sketch source shares (inline-derived or the
+    streaming index's merged base ∪ deltas); estimates only, no exact
+    audit: a stream never kept the raw values, which is the sketch's
+    point."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("key")
+    wb = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    skc = sk.select(
+        "key",
+        "lb",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wk).alias("n"),
+    )
+    est_aggs = [
+        F.min(F.when(F.expr(f"cum >= {_hdr_rank(p)}"), F.col("lb")))
+        .cast("long")
+        .alias(f"est{p}_e2")
+        for p in C.HDR_PCTS
+    ]
+    return skc.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"), *est_aggs
+    )
+
+
+def _hdr_rank(p: int) -> str:
+    return f"(({p} * n) + 99) div 100"
+
+
 def hdr_quantiles(events: DataFrame) -> DataFrame:
     """Per event_type value quantiles: for each pct in contract.HDR_PCTS
     the sketch ESTIMATE (lower bound of the first bucket whose cumulative
@@ -474,21 +505,12 @@ def hdr_quantiles(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    est = hdr_estimates_from_sketch(hdr_sketch(events))
     base = events.select(
         F.col("event_type").alias("key"),
         _value_e2(F.col("value")).alias("v"),
     )
-    # sketch side: cumulative counts over bucket order (summary frame)
-    sk = hdr_sketch(events)
     wk = Window.partitionBy("key")
-    wb = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    skc = sk.select(
-        "key",
-        "lb",
-        F.sum("cnt").over(wb).alias("cum"),
-        F.sum("cnt").over(wk).alias("n"),
-    )
-    # exact side: cumulative counts over the distinct-value frame
     vc = base.groupBy("key", "v").agg(F.count("*").alias("cnt"))
     wv = wk.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     vcc = vc.select(
@@ -497,25 +519,12 @@ def hdr_quantiles(events: DataFrame) -> DataFrame:
         F.sum("cnt").over(wv).alias("cum"),
         F.sum("cnt").over(wk).alias("n"),
     )
-
-    def _rank(p: int) -> str:
-        return f"(({p} * n) + 99) div 100"
-
-    est_aggs = [
-        F.min(F.when(F.expr(f"cum >= {_rank(p)}"), F.col("lb")))
-        .cast("long")
-        .alias(f"est{p}_e2")
-        for p in C.HDR_PCTS
-    ]
     exact_aggs = [
-        F.min(F.when(F.expr(f"cum >= {_rank(p)}"), F.col("v")))
+        F.min(F.when(F.expr(f"cum >= {_hdr_rank(p)}"), F.col("v")))
         .cast("long")
         .alias(f"exact{p}_e2")
         for p in C.HDR_PCTS
     ]
-    est = skc.groupBy("key").agg(
-        F.max("n").cast("long").alias("n"), *est_aggs
-    )
     exact = vcc.groupBy("key").agg(*exact_aggs)
     errs = [
         F.expr(

@@ -31,6 +31,8 @@ from ..operators.sketches import (
     bloom_probe,
     cms_estimate,
     cms_sketch,
+    hdr_estimates_from_sketch,
+    hdr_sketch,
     hll_estimate_from_registers,
     hll_registers,
 )
@@ -161,6 +163,78 @@ def stream_sketch_maintenance(
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     writer = stream.writeStream.foreachBatch(
         make_sketch_batch_processor(root)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# HDR value-quantile sketch over a live EVENTS stream (telemetry latency /
+# value distributions): per-batch log-bucket histograms into batch_id
+# deltas — the merge law is a per-(key, bucket) count SUM (associative,
+# non-idempotent under re-fold, so it rides the same folded_max watermark
+# as CMS/linkgraph), and the merged cells are EXACTLY the one-shot sketch
+# over every event ever ingested.  The live read tail is the batch side's
+# hdr_estimates_from_sketch — estimates only (the stream never kept raw
+# values).
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_HDR_COLS = ["key", "bucket", "lb", "cnt"]
+
+
+def _merge_hdr(summaries: DataFrame) -> DataFrame:
+    return summaries.groupBy("key", "bucket").agg(
+        F.max("lb").cast("long").alias("lb"),
+        F.sum("cnt").cast("long").alias("cnt"),
+    )
+
+
+def value_sketch_init(events: DataFrame, root: str) -> None:
+    """One-shot base build over an initial event log."""
+    deltaindex.init_index(hdr_sketch(events), f"{root}/hdr")
+
+
+def make_value_sketch_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deltaindex.write_delta(hdr_sketch(batch_df), f"{root}/hdr", batch_id)
+
+    return process_batch
+
+
+def hdr_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live bucket table — cell-identical to ``hdr_sketch`` over every
+    event ever ingested (equality tested)."""
+    return deltaindex.read_merged(spark, f"{root}/hdr", _HDR_COLS, _merge_hdr)
+
+
+def hdr_estimates_merged(spark: SparkSession, root: str) -> DataFrame:
+    """Live per-key quantile estimates from the maintained sketch — same
+    read tail as the batch side."""
+    return hdr_estimates_from_sketch(hdr_merged(spark, root))
+
+
+def value_sketch_compact(spark: SparkSession, root: str) -> None:
+    deltaindex.compact(spark, f"{root}/hdr", _HDR_COLS, _merge_hdr)
+
+
+def stream_value_sketch_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for new event parquet files and keep the HDR
+    value sketch current (delta appends; run ``value_sketch_compact`` on
+    a maintenance cadence)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(
+        make_value_sketch_batch_processor(root)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -127,3 +127,72 @@ def test_bloom_merged_equals_one_shot_and_probe(spark, tmp_path):
     }
     assert got["alpha beta gamma"] and got["beta gamma delta"]
     assert not got["never seen this"]
+
+
+# ------------------------------------------------ HDR value sketch (events)
+import datetime as _dt
+
+from pdf_extraction_and_query_spark.operators.sketches import (
+    hdr_estimates_from_sketch,
+    hdr_sketch,
+)
+from pdf_extraction_and_query_spark.streaming.sketches import (
+    EVENTS_SCHEMA,
+    hdr_estimates_merged,
+    hdr_merged,
+    make_value_sketch_batch_processor,
+    stream_value_sketch_maintenance,
+    value_sketch_compact,
+    value_sketch_init,
+)
+
+_EV_BASE = [(0, "click", 1.23), (1, "click", 45.6), (2, "error", 0.0)]
+_EV_B1 = [(3, "click", 512.0), (4, "error", 45.6), (5, "view", 7.89)]
+_EV_B2 = [(6, "click", 1.23), (7, "view", 260.01)]
+
+
+def _events(spark, rows):
+    base = _dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(seconds=i), i % 3, t, v, "{}")
+            for (i, t, v) in rows
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_hdr_merged_equals_one_shot_and_replay(spark, tmp_path):
+    root = str(tmp_path / "vsk")
+    value_sketch_init(_events(spark, _EV_BASE), root)
+    proc = make_value_sketch_batch_processor(root)
+    proc(_events(spark, _EV_B1), 0)
+    proc(_events(spark, _EV_B2), 1)
+    every = _events(spark, _EV_BASE + _EV_B1 + _EV_B2)
+    assert _cells(hdr_merged(spark, root)) == _cells(hdr_sketch(every))
+    # live estimates == batch read tail over everything
+    assert _cells(hdr_estimates_merged(spark, root)) == _cells(
+        hdr_estimates_from_sketch(hdr_sketch(every))
+    )
+    # crash-replay must not double-count (sum merge is not idempotent)
+    once = _cells(hdr_merged(spark, root))
+    proc(_events(spark, _EV_B2), 1)
+    assert _cells(hdr_merged(spark, root)) == once
+    value_sketch_compact(spark, root)
+    assert _cells(hdr_merged(spark, root)) == once
+    proc(_events(spark, _EV_B2), 1)  # folded-batch replay: watermark no-op
+    assert _cells(hdr_merged(spark, root)) == once
+
+
+def test_hdr_available_now_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "vsk2")
+    inp = tmp_path / "in"
+    inp.mkdir()
+    value_sketch_init(_events(spark, _EV_BASE), root)
+    _events(spark, _EV_B1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = stream_value_sketch_maintenance(
+        spark, str(inp), root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    every = _events(spark, _EV_BASE + _EV_B1)
+    assert _cells(hdr_merged(spark, root)) == _cells(hdr_sketch(every))
