@@ -60,6 +60,10 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "events_asof",
+    "event_funnel",
+    "retention_cohorts",
+    "value_quantiles",
     "mmr_topk",
     "mmr_topk_multi",
     "knn_classify",
@@ -302,6 +306,10 @@ def main() -> None:
         "doc_stats",
         "source_quality_report",
         "events_rollup",
+        "events_asof",
+        "event_funnel",
+        "retention_cohorts",
+        "value_quantiles",
         "boilerplate_flags",
         "doc_meta",
         "page_text_map",
