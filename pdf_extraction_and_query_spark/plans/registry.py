@@ -295,6 +295,53 @@ def _extract(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-interleave integrity gate (north rule: media spans preserved
+    in order through extraction): every media span in the REAL extraction
+    output, ranked per doc, with its caption, media_ref, and a parsed
+    self-consistency flag (scheme == kind prefix, ref doc == doc_id, ref
+    ordinal == rank).  The oracle recomputes the EXPECTED media table from
+    word-index arithmetic (meet-in-the-middle, the boilerplate_flags
+    pattern) — if extraction ever drops, reorders, or mangles a media
+    span, the hash goes red."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..core.docpipe import MEDIA_KINDS
+    from .extract import extract_spans
+
+    out = extract_spans(_span_corpus(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("order")
+    m = (
+        out.where(F.col("kind").isin(*MEDIA_KINDS))
+        .select(
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("media_idx"),
+            "kind",
+            F.col("text").alias("caption"),
+            "media_ref",
+        )
+    )
+    ref_re = r"^([a-z]+)://([^/]+)/([0-9]+)$"
+    return m.select(
+        "doc_id",
+        "media_idx",
+        "kind",
+        "caption",
+        "media_ref",
+        (
+            (F.regexp_extract("media_ref", ref_re, 1) == F.substring("kind", 1, 3))
+            & (F.regexp_extract("media_ref", ref_re, 2) == F.col("doc_id"))
+            & (
+                F.regexp_extract("media_ref", ref_re, 3).cast("long")
+                == F.col("media_idx")
+            )
+        )
+        .cast("long")
+        .alias("ref_ok"),
+    )
+
+
 def _process_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract import process_documents
 
@@ -781,6 +828,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": lambda s, d: GR.frontier_schedule(_crawl_frontier(s, d)),
     # event-stream analytics (operators/eventflow.py): as-of join,
     # ordered funnel, retention cohorts — plus the HDR quantile sketch
+    "media_refs": _media_refs,
     "events_asof": lambda s, d: EV.asof_join_events(_events(s, d)),
     "event_funnel": lambda s, d: EV.event_funnel(_events(s, d)),
     "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
@@ -4273,3 +4321,30 @@ SELECT est.key AS event_type, cast(n as bigint) AS n,
   {", ".join(f"cast(exact{p}_e2 as bigint) AS exact{p}_e2" for p in C.HDR_PCTS)},
   {", ".join(f"cast(1000000 * (est{p}_e2 - exact{p}_e2) // greatest(exact{p}_e2, 1) as bigint) AS err{p}_e6" for p in C.HDR_PCTS)}
 FROM est JOIN ex ON est.key = ex.key"""
+
+
+# --- media-interleave integrity (plans/registry._media_refs): the oracle
+# derives the EXPECTED media table purely from word-index arithmetic
+# (figure before line i whenever i % FIG_EVERY == FIG_PHASE, ordinal by
+# line order) — the Spark side reads the REAL extraction output, so
+# equality pins that extraction preserves every media span, in order,
+# with caption and self-consistent ref intact.
+ORACLE_SQL["media_refs"] = f"""
+WITH {_CORPUS_META},
+figs AS (
+  SELECT doc_id,
+         unnest(list_filter(generate_series(0, n_lines - 1),
+                i -> i % {C.CORPUS_FIG_EVERY} = {C.CORPUS_FIG_PHASE}))
+           AS line_i
+  FROM cm WHERE n_words > 0),
+r AS (SELECT doc_id,
+             cast(row_number() OVER (PARTITION BY doc_id ORDER BY line_i)
+                  as bigint) AS media_idx
+      FROM figs)
+SELECT cast(doc_id as varchar) AS doc_id, media_idx,
+       'figure' AS kind,
+       'Figure ' || cast(media_idx as varchar) AS caption,
+       'fig://' || cast(doc_id as varchar) || '/'
+                || cast(media_idx as varchar) AS media_ref,
+       cast(1 as bigint) AS ref_ok
+FROM r"""
