@@ -632,3 +632,11 @@ RETENTION_MAX_WEEKS = 8
 # sorting raw rows.
 HDR_SUB_BITS = 6
 HDR_PCTS: tuple[int, ...] = (50, 90, 99)
+# bucketized range join (eventflow.range_join): intervals explode to the
+# epoch-seconds buckets they cover, points hash to exactly ONE bucket, so
+# the join is a plain equi-join on (keys…, bucket) + containment filter —
+# never a cross/broadcast-nested-loop product, and no post-join dedup
+# (one bucket per point).  Bucket width trades interval fanout
+# (ceil(len/bucket)+1 rows per interval) against per-bucket collision
+# width; 1 h suits session-scale intervals.
+RANGE_BUCKET_S = 3600

@@ -180,7 +180,7 @@ def funnel_report(events: DataFrame) -> DataFrame:
         for i in range(1, n)
     ]
     completion = F.expr(
-        f"(1000000 * n_completed) div greatest(n_step1, 1)"
+        "(1000000 * n_completed) div greatest(n_step1, 1)"
     ).alias("completion_e6")
     return rep.select(
         *[F.col(f"n_step{i + 1}").cast("long") for i in range(n)],
@@ -230,4 +230,71 @@ def retention_cohorts(
         F.expr("(1000000 * n_active) div greatest(n_cohort, 1)")
         .cast("long")
         .alias("retained_e6"),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_col: str = "ts_s",
+    start_col: str = "start_epoch",
+    end_col: str = "end_epoch",
+    bucket_s: int = C.RANGE_BUCKET_S,
+) -> DataFrame:
+    """Generic bucketized range (interval-containment) join — the operator
+    Spark would otherwise plan as a BroadcastNestedLoopJoin (quadratic in
+    collisions): each interval explodes to the ``bucket_s``-wide epoch
+    buckets it covers, each point hashes to exactly ONE bucket, and the
+    join is a plain shuffled equi-join on (*keys, bucket) followed by the
+    containment filter.  A point lies in one bucket only, so no post-join
+    dedup is needed (contract.py RANGE_BUCKET_S).  Inclusive on both ends.
+
+    100-TB shape: one hash exchange per side on (*keys, bucket); interval
+    fanout is ceil(length/bucket)+1 summary rows per interval; no
+    cross-product plan node ever appears (asserted in
+    tests/test_eventflow.py)."""
+    ib = intervals.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_s}"),
+                F.expr(f"{end_col} div {bucket_s}"),
+            )
+        ),
+    )
+    pb = points.withColumn("_rb", F.expr(f"{point_col} div {bucket_s}"))
+    return (
+        pb.join(ib, [*keys, "_rb"])
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_rb")
+    )
+
+
+def session_attribution(events: DataFrame) -> DataFrame:
+    """Every event attributed to the session window containing it — the
+    range-join demo over :func:`~..operators.stats.sessionize`'s interval
+    table (at 10^12 events the intervals are the maintained session store,
+    not recomputed inline).  The gap rule makes sessions partition each
+    user's events, so the output has exactly one row per event (invariant
+    unit-tested)."""
+    from .stats import sessionize
+
+    pts = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    return range_join(pts, sessionize(events), keys=["user_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.col("session_id").cast("long").alias("session_id"),
+        "start_epoch",
+        "end_epoch",
     )

@@ -829,6 +829,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # event-stream analytics (operators/eventflow.py): as-of join,
     # ordered funnel, retention cohorts — plus the HDR quantile sketch
     "media_refs": _media_refs,
+    "session_attribution": lambda s, d: EV.session_attribution(_events(s, d)),
     "events_asof": lambda s, d: EV.asof_join_events(_events(s, d)),
     "event_funnel": lambda s, d: EV.event_funnel(_events(s, d)),
     "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
@@ -4348,3 +4349,40 @@ SELECT cast(doc_id as varchar) AS doc_id, media_idx,
                 || cast(media_idx as varchar) AS media_ref,
        cast(1 as bigint) AS ref_ok
 FROM r"""
+
+
+# --- bucketized range join (operators/eventflow.range_join): the oracle
+# is the PLAIN interval-containment join DuckDB plans natively (its IEJoin
+# range-join operator) — independent of the Spark bucketization, so the
+# bucket/fanout machinery is value-checked end-to-end.  Sessions replayed
+# via the sessionize oracle's own CTE chain.
+ORACLE_SQL["session_attribution"] = """
+WITH x AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+y AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+sess AS (
+  SELECT user_id, cast(session_id as bigint) AS session_id,
+         cast(floor(epoch(min(ts))) as bigint) AS start_epoch,
+         cast(floor(epoch(max(ts))) as bigint) AS end_epoch
+  FROM (
+    SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM y)
+  GROUP BY 1, 2),
+pts AS (SELECT cast(event_id as bigint) AS event_id,
+               cast(user_id as bigint) AS user_id, event_type,
+               cast(floor(epoch(ts)) as bigint) AS ts_s
+        FROM events)
+SELECT p.event_id, p.user_id, p.event_type, p.ts_s,
+       s.session_id, s.start_epoch, s.end_epoch
+FROM pts p JOIN sess s
+  ON p.user_id = s.user_id
+ AND p.ts_s >= s.start_epoch AND p.ts_s <= s.end_epoch"""

@@ -244,3 +244,78 @@ def test_hdr_bucket_monotone(spark):
         e = max(0, r["bucket"] // (1 << s))
         assert r["lb"] <= max(vals)
         assert r["lb"] % (1 << e) == 0
+
+
+# ------------------------------------------------------------ range join
+def test_range_join_matches_naive_join(spark):
+    """Bucketized equi-join == the naive containment join on intervals
+    that span multiple buckets, sub-bucket intervals, boundary points,
+    and points outside every interval."""
+    B = C.RANGE_BUCKET_S
+    iv = spark.createDataFrame(
+        [
+            (1, 10, 0, 2 * B + 100),      # spans 3 buckets
+            (1, 11, 3 * B, 3 * B + 5),    # sub-bucket
+            (2, 20, 50, 60),
+        ],
+        "user_id long, iv_id long, start_epoch long, end_epoch long",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 100, 0),            # at interval start (inclusive)
+            (1, 101, 2 * B + 100),  # at interval end (inclusive)
+            (1, 102, 2 * B + 101),  # one past the end -> no match
+            (1, 103, 3 * B + 2),    # inside the sub-bucket interval
+            (2, 104, 55),
+            (2, 105, 3 * B),        # no interval for user 2 there
+            (3, 106, 55),           # user with no intervals
+        ],
+        "user_id long, event_id long, ts_s long",
+    )
+    from pdf_extraction_and_query_spark.operators.eventflow import range_join
+
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(pts, iv, keys=["user_id"]).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in pts.join(iv, "user_id")
+        .where("ts_s >= start_epoch and ts_s <= end_epoch")
+        .collect()
+    )
+    assert got == naive
+    assert got == [(100, 10), (101, 10), (103, 11), (104, 20)]
+
+
+def test_range_join_plan_has_no_cross_product(spark):
+    """The whole point: the physical plan must be a hash/sort-merge
+    equi-join on (keys, bucket), never BroadcastNestedLoopJoin or
+    CartesianProduct."""
+    from pdf_extraction_and_query_spark.operators import eventflow as EVF
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = (
+        EVF.session_attribution(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_attribution_partitions_events(spark):
+    """Sessions partition each user's events (gap rule), so attribution
+    emits exactly one row per event and every event lands in the session
+    sessionize assigned around it."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pdf_extraction_and_query_spark.operators.eventflow import (
+        session_attribution,
+    )
+
+    out = session_attribution(ev).collect()
+    assert len(out) == ev.count()
+    assert len({r["event_id"] for r in out}) == len(out)
+    for r in out[:50]:
+        assert r["start_epoch"] <= r["ts_s"] <= r["end_epoch"]
