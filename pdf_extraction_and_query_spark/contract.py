@@ -640,3 +640,11 @@ HDR_PCTS: tuple[int, ...] = (50, 90, 99)
 # (ceil(len/bucket)+1 rows per interval) against per-bucket collision
 # width; 1 h suits session-scale intervals.
 RANGE_BUCKET_S = 3600
+# hypertable rollup cascade (eventflow.rollup_hourly/rollup_cascade —
+# the TimescaleDB continuous-aggregate concept): the hourly partial
+# table carries ONLY columns that re-fold associatively to coarser
+# grains (count/min/max/exact-int64 sum of value_e2) plus the per-group
+# HLL user registers — the device that lets COUNT DISTINCT cascade
+# (register max-merge over any regrouping == registers of the union
+# set), with the exact count kept alongside as the audit column.
+DAY_S = 24 * 3600

@@ -298,3 +298,119 @@ def session_attribution(events: DataFrame) -> DataFrame:
         "start_epoch",
         "end_epoch",
     )
+
+
+def rollup_hourly(events: DataFrame) -> DataFrame:
+    """The hourly continuous-aggregate partial table (hypertable rollup):
+    per (event_type, hour) count / min / max / SUM over exact fixed-point
+    values — every column re-folds associatively to coarser grains, which
+    is the cascade invariant :func:`rollup_cascade` tests.  The value sum
+    is exact int64 (value_e2 is exact fixed-point), unlike a float sum
+    which would be order-dependent and could NOT be cascaded
+    deterministically.  ONE map-side-combined exchange."""
+    from .sketches import _value_e2
+
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return events.groupBy(
+        F.col("event_type"), hour.alias("hour_epoch")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(_value_e2(F.col("value"))).cast("long").alias("min_value_e2"),
+        F.max(_value_e2(F.col("value"))).cast("long").alias("max_value_e2"),
+        F.sum(_value_e2(F.col("value"))).cast("long").alias("sum_value_e2"),
+    )
+
+
+def rollup_user_registers(events: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """(event_type, bucket_epoch, j, rank): per-group HLL registers over
+    the DISTINCT active users — the sketch that makes count-distinct
+    cascade (register max-merge over any regrouping == the registers of
+    the union set).  poly_hash runs once per distinct (group, user)
+    (PLANS.md #31)."""
+    from .sketches import _hll_rank
+    from .textstats import poly_hash
+
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s
+    ).cast("long")
+    du = (
+        events.select(
+            "event_type",
+            bucket.alias("bucket_epoch"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+        .distinct()
+    )
+    h = du.select(
+        "event_type",
+        "bucket_epoch",
+        poly_hash(F.col("user_id").cast("string")).alias("h"),
+    )
+    jr = h.select(
+        "event_type",
+        "bucket_epoch",
+        (F.col("h") % C.HLL_M).cast("long").alias("j"),
+        _hll_rank(F.expr(f"h div {C.HLL_M}")).alias("r"),
+    )
+    return jr.groupBy("event_type", "bucket_epoch", "j").agg(
+        F.max("r").cast("long").alias("rank")
+    )
+
+
+def rollup_cascade(events: DataFrame) -> DataFrame:
+    """Daily rollup RE-AGGREGATED FROM THE HOURLY PARTIALS (the
+    continuous-aggregate cascade — at 10^12 events the daily job reads
+    the hourly summary table, never raw events): count/min/max/sum
+    re-fold exactly; the non-foldable COUNT DISTINCT cascades through
+    the per-hour HLL registers (max-merged to days), with the exact
+    per-day distinct count computed alongside as the audit column (the
+    ivf_recall / hll_vocab self-auditing shape).  Cascade == direct
+    equality and the register merge law are pinned in
+    tests/test_eventflow.py."""
+    from .sketches import hll_estimate_by_group
+
+    day = (F.floor(F.col("hour_epoch") / C.DAY_S) * C.DAY_S).cast("long")
+    daily = (
+        rollup_hourly(events)
+        .groupBy(F.col("event_type"), day.alias("day_epoch"))
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("min_value_e2").cast("long").alias("min_value_e2"),
+            F.max("max_value_e2").cast("long").alias("max_value_e2"),
+            F.sum("sum_value_e2").cast("long").alias("sum_value_e2"),
+        )
+    )
+    hregs = rollup_user_registers(events, bucket_s=3600)
+    dayr = (F.floor(F.col("bucket_epoch") / C.DAY_S) * C.DAY_S).cast("long")
+    dregs = hregs.groupBy(
+        "event_type", dayr.alias("day_epoch"), "j"
+    ).agg(F.max("rank").cast("long").alias("rank"))
+    est = hll_estimate_by_group(dregs, ["event_type", "day_epoch"]).select(
+        "event_type", "day_epoch", F.col("est").alias("users_est")
+    )
+    day_direct = (F.floor(F.unix_timestamp("ts") / C.DAY_S) * C.DAY_S).cast(
+        "long"
+    )
+    exact = events.groupBy(
+        F.col("event_type"), day_direct.alias("day_epoch")
+    ).agg(F.count_distinct(F.col("user_id")).cast("long").alias("users_exact"))
+    return (
+        daily.join(est, ["event_type", "day_epoch"])
+        .join(exact, ["event_type", "day_epoch"])
+        .select(
+            "event_type",
+            "day_epoch",
+            "n_events",
+            "min_value_e2",
+            "max_value_e2",
+            "sum_value_e2",
+            "users_est",
+            "users_exact",
+            F.expr(
+                "(1000000 * (users_est - users_exact))"
+                " div greatest(users_exact, 1)"
+            )
+            .cast("long")
+            .alias("err_e6"),
+        )
+    )

@@ -211,21 +211,14 @@ def hll_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
-    """ONE row (m, n_registers_hit, s, est_raw, est) from a register
-    table — the read side every register source shares (inline-derived or
-    the streaming index's merged base ∪ deltas); the stream keeps ONLY
-    registers (that is the sketch's point), so this carries no exact
-    audit columns."""
-    agg = regs.agg(
-        F.count("*").cast("long").alias("n_registers_hit"),
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {C.HLL_SHIFT} - rank)"))
-        .cast("long")
-        .alias("s_hit"),
-    )
+def _hll_estimate_tail(agg: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys…, m, n_registers_hit, s, est_raw, est) from an aggregated
+    (n_registers_hit, s_hit) frame — the arithmetic shared by the global
+    estimator and the per-group cascade estimator."""
     m, shift = C.HLL_M, C.HLL_SHIFT
     return (
         agg.select(
+            *keys,
             F.lit(m).cast("long").alias("m"),
             "n_registers_hit",
             # registers never hit contribute 2^shift each (rank 0)
@@ -238,6 +231,7 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
             .alias("s"),
         )
         .select(
+            *keys,
             "m",
             "n_registers_hit",
             "s",
@@ -249,6 +243,7 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
             .alias("est_raw"),
         )
         .select(
+            *keys,
             "m",
             "n_registers_hit",
             "s",
@@ -276,6 +271,33 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
             .alias("est"),
         )
     )
+
+
+def _hll_s_hit() -> list:
+    return [
+        F.count("*").cast("long").alias("n_registers_hit"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {C.HLL_SHIFT} - rank)"))
+        .cast("long")
+        .alias("s_hit"),
+    ]
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """ONE row (m, n_registers_hit, s, est_raw, est) from a register
+    table — the read side every register source shares (inline-derived or
+    the streaming index's merged base ∪ deltas); the stream keeps ONLY
+    registers (that is the sketch's point), so this carries no exact
+    audit columns."""
+    return _hll_estimate_tail(regs.agg(*_hll_s_hit()), [])
+
+
+def hll_estimate_by_group(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-group estimates from a KEYED register table (keys…, j, rank) —
+    the distinct-count-that-cascades device: registers merge by max across
+    any regrouping (hour → day, partition → corpus), so one register
+    table per fine group serves every coarser rollup exactly
+    (eventflow.rollup_cascade)."""
+    return _hll_estimate_tail(regs.groupBy(*keys).agg(*_hll_s_hit()), keys)
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:

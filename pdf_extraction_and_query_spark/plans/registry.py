@@ -830,6 +830,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordered funnel, retention cohorts — plus the HDR quantile sketch
     "media_refs": _media_refs,
     "session_attribution": lambda s, d: EV.session_attribution(_events(s, d)),
+    "rollup_cascade": lambda s, d: EV.rollup_cascade(_events(s, d)),
     "events_asof": lambda s, d: EV.asof_join_events(_events(s, d)),
     "event_funnel": lambda s, d: EV.event_funnel(_events(s, d)),
     "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
@@ -4386,3 +4387,61 @@ SELECT p.event_id, p.user_id, p.event_type, p.ts_s,
 FROM pts p JOIN sess s
   ON p.user_id = s.user_id
  AND p.ts_s >= s.start_epoch AND p.ts_s <= s.end_epoch"""
+
+
+# --- hypertable rollup cascade (operators/eventflow.rollup_cascade): the
+# Spark side re-aggregates the DAILY answer from the HOURLY partial table
+# (count/min/max/exact-int64 sum re-fold; count-distinct cascades through
+# per-hour HLL registers max-merged to days); the oracle computes every
+# column DIRECTLY from raw events — equality IS the cascade invariant
+# (fold laws + register merge law), checked by the driver hash.
+ORACLE_SQL["rollup_cascade"] = f"""
+WITH b AS (SELECT event_type,
+                  cast(floor(floor(epoch(ts)) / 86400) * 86400
+                       as bigint) AS day_epoch,
+                  cast(user_id as bigint) AS user_id,
+                  cast(round(value * 100) as bigint) AS v
+           FROM events),
+daily AS (SELECT event_type, day_epoch,
+                 cast(count(*) as bigint) AS n_events,
+                 cast(min(v) as bigint) AS min_value_e2,
+                 cast(max(v) as bigint) AS max_value_e2,
+                 cast(sum(v) as bigint) AS sum_value_e2
+          FROM b GROUP BY 1, 2),
+du AS (SELECT DISTINCT event_type, day_epoch, user_id FROM b),
+hh AS (SELECT event_type, day_epoch, list_reduce(list_prepend(cast(0 as bigint), list_transform(string_split('#' || cast(user_id as varchar), ''), c -> cast(ascii(c) as bigint))), (a, x) -> (a * 31 + x) % 1000000007) AS h FROM du),
+jr AS (SELECT event_type, day_epoch, h % 64 AS j,
+              CASE WHEN (h // 64) = 0 THEN 25
+                   ELSE 24 - length(bin(h // 64)) + 1 END AS r
+       FROM hh),
+regs AS (SELECT event_type, day_epoch, j, cast(max(r) as bigint) AS rank
+         FROM jr GROUP BY 1, 2, 3),
+agg AS (SELECT event_type, day_epoch,
+               cast(count(*) as bigint) AS n_hit,
+               cast(sum(cast(1 as bigint) << (40 - rank)) as bigint) AS s_hit
+        FROM regs GROUP BY 1, 2),
+hs AS (SELECT event_type, day_epoch, n_hit,
+              cast(s_hit + (64 - n_hit) * (cast(1 as bigint) << 40)
+                   as bigint) AS s
+       FROM agg),
+he AS (SELECT event_type, day_epoch, n_hit, s,
+              cast((709 * 64 * 64
+                    * (cast(1 as bigint) << 40))
+                   // (1000 * s) as bigint) AS est_raw
+       FROM hs),
+hf AS (SELECT event_type, day_epoch,
+              cast(CASE WHEN est_raw < 160
+                         AND n_hit < 64
+                        THEN (64 * ([0, 4158883, 3465736, 3060271, 2772589, 2549445, 2367124, 2212973, 2079442, 1961659, 1856298, 1760988, 1673976, 1593934, 1519826, 1450833, 1386294, 1325670, 1268511, 1214444, 1163151, 1114361, 1067841, 1023389, 980829, 940007, 900787, 863046, 826679, 791587, 757686, 724896, 693147, 662376, 632523, 603535, 575364, 547965, 521297, 495321, 470004, 445311, 421213, 397683, 374693, 352221, 330242, 308735, 287682, 267063, 246860, 227057, 207639, 188591, 169899, 151550, 133531, 115832, 98440, 81346, 64539, 48009, 31749, 15748, 0])[(64 - n_hit) + 1]) // 1000000
+                        ELSE est_raw END as bigint) AS users_est
+       FROM he),
+ex AS (SELECT event_type, day_epoch,
+              cast(count(DISTINCT user_id) as bigint) AS users_exact
+       FROM b GROUP BY 1, 2)
+SELECT d.event_type, d.day_epoch, n_events, min_value_e2, max_value_e2,
+       sum_value_e2, users_est, users_exact,
+       cast((1000000 * (users_est - users_exact))
+            // greatest(users_exact, 1) as bigint) AS err_e6
+FROM daily d
+JOIN hf ON d.event_type = hf.event_type AND d.day_epoch = hf.day_epoch
+JOIN ex ON d.event_type = ex.event_type AND d.day_epoch = ex.day_epoch"""

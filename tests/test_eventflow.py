@@ -319,3 +319,57 @@ def test_session_attribution_partitions_events(spark):
     assert len({r["event_id"] for r in out}) == len(out)
     for r in out[:50]:
         assert r["start_epoch"] <= r["ts_s"] <= r["end_epoch"]
+
+
+# -------------------------------------------------------- rollup cascade
+def test_rollup_cascade_equals_direct(spark):
+    """The cascade invariant, Spark-side: daily re-aggregated FROM the
+    hourly partials == daily computed directly from raw events (the
+    oracle proves the same cross-engine; this pins it in-plan), and the
+    hour->day register max-merge == day-grain registers computed
+    directly (the merge law that lets count-distinct cascade)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    day = "cast(floor(unix_timestamp(ts) / 86400) * 86400 as long)"
+    direct = {
+        (r["event_type"], r["day_epoch"]): (
+            r["n"], r["mn"], r["mx"], r["sm"], r["du"]
+        )
+        for r in ev.selectExpr(
+            "event_type",
+            f"{day} as day_epoch",
+            "cast(round(value * 100) as long) as v",
+            "user_id",
+        )
+        .groupBy("event_type", "day_epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("v").alias("sm"),
+            F.count_distinct("user_id").alias("du"),
+        )
+        .collect()
+    }
+    casc = EV.rollup_cascade(ev).collect()
+    assert len(casc) == len(direct)
+    bound = 1_000_000  # HLL est within 2x at tiny per-group cardinalities
+    for r in casc:
+        n, mn, mx, sm, du = direct[(r["event_type"], r["day_epoch"])]
+        assert (r["n_events"], r["min_value_e2"], r["max_value_e2"],
+                r["sum_value_e2"], r["users_exact"]) == (n, mn, mx, sm, du)
+        assert abs(r["err_e6"]) <= bound
+
+    merged = EV.rollup_user_registers(ev, bucket_s=3600)
+    dayr = (F.floor(F.col("bucket_epoch") / 86400) * 86400).cast("long")
+    from_hours = sorted(
+        map(
+            tuple,
+            merged.groupBy("event_type", dayr.alias("bucket_epoch"), "j")
+            .agg(F.max("rank").alias("rank"))
+            .collect(),
+        )
+    )
+    direct_regs = sorted(
+        map(tuple, EV.rollup_user_registers(ev, bucket_s=86400).collect())
+    )
+    assert from_hours == direct_regs
