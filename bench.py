@@ -60,6 +60,9 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "session_attribution",
+    "rollup_cascade",
+    "media_refs",
     "events_asof",
     "event_funnel",
     "retention_cohorts",
@@ -310,6 +313,9 @@ def main() -> None:
         "event_funnel",
         "retention_cohorts",
         "value_quantiles",
+        "session_attribution",
+        "rollup_cascade",
+        "media_refs",
         "boilerplate_flags",
         "doc_meta",
         "page_text_map",
