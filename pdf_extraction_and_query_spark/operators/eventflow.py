@@ -357,6 +357,36 @@ def rollup_user_registers(events: DataFrame, bucket_s: int = 3600) -> DataFrame:
     )
 
 
+def cascade_from_partials(hourly: DataFrame, hregs: DataFrame) -> DataFrame:
+    """The daily cascade read tail every partial source shares (inline
+    hourly partials or the streaming index's merged base ∪ deltas):
+    count/min/max/sum re-fold from the hourly frame; count-distinct
+    cascades through the register frame (hour max-merged to day) into
+    the per-group HLL estimate.  No exact-audit column here — a stream
+    never kept the users (the batch :func:`rollup_cascade` joins the
+    audit alongside)."""
+    from .sketches import hll_estimate_by_group
+
+    day = (F.floor(F.col("hour_epoch") / C.DAY_S) * C.DAY_S).cast("long")
+    daily = (
+        hourly.groupBy(F.col("event_type"), day.alias("day_epoch"))
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("min_value_e2").cast("long").alias("min_value_e2"),
+            F.max("max_value_e2").cast("long").alias("max_value_e2"),
+            F.sum("sum_value_e2").cast("long").alias("sum_value_e2"),
+        )
+    )
+    dayr = (F.floor(F.col("bucket_epoch") / C.DAY_S) * C.DAY_S).cast("long")
+    dregs = hregs.groupBy(
+        "event_type", dayr.alias("day_epoch"), "j"
+    ).agg(F.max("rank").cast("long").alias("rank"))
+    est = hll_estimate_by_group(dregs, ["event_type", "day_epoch"]).select(
+        "event_type", "day_epoch", F.col("est").alias("users_est")
+    )
+    return daily.join(est, ["event_type", "day_epoch"])
+
+
 def rollup_cascade(events: DataFrame) -> DataFrame:
     """Daily rollup RE-AGGREGATED FROM THE HOURLY PARTIALS (the
     continuous-aggregate cascade — at 10^12 events the daily job reads
@@ -367,26 +397,8 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
     ivf_recall / hll_vocab self-auditing shape).  Cascade == direct
     equality and the register merge law are pinned in
     tests/test_eventflow.py."""
-    from .sketches import hll_estimate_by_group
-
-    day = (F.floor(F.col("hour_epoch") / C.DAY_S) * C.DAY_S).cast("long")
-    daily = (
-        rollup_hourly(events)
-        .groupBy(F.col("event_type"), day.alias("day_epoch"))
-        .agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.min("min_value_e2").cast("long").alias("min_value_e2"),
-            F.max("max_value_e2").cast("long").alias("max_value_e2"),
-            F.sum("sum_value_e2").cast("long").alias("sum_value_e2"),
-        )
-    )
-    hregs = rollup_user_registers(events, bucket_s=3600)
-    dayr = (F.floor(F.col("bucket_epoch") / C.DAY_S) * C.DAY_S).cast("long")
-    dregs = hregs.groupBy(
-        "event_type", dayr.alias("day_epoch"), "j"
-    ).agg(F.max("rank").cast("long").alias("rank"))
-    est = hll_estimate_by_group(dregs, ["event_type", "day_epoch"]).select(
-        "event_type", "day_epoch", F.col("est").alias("users_est")
+    base = cascade_from_partials(
+        rollup_hourly(events), rollup_user_registers(events, bucket_s=3600)
     )
     day_direct = (F.floor(F.unix_timestamp("ts") / C.DAY_S) * C.DAY_S).cast(
         "long"
@@ -394,23 +406,19 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
     exact = events.groupBy(
         F.col("event_type"), day_direct.alias("day_epoch")
     ).agg(F.count_distinct(F.col("user_id")).cast("long").alias("users_exact"))
-    return (
-        daily.join(est, ["event_type", "day_epoch"])
-        .join(exact, ["event_type", "day_epoch"])
-        .select(
-            "event_type",
-            "day_epoch",
-            "n_events",
-            "min_value_e2",
-            "max_value_e2",
-            "sum_value_e2",
-            "users_est",
-            "users_exact",
-            F.expr(
-                "(1000000 * (users_est - users_exact))"
-                " div greatest(users_exact, 1)"
-            )
-            .cast("long")
-            .alias("err_e6"),
+    return base.join(exact, ["event_type", "day_epoch"]).select(
+        "event_type",
+        "day_epoch",
+        "n_events",
+        "min_value_e2",
+        "max_value_e2",
+        "sum_value_e2",
+        "users_est",
+        "users_exact",
+        F.expr(
+            "(1000000 * (users_est - users_exact))"
+            " div greatest(users_exact, 1)"
         )
+        .cast("long")
+        .alias("err_e6"),
     )
