@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "rollup_anomalies",
     "session_attribution",
     "rollup_cascade",
     "media_refs",
@@ -315,6 +316,7 @@ def main() -> None:
         "value_quantiles",
         "session_attribution",
         "rollup_cascade",
+        "rollup_anomalies",
         "media_refs",
         "boilerplate_flags",
         "doc_meta",

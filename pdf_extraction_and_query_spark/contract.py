@@ -648,3 +648,11 @@ RANGE_BUCKET_S = 3600
 # (register max-merge over any regrouping == registers of the union
 # set), with the exact count kept alongside as the audit column.
 DAY_S = 24 * 3600
+# hourly-rate anomaly flags (eventflow.rollup_anomalies): per event_type,
+# median and MAD of the hourly event counts computed EXACTLY BY COUNTING
+# over the distinct-count frame (lower median at rank ceil(n/2) — the
+# deterministic contract; short_outliers precedent), flag iff
+# |n - median| > ANOM_K * greatest(MAD, 1).  Plain integer MAD multiples
+# (no 1.4826 normal-consistency factor — it would demand a float and buys
+# nothing for thresholding).
+ANOM_K = 3

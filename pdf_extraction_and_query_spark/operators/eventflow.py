@@ -422,3 +422,59 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("err_e6"),
     )
+
+
+def _median_by_counting(df: DataFrame, key: str, val: str) -> DataFrame:
+    """(key, med): the LOWER MEDIAN of ``val`` per ``key`` at rank
+    ceil(n/2), computed by counting over the distinct-value frame — never
+    a per-key sort of raw rows (the short_outliers device)."""
+    vc = df.groupBy(key, val).agg(F.count("*").alias("_c"))
+    wk = Window.partitionBy(key)
+    wv = wk.orderBy(val).rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        key,
+        val,
+        F.sum("_c").over(wv).alias("_cum"),
+        F.sum("_c").over(wk).alias("_n"),
+    )
+    return cum.groupBy(key).agg(
+        F.min(
+            F.when(F.expr("_cum >= (_n + 1) div 2"), F.col(val))
+        )
+        .cast("long")
+        .alias("med")
+    )
+
+
+def rollup_anomalies(events: DataFrame, k: int = C.ANOM_K) -> DataFrame:
+    """Hourly rate-spike detection over the continuous-aggregate partials
+    (the monitoring read a 10^12-event platform runs on its OWN summary
+    table, never raw events): per event_type the median and MAD of the
+    hourly counts — both exact integers by counting (contract.ANOM_K) —
+    and a flag for hours deviating more than k·MAD.  Every frame past
+    ``rollup_hourly`` is summary-sized (hours × types)."""
+    hourly = rollup_hourly(events).select(
+        "event_type", "hour_epoch", "n_events"
+    )
+    med = _median_by_counting(hourly, "event_type", "n_events")
+    dev = hourly.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med")).cast("long")
+    )
+    mad = _median_by_counting(dev, "event_type", "dev").withColumnRenamed(
+        "med", "mad"
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n_events",
+            "med",
+            "mad",
+            (
+                F.col("dev") > F.lit(k) * F.greatest(F.col("mad"), F.lit(1))
+            )
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

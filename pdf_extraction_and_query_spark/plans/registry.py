@@ -831,6 +831,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_refs": _media_refs,
     "session_attribution": lambda s, d: EV.session_attribution(_events(s, d)),
     "rollup_cascade": lambda s, d: EV.rollup_cascade(_events(s, d)),
+    "rollup_anomalies": lambda s, d: EV.rollup_anomalies(_events(s, d)),
     "events_asof": lambda s, d: EV.asof_join_events(_events(s, d)),
     "event_funnel": lambda s, d: EV.event_funnel(_events(s, d)),
     "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
@@ -4445,3 +4446,40 @@ SELECT d.event_type, d.day_epoch, n_events, min_value_e2, max_value_e2,
 FROM daily d
 JOIN hf ON d.event_type = hf.event_type AND d.day_epoch = hf.day_epoch
 JOIN ex ON d.event_type = ex.event_type AND d.day_epoch = ex.day_epoch"""
+
+
+# --- hourly-rate anomaly flags (operators/eventflow.rollup_anomalies):
+# exact lower-median / MAD by counting, replayed per type in SQL.
+ORACLE_SQL["rollup_anomalies"] = f"""
+WITH h AS (SELECT event_type,
+                  cast(floor(floor(epoch(ts)) / 3600) * 3600 as bigint)
+                    AS hour_epoch,
+                  cast(count(*) as bigint) AS n_events
+           FROM events GROUP BY 1, 2),
+mc AS (SELECT event_type, n_events AS v, count(*) AS c FROM h GROUP BY 1, 2),
+mcu AS (SELECT event_type, v,
+               cast(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                    as bigint) AS cum,
+               cast(sum(c) OVER (PARTITION BY event_type) as bigint) AS n
+        FROM mc),
+med AS (SELECT event_type,
+               cast(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) as bigint)
+                 AS med
+        FROM mcu GROUP BY 1),
+d AS (SELECT h.event_type, hour_epoch, n_events, med,
+             abs(n_events - med) AS dev
+      FROM h JOIN med ON h.event_type = med.event_type),
+dc AS (SELECT event_type, dev AS v, count(*) AS c FROM d GROUP BY 1, 2),
+dcu AS (SELECT event_type, v,
+               cast(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                    as bigint) AS cum,
+               cast(sum(c) OVER (PARTITION BY event_type) as bigint) AS n
+        FROM dc),
+mad AS (SELECT event_type,
+               cast(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) as bigint)
+                 AS mad
+        FROM dcu GROUP BY 1)
+SELECT d.event_type, hour_epoch, n_events, med, mad.mad,
+       cast(CASE WHEN dev > 3 * greatest(mad.mad, 1)
+                 THEN 1 ELSE 0 END as bigint) AS is_anomaly
+FROM d JOIN mad ON d.event_type = mad.event_type"""

@@ -373,3 +373,33 @@ def test_rollup_cascade_equals_direct(spark):
         map(tuple, EV.rollup_user_registers(ev, bucket_s=86400).collect())
     )
     assert from_hours == direct_regs
+
+
+# ------------------------------------------------------------- anomalies
+def test_rollup_anomalies_median_mad_semantics(spark):
+    """Lower-median rank rule, MAD over deviations, and the k*MAD flag on
+    a handcrafted frame: type A has hours [2,2,2,3,100] -> med 2, devs
+    [0,0,0,1,98] -> mad 0 -> threshold k*max(mad,1)=3 -> only the
+    100-event hour flags; even-count type B takes the LOWER median."""
+    rows = []
+    eid = 0
+    # type A: 4 calm hours + 1 spike
+    for h, n in enumerate([2, 2, 2, 3, 100]):
+        for _ in range(n):
+            rows.append((eid, h * 3600 * 1_000_000 + eid, 1, "a"))
+            eid += 1
+    # type B: counts [1, 3] -> lower median = 1
+    for h, n in enumerate([1, 3]):
+        for _ in range(n):
+            rows.append((eid, h * 3600 * 1_000_000 + eid, 1, "b"))
+            eid += 1
+    out = {
+        (r["event_type"], r["hour_epoch"]): r
+        for r in EV.rollup_anomalies(_ev(spark, rows)).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    a = [out[("a", base + h * 3600)] for h in range(5)]
+    assert all(r["med"] == 2 and r["mad"] == 0 for r in a)
+    assert [r["is_anomaly"] for r in a] == [0, 0, 0, 0, 1]
+    b = [out[("b", base + h * 3600)] for h in range(2)]
+    assert all(r["med"] == 1 for r in b)  # lower median of [1, 3]
