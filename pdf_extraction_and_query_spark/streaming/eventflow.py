@@ -84,15 +84,28 @@ def make_eventlog_batch_processor(root: str) -> Callable[[DataFrame, int], None]
 
 
 def merged_log(spark: SparkSession, root: str) -> DataFrame:
-    """Base ∪ deltas, deduped on event_id — row-identical to the one-shot
-    projection over everything ingested (append-only contract; the dedup
-    also immunizes the replay-after-compact race, duplicate rows being
-    identical by construction)."""
+    """Base ∪ deltas, deduped — row-identical to the one-shot projection
+    over everything ingested (append-only contract; the dedup also
+    immunizes the replay-after-compact race, duplicate rows being
+    identical by construction — which is exactly why whole-row groupBy
+    dedup equals dropDuplicates(event_id) here).
+
+    Plan shape: the dedup is a whole-row groupBy UNDER an explicit
+    user_id repartition — HashPartitioning(user_id) satisfies the
+    all-columns clustering (subset rule) AND the downstream as-of/funnel
+    windows' user_id requirement, so the read pays ONE exchange total; a
+    dropDuplicates(event_id) would shuffle the whole log a second time
+    on a key nothing downstream uses (2 → 1 exchanges, measured)."""
     out = spark.read.parquet(f"{root}/base").select(*_LOG_COLS)
     delta = _read_delta(spark, f"{root}/delta")
     if delta is not None:
         out = out.unionByName(delta.select(*_LOG_COLS))
-    return out.dropDuplicates(["event_id"])
+    return (
+        out.repartition("user_id")
+        .groupBy(*_LOG_COLS)
+        .agg(F.count("*").alias("_dups"))
+        .drop("_dups")
+    )
 
 
 def _as_operator_input(log: DataFrame) -> DataFrame:
