@@ -109,3 +109,44 @@ def test_funnel_matches_brute_force(spark, seed):
         for r in EV.event_funnel(df).collect()
     }
     assert got == _brute_funnel(rows)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_range_join_matches_naive_on_random_intervals(spark, seed):
+    """Bucketized range join == naive containment join on randomized
+    interval sets: lengths from sub-bucket to many-bucket, arbitrary
+    overlaps (a point inside k intervals emits k rows), boundary
+    alignment at exact bucket multiples."""
+    from pdf_extraction_and_query_spark import contract as C
+    from pdf_extraction_and_query_spark.operators.eventflow import range_join
+
+    rng = random.Random(seed)
+    B = C.RANGE_BUCKET_S
+    iv = [
+        (
+            rng.randrange(0, 3),
+            i,
+            (s := rng.randrange(0, 6 * B)),
+            s + rng.choice([0, 5, B - 1, B, 3 * B + 7]),
+        )
+        for i, _ in enumerate(range(40))
+    ]
+    pts = [
+        (rng.randrange(0, 4), 1000 + j, rng.randrange(0, 8 * B))
+        for j in range(120)
+    ] + [(u, 2000 + i, s) for (u, i, s, e) in iv[:10]]  # exact starts
+    ivdf = spark.createDataFrame(
+        iv, "user_id long, iv_id long, start_epoch long, end_epoch long"
+    )
+    pdf = spark.createDataFrame(pts, "user_id long, event_id long, ts_s long")
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(pdf, ivdf, keys=["user_id"]).collect()
+    )
+    naive = sorted(
+        (p_eid, i_id)
+        for (p_u, p_eid, p_ts) in pts
+        for (i_u, i_id, i_s, i_e) in iv
+        if p_u == i_u and i_s <= p_ts <= i_e
+    )
+    assert got == naive
