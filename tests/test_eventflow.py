@@ -403,3 +403,16 @@ def test_rollup_anomalies_median_mad_semantics(spark):
     assert [r["is_anomaly"] for r in a] == [0, 0, 0, 0, 1]
     b = [out[("b", base + h * 3600)] for h in range(2)]
     assert all(r["med"] == 1 for r in b)  # lower median of [1, 3]
+
+
+# ------------------------------------------------------------ plan shapes
+def test_asof_and_funnel_are_single_exchange(spark):
+    """The scale claims in the module docstring, pinned: as-of and funnel
+    plans contain exactly ONE Exchange (the user_id shuffle) — the
+    chained funnel windows and the per-user collapse all reuse it —
+    and the event_type filter reaches the scan."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for df in (EV.asof_join_events(ev), EV.event_funnel(ev)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "PushedFilters: [In(event_type" in plan or "DataFilters: [event_type" in plan, plan
