@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "media_pairs",
     "rollup_anomalies",
     "session_attribution",
     "rollup_cascade",
@@ -318,6 +319,7 @@ def main() -> None:
         "rollup_cascade",
         "rollup_anomalies",
         "media_refs",
+        "media_pairs",
         "boilerplate_flags",
         "doc_meta",
         "page_text_map",

@@ -656,3 +656,11 @@ DAY_S = 24 * 3600
 # (no 1.4826 normal-consistency factor — it would demand a float and buys
 # nothing for thresholding).
 ANOM_K = 3
+# interleaved image-text pair mining (multimodal.media_pairs — the
+# OBELICS/LAION-style caption-mining op over an interleaved span table):
+# per media span, caption = nearest FOLLOWING non-boilerplate text span,
+# context = nearest PRECEDING non-boilerplate text span (boilerplate by
+# the north-rule repeated-line flag, so a page footer between a figure
+# and its surrounding prose never pollutes the pair); a pair is kept for
+# training when the caption holds >= MIN_WORDS whitespace words.
+MM_PAIR_MIN_WORDS = 3

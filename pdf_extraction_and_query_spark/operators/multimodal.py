@@ -171,6 +171,96 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0) -> DataFrame:
     return media_df.mapInPandas(run, FRAMES_SCHEMA)
 
 
+def media_pairs(spans_df: DataFrame) -> DataFrame:
+    """Interleaved image-text pair mining (the OBELICS/LAION-style
+    multimodal training-data op): one row per media span with its caption
+    candidate (nearest FOLLOWING non-boilerplate text span) and context
+    (nearest PRECEDING non-boilerplate text span), a caption word count,
+    and the keep flag ``pair_ok`` (caption present with >=
+    ``contract.MM_PAIR_MIN_WORDS`` words).
+
+    Boilerplate text (the north-rule repeated-line flag from
+    ``extraction.flag_boilerplate``) is ineligible as caption/context, so
+    a page footer sitting between a figure and the surrounding prose never
+    pollutes the pair — the semantics a real interleaved web/PDF corpus
+    needs, not a fixture-keyed rule.
+
+    Scale shape: explode + every window partitions by doc_id (the
+    boilerplate window's (doc_id, norm) key reuses the doc_id exchange via
+    the subset rule, PLANS.md #37) — ONE exchange end to end, media rows
+    only past the filter.  No reference analog (the reference stores media
+    spans but never mines pairs); the span-order adjacency semantics
+    mirror its interleave contract (src/extraction/pdf_extractor.py
+    reading-order sort).
+    """
+    from pyspark.sql import Window
+
+    from .. import contract as C
+    from .extraction import MEDIA_KINDS, explode_spans, flag_boilerplate
+
+    lines = flag_boilerplate(explode_spans(spans_df))
+    eligible = F.when(
+        (F.col("kind") == "text") & ~F.col("is_boiler"), F.col("text")
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    df = lines.select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        F.last(eligible, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("ctx_text"),
+        F.first(eligible, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("cap_text"),
+    ).where(F.col("kind").isin(*MEDIA_KINDS))
+    cap_words = F.when(
+        F.col("cap_text").isNotNull(),
+        F.size(F.split(F.trim("cap_text"), r"\s+")),
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("media_idx"),
+        "kind",
+        "media_ref",
+        "ctx_text",
+        "cap_text",
+        cap_words.alias("cap_n_words"),
+        (
+            F.col("cap_text").isNotNull()
+            & (cap_words >= F.lit(C.MM_PAIR_MIN_WORDS))
+        )
+        .cast("long")
+        .alias("pair_ok"),
+    )
+
+
+def media_pair_stats(pairs: DataFrame) -> DataFrame:
+    """Corpus rollup of :func:`media_pairs` — the pair-mining yield report
+    (what a multimodal-pretraining owner reads before committing a crawl):
+    media spans seen, pairs kept, fixed-point keep ratio, docs contributing,
+    mean caption length.  One map-side-combined aggregate over rows that are
+    already media-only summaries."""
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum("pair_ok").cast("long").alias("n_pairs_ok"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("cap_n_words").cast("long").alias("sum_cap_words"),
+        F.count("cap_n_words").cast("long").alias("n_caps"),
+    ).select(
+        "n_media",
+        "n_pairs_ok",
+        F.expr("(10000 * n_pairs_ok) div greatest(n_media, 1)")
+        .cast("long")
+        .alias("keep_ratio_e4"),
+        "n_docs",
+        F.expr("(100 * sum_cap_words) div greatest(n_caps, 1)")
+        .cast("long")
+        .alias("avg_cap_words_e2"),
+    )
+
+
 def enrich_spans_with_media(out_spans: DataFrame, features: DataFrame) -> DataFrame:
     """Join the extraction pipeline's media spans to their decoded features
     — broadcast hash join on media_ref (features side is per-asset, tiny

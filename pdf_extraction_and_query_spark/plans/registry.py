@@ -31,6 +31,7 @@ from ..operators import gopher as GO
 from ..operators import graphrank as GR
 from ..operators import htmlextract as HX
 from ..operators import kmeans as KM
+from ..operators import multimodal as MM
 from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import pq as PQ
@@ -340,6 +341,21 @@ def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ref_ok"),
     )
+
+
+def _media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text pair mining over the derived span corpus
+    (operators/multimodal.media_pairs).  The oracle reproduces caption =
+    line i, context = line i-1 from pure word-index arithmetic — valid
+    because figures precede line i (never line 0), the only span that can
+    intervene before a figure's preceding prose is a footer, and footers
+    are boilerplate exactly when that branch occurs (page-start figures
+    need i ≡ 24 (mod 28) ⇒ ≥ 7 pages ≥ DEFAULT_MIN_PAGES; the
+    only-footers-recur certification is tests/test_corpus_contract.py::
+    test_only_footers_recur_across_pages_at_gate_scale)."""
+    from ..operators.multimodal import media_pairs
+
+    return media_pairs(_span_corpus(spark, sf_dir))
 
 
 def _process_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +845,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # event-stream analytics (operators/eventflow.py): as-of join,
     # ordered funnel, retention cohorts — plus the HDR quantile sketch
     "media_refs": _media_refs,
+    # interleaved image-text pair mining (operators/multimodal.py)
+    "media_pairs": _media_pairs,
+    "media_pair_stats": lambda s, d: MM.media_pair_stats(_media_pairs(s, d)),
     "session_attribution": lambda s, d: EV.session_attribution(_events(s, d)),
     "rollup_cascade": lambda s, d: EV.rollup_cascade(_events(s, d)),
     "rollup_anomalies": lambda s, d: EV.rollup_anomalies(_events(s, d)),
@@ -4351,6 +4370,64 @@ SELECT cast(doc_id as varchar) AS doc_id, media_idx,
                 || cast(media_idx as varchar) AS media_ref,
        cast(1 as bigint) AS ref_ok
 FROM r"""
+
+
+# --- interleaved image-text pair mining (operators/multimodal.media_pairs):
+# the Spark side runs the GENERIC rule (nearest non-boilerplate text span
+# before/after each media span, boilerplate by the north-rule repeated-line
+# flag); the oracle reproduces it from word-index arithmetic — caption =
+# line i, context = line i-1 — valid because figures precede line i (i >= 3
+# always, so line i-1 exists), and the only span that can sit between a
+# figure and line i-1 is a page footer (page-start figures, i ≡ 24 mod 28
+# ⇒ >= 7 pages), which the repeated-line rule flags exactly then
+# (certified by test_only_footers_recur_across_pages_at_gate_scale).
+_MEDIA_PAIRS_CTE = f"""
+WITH {_CORPUS_META},
+wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{C.WS_SPLIT_RE}'),
+                     x -> x <> '') AS w
+  FROM documents),
+figs AS (
+  SELECT cm.doc_id, cm.n_words, wl.w,
+         unnest(list_filter(generate_series(0, cm.n_lines - 1),
+                i -> i % {C.CORPUS_FIG_EVERY} = {C.CORPUS_FIG_PHASE})) AS i
+  FROM cm JOIN wl ON cm.doc_id = wl.doc_id
+  WHERE cm.n_words > 0),
+p AS (
+  SELECT doc_id,
+         cast(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+              as bigint) AS media_idx,
+         array_to_string(w[((i - 1) * {_WPL} + 1):(i * {_WPL})], ' ')
+           AS ctx_text,
+         array_to_string(
+           w[(i * {_WPL} + 1):least((i + 1) * {_WPL}, n_words)], ' ')
+           AS cap_text,
+         cast(least((i + 1) * {_WPL}, n_words) - i * {_WPL}
+              as bigint) AS cap_n_words
+  FROM figs)"""
+
+ORACLE_SQL["media_pairs"] = f"""{_MEDIA_PAIRS_CTE}
+SELECT cast(doc_id as varchar) AS doc_id, media_idx,
+       'figure' AS kind,
+       'fig://' || cast(doc_id as varchar) || '/'
+                || cast(media_idx as varchar) AS media_ref,
+       ctx_text, cap_text, cap_n_words,
+       cast(CASE WHEN cap_n_words >= {C.MM_PAIR_MIN_WORDS}
+                 THEN 1 ELSE 0 END as bigint) AS pair_ok
+FROM p"""
+
+ORACLE_SQL["media_pair_stats"] = f"""{_MEDIA_PAIRS_CTE}
+SELECT cast(count(*) as bigint) AS n_media,
+       cast(sum(CASE WHEN cap_n_words >= {C.MM_PAIR_MIN_WORDS}
+                     THEN 1 ELSE 0 END) as bigint) AS n_pairs_ok,
+       cast((10000 * sum(CASE WHEN cap_n_words >= {C.MM_PAIR_MIN_WORDS}
+                              THEN 1 ELSE 0 END))
+            // greatest(count(*), 1) as bigint) AS keep_ratio_e4,
+       cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+       cast((100 * sum(cap_n_words)) // greatest(count(cap_n_words), 1)
+            as bigint) AS avg_cap_words_e2
+FROM p"""
 
 
 # --- bucketized range join (operators/eventflow.range_join): the oracle
