@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "hard_negatives",
+    "token_fertility",
     "media_pairs",
     "rollup_anomalies",
     "session_attribution",
@@ -294,6 +296,7 @@ def main() -> None:
         "hybrid_rrf",
         "vector_topk",
         "vector_topk_multi",
+        "hard_negatives",
         "knn_join",
         "knn_classify",
         "knn_dedup_clusters",
@@ -336,6 +339,7 @@ def main() -> None:
         "cluster_topics",
         "frontier_schedule",
         "bpe_token_counts",
+        "token_fertility",
         "retrieval_eval",
         "cms_heavy_hitters",
         "hll_vocab",

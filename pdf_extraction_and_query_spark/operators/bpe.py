@@ -188,6 +188,41 @@ def bpe_token_counts(
     )
 
 
+def token_fertility(docs: DataFrame, rounds: int = C.BPE_ROUNDS) -> DataFrame:
+    """Per-LANGUAGE tokenizer-fertility report — the health metric a
+    tokenizer owner checks before committing a vocab to a multilingual
+    pretraining run: BPE tokens per word (fertility, fixed-point e3) and
+    chars per token, by document language.  High fertility on a language
+    means the tokenizer fragments it (its corpus share effectively shrinks
+    in token space).
+
+    Same zero-shuffle encode as :func:`bpe_token_counts` (pure-codegen
+    nested replaces) with ``lang`` carried through the narrow projection,
+    folded by ONE map-side-combined aggregate over ~|langs| groups — the
+    corpus never shuffles, only per-language summary rows do."""
+    merges = bpe_train(docs, rounds)
+    lt = F.lower(F.col("text"))
+    per = docs.select(
+        "lang",
+        F.size(_words(F.col("text"))).cast("long").alias("w"),
+        F.length(F.regexp_replace(lt, r"\s", "")).cast("long").alias("ch"),
+        F.length(F.regexp_replace(_merge_chain(lt, merges), r"\s", ""))
+        .cast("long")
+        .alias("tok"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("tok").cast("long").alias("n_bpe_tokens"),
+        F.expr("(1000 * sum(tok)) div greatest(sum(w), 1)")
+        .cast("long")
+        .alias("fertility_e3"),
+        F.expr("(1000 * sum(ch)) div greatest(sum(tok), 1)")
+        .cast("long")
+        .alias("chars_per_token_e3"),
+    )
+
+
 def bpe_vocab(docs: DataFrame, rounds: int = C.BPE_ROUNDS) -> DataFrame:
     """The trained subword vocabulary with corpus frequencies: encode the
     distinct-word table, explode single-codepoint symbols weighted by word

@@ -198,6 +198,48 @@ def vector_topk_multi(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = C.MULTI_QUERY_N, k: int = C.MULTI_TOPK
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per query,
+    the top-k most-similar candidates carrying a DIFFERENT label — the
+    pairs a contrastive loss learns the most from (the self-hit is excluded
+    automatically: it shares the query's label).
+
+    Same scale shape as :func:`vector_topk_multi`: broadcast the tiny query
+    set, score all pairs map-side with the exact fixed-point dot, drop
+    same-label pairs BEFORE the shuffle, one q_id row_number window — the
+    corpus moves through exactly one exchange of (n_queries × corpus)
+    summary rows already filtered to cross-label pairs."""
+    qs = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("q_label"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+    cand = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("neg_label"),
+        fixed_point_vec(F.col("embedding")).alias("ev"),
+    )
+    scored = (
+        cand.join(F.broadcast(qs))
+        .where(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "neg_label",
+            _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_e12"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "q_label", "vec_id", "neg_label", "rank", "dot_e12")
+    )
+
+
 def topk_enriched(embeddings: DataFrame, documents: DataFrame, k: int = C.TOPK) -> DataFrame:
     """Result enrichment: top-k hits joined to their parent documents —
     the reference's N+1 loop as ONE broadcast hash join (build side = the k

@@ -680,6 +680,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": lambda s, d: TX.vocab_topk(_docs(s, d)),
     "bpe_merges": lambda s, d: BP.bpe_merges(_docs(s, d)),
     "bpe_token_counts": lambda s, d: BP.bpe_token_counts(_docs(s, d)),
+    "token_fertility": lambda s, d: BP.token_fertility(_docs(s, d)),
     "bpe_vocab": lambda s, d: BP.bpe_vocab(_docs(s, d)),
     "redact_pii": lambda s, d: TX.redact_pii(_docs(s, d)),
     "length_histogram": lambda s, d: TX.length_histogram(_docs(s, d)),
@@ -754,6 +755,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
+    # hard-negative mining for contrastive retrieval training
+    "hard_negatives": lambda s, d: S.hard_negatives(_emb(s, d)),
     "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
@@ -1577,6 +1580,25 @@ SELECT doc_id, n_words, n_chars, n_bpe_tokens,
             THEN cast(n_bpe_tokens * 1000000 // n_chars as bigint)
             ELSE 0 END AS compression_micro
 FROM e""",
+    # per-language tokenizer fertility (operators/bpe.py token_fertility):
+    # same encode expressions as bpe_token_counts, grouped by lang
+    "token_fertility": f"""
+WITH {_bpe_ctes()},
+d AS (SELECT lang, lower(text) AS lt FROM documents),
+e AS (
+  SELECT lang,
+         cast(len(list_filter(regexp_split_to_array(trim(lt), '{C.WS_SPLIT_RE}'),
+                              x -> x <> '')) as bigint) AS w,
+         cast(length(regexp_replace(lt, '\\s', '', 'g')) as bigint) AS ch,
+         cast(length(regexp_replace({_bpe_apply_sql('lt')}, '\\s', '', 'g')) as bigint)
+           AS tok
+  FROM d)
+SELECT lang, cast(count(*) as bigint) AS n_docs,
+       cast(sum(w) as bigint) AS n_words,
+       cast(sum(tok) as bigint) AS n_bpe_tokens,
+       cast((1000 * sum(tok)) // greatest(sum(w), 1) as bigint) AS fertility_e3,
+       cast((1000 * sum(ch)) // greatest(sum(tok), 1) as bigint) AS chars_per_token_e3
+FROM e GROUP BY lang""",
     "bpe_vocab": f"""
 WITH {_bpe_ctes()},
 chars AS (
@@ -2491,6 +2513,22 @@ r AS (SELECT q_id, vec_id, dot_e12,
              cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
       FROM s)
 SELECT q_id, vec_id, rank, dot_e12 FROM r WHERE rank <= {C.MULTI_TOPK}""",
+    # hard-negative mining (operators/search.py hard_negatives): per query,
+    # top-k most-similar CROSS-LABEL candidates (what a contrastive loss
+    # trains on); exact fixed-point dot, self-hit excluded by label
+    "hard_negatives": f"""
+WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
+                  {_FP_VEC} AS qv
+           FROM embeddings WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, cast(label as bigint) AS neg_label, {_FP_VEC} AS ev
+      FROM embeddings),
+s AS (SELECT q_id, q_label, vec_id, neg_label, {_DOT} AS dot_e12
+      FROM c, q WHERE neg_label <> q_label),
+r AS (SELECT q_id, q_label, vec_id, neg_label, dot_e12,
+             cast(row_number() OVER (PARTITION BY q_id ORDER BY dot_e12 DESC, vec_id) as bigint) AS rank
+      FROM s)
+SELECT q_id, q_label, vec_id, neg_label, rank, dot_e12
+FROM r WHERE rank <= {C.MULTI_TOPK}""",
     # retrieval-quality eval (operators/search.py retrieval_eval): the
     # machine-checkable form of the reference's 40-query evaluation suite
     # (evaluation/ma_test_queries.json + scripts/evaluate_queries.py) —

@@ -135,3 +135,31 @@ def test_encode_plan_is_narrow(docs):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_token_fertility_ties_out_with_per_doc_counts(spark):
+    """token_fertility's per-language sums must equal bpe_token_counts
+    aggregated over the documents of that language — same merges, same
+    encode expressions, one grouped fold."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fert = {r["lang"]: r for r in B.token_fertility(docs).collect()}
+    per_doc = (
+        B.bpe_token_counts(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .collect()
+    )
+    assert len(fert) == len(per_doc) > 1
+    for r in per_doc:
+        f = fert[r["lang"]]
+        assert (f["n_docs"], f["n_words"], f["n_bpe_tokens"]) == (
+            r["n_docs"], r["n_words"], r["n_bpe_tokens"]
+        ), r["lang"]
+        assert f["fertility_e3"] == (1000 * r["n_bpe_tokens"]) // max(r["n_words"], 1)

@@ -77,3 +77,39 @@ def test_retrieval_eval_by_label_integer_means(spark):
     assert r["n_queries_hit"] == 2
     assert r["mean_mrr_micro"] == (500_000 + 333_333) // 2
     assert r["mean_precision_micro"] == 333_333  # (333333+333333) div 2
+
+
+def test_hard_negatives_skips_same_label_and_self(spark):
+    """The nearest candidate overall shares the query's label (and the
+    self-hit trivially does) — neither may appear; ranks count only
+    cross-label candidates, ordered by exact dot then vec_id."""
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),   # query
+            (1, [0.95, 0.05], 0),  # nearest overall, same label -> excluded
+            (2, [0.9, 0.1], 1),   # hardest negative
+            (3, [0.8, 0.2], 2),
+            (4, [0.0, 1.0], 1),
+        ],
+    )
+    rows = S.hard_negatives(emb, n_queries=1, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        (2, 1),
+        (3, 2),
+    ]
+    assert all(r["q_id"] == 0 and r["q_label"] == 0 and r["neg_label"] != 0 for r in rows)
+
+
+def test_hard_negatives_plan_shape(spark):
+    """Query side broadcast, same-label pairs dropped map-side, ONE q_id
+    hash exchange for the ranking window."""
+    emb = _emb(spark, [(i, [float(i), 1.0], i % 2) for i in range(8)])
+    plan = (
+        S.hard_negatives(emb, n_queries=2, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
