@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "triplet_mining",
     "hard_negatives",
     "token_fertility",
     "media_pairs",
@@ -297,6 +298,7 @@ def main() -> None:
         "vector_topk",
         "vector_topk_multi",
         "hard_negatives",
+        "triplet_mining",
         "knn_join",
         "knn_classify",
         "knn_dedup_clusters",

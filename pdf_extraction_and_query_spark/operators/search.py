@@ -240,6 +240,73 @@ def hard_negatives(
     )
 
 
+def triplet_mining(
+    embeddings: DataFrame, n_queries: int = C.MULTI_QUERY_N
+) -> DataFrame:
+    """Triplet mining for metric-learning audits: per query (anchor), the
+    NEAREST SAME-label candidate (hardest positive, self excluded) and the
+    NEAREST CROSS-label candidate (hardest negative), with the exact
+    fixed-point margin ``pos_dot - neg_dot`` and its sign — negative
+    margin means the corpus embedding violates the triplet constraint at
+    that anchor (what one checks before/after contrastive fine-tuning).
+
+    Scale shape: broadcast query set, map-side score + pos/neg tag, then
+    an explicit q_id repartition — HashPartitioning(q_id) satisfies BOTH
+    the (q_id, is_pos) ranking window and the final (q_id, q_label) fold
+    (subset rule, PLANS.md #37), so the whole plan pays exactly one hash
+    exchange (plan-pinned in tests/test_retrieval_eval.py)."""
+    qs = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("q_label"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+    cand = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("c_label"),
+        fixed_point_vec(F.col("embedding")).alias("ev"),
+    )
+    scored = (
+        cand.join(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            (F.col("c_label") == F.col("q_label")).alias("is_pos"),
+            _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12"),
+        )
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("dot_e12"), F.asc("vec_id")
+    )
+    top = (
+        scored.repartition("q_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    pos = F.when(F.col("is_pos"), F.col("vec_id"))
+    neg = F.when(~F.col("is_pos"), F.col("vec_id"))
+    out = top.groupBy("q_id", "q_label").agg(
+        F.max(pos).cast("long").alias("pos_id"),
+        F.max(F.when(F.col("is_pos"), F.col("dot_e12"))).alias("pos_dot_e12"),
+        F.max(neg).cast("long").alias("neg_id"),
+        F.max(F.when(~F.col("is_pos"), F.col("dot_e12"))).alias("neg_dot_e12"),
+    )
+    return out.select(
+        "q_id",
+        "q_label",
+        "pos_id",
+        "pos_dot_e12",
+        "neg_id",
+        "neg_dot_e12",
+        (F.col("pos_dot_e12") - F.col("neg_dot_e12")).alias("margin_e12"),
+        F.when(F.col("pos_dot_e12") > F.col("neg_dot_e12"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("margin_ok"),
+    )
+
+
 def topk_enriched(embeddings: DataFrame, documents: DataFrame, k: int = C.TOPK) -> DataFrame:
     """Result enrichment: top-k hits joined to their parent documents —
     the reference's N+1 loop as ONE broadcast hash join (build side = the k

@@ -757,6 +757,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     # hard-negative mining for contrastive retrieval training
     "hard_negatives": lambda s, d: S.hard_negatives(_emb(s, d)),
+    "triplet_mining": lambda s, d: S.triplet_mining(_emb(s, d)),
     "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
@@ -2529,6 +2530,33 @@ r AS (SELECT q_id, q_label, vec_id, neg_label, dot_e12,
       FROM s)
 SELECT q_id, q_label, vec_id, neg_label, rank, dot_e12
 FROM r WHERE rank <= {C.MULTI_TOPK}""",
+    # triplet mining (operators/search.py triplet_mining): hardest positive
+    # (same label, self excluded) + hardest negative per anchor, exact
+    # fixed-point margin; NULL positive (unique label) -> margin_ok 0
+    "triplet_mining": f"""
+WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
+                  {_FP_VEC} AS qv
+           FROM embeddings WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, cast(label as bigint) AS c_label, {_FP_VEC} AS ev
+      FROM embeddings),
+s AS (SELECT q_id, q_label, vec_id, (c_label = q_label) AS is_pos,
+             {_DOT} AS dot_e12
+      FROM c, q WHERE vec_id <> q_id),
+r AS (SELECT q_id, q_label, vec_id, is_pos, dot_e12,
+             row_number() OVER (PARTITION BY q_id, is_pos
+                                ORDER BY dot_e12 DESC, vec_id) AS rn
+      FROM s),
+g AS (SELECT q_id, q_label,
+             cast(max(CASE WHEN is_pos THEN vec_id END) as bigint) AS pos_id,
+             cast(max(CASE WHEN is_pos THEN dot_e12 END) as bigint) AS pos_dot_e12,
+             cast(max(CASE WHEN NOT is_pos THEN vec_id END) as bigint) AS neg_id,
+             cast(max(CASE WHEN NOT is_pos THEN dot_e12 END) as bigint) AS neg_dot_e12
+      FROM r WHERE rn = 1 GROUP BY 1, 2)
+SELECT q_id, q_label, pos_id, pos_dot_e12, neg_id, neg_dot_e12,
+       cast(pos_dot_e12 - neg_dot_e12 as bigint) AS margin_e12,
+       cast(CASE WHEN pos_dot_e12 > neg_dot_e12 THEN 1 ELSE 0 END
+            as bigint) AS margin_ok
+FROM g""",
     # retrieval-quality eval (operators/search.py retrieval_eval): the
     # machine-checkable form of the reference's 40-query evaluation suite
     # (evaluation/ma_test_queries.json + scripts/evaluate_queries.py) —

@@ -101,6 +101,46 @@ def test_hard_negatives_skips_same_label_and_self(spark):
     assert all(r["q_id"] == 0 and r["q_label"] == 0 and r["neg_label"] != 0 for r in rows)
 
 
+def test_triplet_mining_hand_computed(spark):
+    """Hardest positive = nearest same-label non-self; hardest negative =
+    nearest cross-label; margin = pos_dot - neg_dot with sign flag. A
+    query whose label is unique has NULL positive columns and margin_ok 0."""
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),    # anchor A (label 0)
+            (1, [0.0, 1.0], 7),    # anchor B (unique label 7)
+            (2, [0.9, 0.1], 0),    # A's hardest positive (dot .9)
+            (3, [0.95, 0.05], 1),  # A's hardest negative (dot .95 > .9)
+            (4, [0.5, 0.5], 0),    # nearer to B than 2/3 per-label? not used for A
+        ],
+    )
+    rows = {r["q_id"]: r for r in S.triplet_mining(emb, n_queries=2).collect()}
+    a = rows[0]
+    assert (a["pos_id"], a["neg_id"]) == (2, 3)
+    assert a["margin_e12"] == a["pos_dot_e12"] - a["neg_dot_e12"] < 0
+    assert a["margin_ok"] == 0
+    b = rows[1]  # unique label: no positive exists
+    assert b["pos_id"] is None and b["pos_dot_e12"] is None
+    assert b["neg_id"] is not None
+    assert b["margin_e12"] is None and b["margin_ok"] == 0
+
+
+def test_triplet_mining_plan_shape(spark):
+    """Broadcast query side; the explicit q_id repartition is the ONLY
+    hash exchange — it satisfies both the (q_id, is_pos) window and the
+    final fold via the subset rule (PLANS.md #37)."""
+    emb = _emb(spark, [(i, [float(i), 1.0], i % 2) for i in range(8)])
+    plan = (
+        S.triplet_mining(emb, n_queries=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_hard_negatives_plan_shape(spark):
     """Query side broadcast, same-label pairs dropped map-side, ONE q_id
     hash exchange for the ranking window."""
