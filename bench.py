@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "bitext_margin_pairs",
     "triplet_mining",
     "hard_negatives",
     "token_fertility",
@@ -299,6 +300,7 @@ def main() -> None:
         "vector_topk_multi",
         "hard_negatives",
         "triplet_mining",
+        "bitext_margin_pairs",
         "knn_join",
         "knn_classify",
         "knn_dedup_clusters",

@@ -1255,6 +1255,106 @@ def knn_brute(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
     return _knn_rank(pairs, k)
 
 
+def _ivf_ranked_sided(
+    embeddings: DataFrame, n_centroids: int, n_probe: int
+) -> DataFrame:
+    """:func:`_ivf_ranked` carrying a deterministic two-corpus split
+    ``side = label % 2`` (the bitext stand-in for a language column —
+    the fixture has no lang field; a real deployment substitutes it).
+    Kept separate so the shared helper's plan (pinned by the knn tests)
+    never changes."""
+    cand = embeddings.select(
+        "vec_id",
+        F.pmod(F.col("label").cast("long"), F.lit(2)).alias("side"),
+        fixed_point_vec(F.col("embedding")).alias("ev"),
+    )
+    scored = cand.join(F.broadcast(_centroids(embeddings, n_centroids))).select(
+        "vec_id", "side", "ev", "cent_id",
+        _dot_vec(F.col("ev"), F.col("cv")).alias("cdot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .localCheckpoint()
+    )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    k: int = C.KNN_K,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER parallel-corpus miner): corpus split into two sides (here the
+    deterministic ``label % 2`` stand-in for a language column); each
+    side-0 anchor is paired with its nearest side-1 candidate and scored
+    by the DISTANCE-margin criterion — how much the pair's similarity
+    exceeds the mean of both endpoints' top-k cross-side neighborhoods.
+    All-integer form: ``margin2k_e12 = 2k*dot - fwd_topk_sum -
+    bwd_topk_sum`` (the avg margin scaled by 2k — same ordering, no
+    division, |2k*dot| <= 2*5*64e12 << 2^63), plus ``is_mutual`` (the
+    anchor is ALSO its candidate's best match — the high-precision
+    filter).  Sums run over min(k, available) neighbors; an anchor whose
+    candidate has no reverse neighborhood keeps NULL bwd/margin.
+
+    Scale shape: one sided IVF ranking pass feeds BOTH directions'
+    probe/assignment roles; each direction is the grouped-matmul
+    per-list top-k kernel of :func:`knn_join` (never all-pairs), the
+    per-anchor fold reuses each direction's q_id window exchange
+    (subset rule, PLANS.md #37), and the final fwd⋈bwd join carries
+    only skinny per-anchor stats rows."""
+    ranked = _ivf_ranked_sided(embeddings, n_centroids, n_probe)
+    shuffle_n = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def _probes(side: int) -> DataFrame:
+        return ranked.where(F.col("side") == side).select(
+            F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "cent_id"
+        )
+
+    def _assigned(side: int) -> DataFrame:
+        return ranked.where((F.col("rn") == 1) & (F.col("side") == side)).select(
+            "cent_id", F.col("vec_id").alias("nb_id"), F.col("ev").alias("nv")
+        )
+
+    def _agg(pairs: DataFrame) -> DataFrame:
+        top = _knn_rank(pairs, k)
+        return top.groupBy("q_id").agg(
+            F.sum("dot_e12").cast("long").alias("sum_e12"),
+            F.max(F.when(F.col("rank") == 1, F.col("nb_id")))
+            .cast("long")
+            .alias("best_nb"),
+            F.max(F.when(F.col("rank") == 1, F.col("dot_e12")))
+            .cast("long")
+            .alias("best_dot"),
+        )
+
+    fwd = _agg(_block_topk_pairs(_probes(0), _assigned(1), k, shuffle_n))
+    bwd = _agg(_block_topk_pairs(_probes(1), _assigned(0), k, shuffle_n)).select(
+        F.col("q_id").alias("b_id"),
+        F.col("sum_e12").alias("bwd_sum_e12"),
+        F.col("best_nb").alias("b_best"),
+    )
+    return fwd.join(bwd, fwd.best_nb == bwd.b_id, "left").select(
+        F.col("q_id").alias("src_id"),
+        F.col("best_nb").alias("tgt_id"),
+        F.col("best_dot").alias("dot_e12"),
+        F.col("sum_e12").alias("fwd_sum_e12"),
+        "bwd_sum_e12",
+        (
+            F.lit(2 * k).cast("long") * F.col("best_dot")
+            - F.col("sum_e12")
+            - F.col("bwd_sum_e12")
+        ).alias("margin2k_e12"),
+        F.coalesce(F.col("b_best") == F.col("q_id"), F.lit(False)).alias(
+            "is_mutual"
+        ),
+    )
+
+
 def knn_recall(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
     """Graph-quality rollup for the IVF-blocked kNN join: ONE row —
     edge recall of :func:`knn_join` against the exact :func:`knn_brute`

@@ -766,6 +766,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": lambda s, d: S.knn_classify(_emb(s, d)),
     "knn_classify_accuracy": lambda s, d: S.knn_classify_accuracy(_emb(s, d)),
     "mutual_knn_pairs": lambda s, d: S.mutual_knn_pairs(_emb(s, d)),
+    # margin-based bitext mining (CCMatrix/LASER distance-margin criterion)
+    "bitext_margin_pairs": lambda s, d: S.bitext_margin_pairs(_emb(s, d)),
     "knn_dedup_clusters": lambda s, d: D.knn_dedup_clusters(_emb(s, d)),
     "ivf_stats": lambda s, d: S.ivf_stats(_emb(s, d)),
     "knn_recall": lambda s, d: S.knn_recall(_emb(s, d)),
@@ -3980,6 +3982,55 @@ SELECT cast(q_id as bigint) AS q_id, cast(nb_id as bigint) AS nb_id,
 ORACLE_SQL["mutual_knn_pairs"] = _mutual_cte(C.KNN_K) + """
 SELECT cast(vec_a as bigint) AS vec_a, cast(vec_b as bigint) AS vec_b,
        dot_e12 FROM mutual"""
+
+# margin-based bitext mining (operators/search.py bitext_margin_pairs):
+# the knn_join blocking with a label%2 side split; pairs cross sides
+# only, per-anchor top-K fold, distance margin 2k*dot - fwd_sum -
+# bwd_sum (all-integer scaled avg margin), mutual-best flag.  sum() is
+# HUGEINT in DuckDB — cast back to bigint (CLAUDE.md sharp edge).
+ORACLE_SQL["bitext_margin_pairs"] = f"""
+WITH c AS (SELECT vec_id, cast(label as bigint) % 2 AS side, {_FP_VEC} AS ev
+           FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+scored AS (
+  SELECT c.vec_id, c.side, c.ev, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+ranked AS (
+  SELECT vec_id, side, ev, cent_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM scored) WHERE rn <= {C.IVF_PROBE}),
+assigned AS (SELECT cent_id, vec_id AS nb_id, side AS nb_side, ev AS nv
+             FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, side AS q_side, ev AS pqv, cent_id
+           FROM ranked),
+pairs AS (
+  SELECT q_id, q_side, nb_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> pqv[i] * nv[i])) as bigint) AS dot_e12
+  FROM probes JOIN assigned USING (cent_id)
+  WHERE q_side <> nb_side),
+t AS (
+  SELECT q_id, q_side, nb_id, dot_e12, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY dot_e12 DESC, nb_id) AS rank
+    FROM pairs) WHERE rank <= {C.KNN_K}),
+agg AS (
+  SELECT q_id, q_side,
+         cast(sum(dot_e12) as bigint) AS sum_e12,
+         cast(max(CASE WHEN rank = 1 THEN nb_id END) as bigint) AS best_nb,
+         cast(max(CASE WHEN rank = 1 THEN dot_e12 END) as bigint) AS best_dot
+  FROM t GROUP BY 1, 2)
+SELECT f.q_id AS src_id, f.best_nb AS tgt_id, f.best_dot AS dot_e12,
+       f.sum_e12 AS fwd_sum_e12, b.sum_e12 AS bwd_sum_e12,
+       cast({2 * C.KNN_K} as bigint) * f.best_dot - f.sum_e12 - b.sum_e12
+         AS margin2k_e12,
+       coalesce(b.best_nb = f.q_id, false) AS is_mutual
+FROM (SELECT * FROM agg WHERE q_side = 0) f
+LEFT JOIN (SELECT * FROM agg WHERE q_side = 1) b ON b.q_id = f.best_nb"""
 
 # SemDeDup-style graph dedup: connected components over the RECIPROCAL
 # nearest-neighbor edges (k = KNN_DEDUP_K = 1, the best-buddies
