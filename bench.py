@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "bq_topk",
     "bitext_margin_pairs",
     "triplet_mining",
     "hard_negatives",
@@ -339,6 +340,7 @@ def main() -> None:
         "link_hits",
         "semdedup",
         "sq_topk",
+        "bq_topk",
         "kmeans_centroids",
         "cluster_topics",
         "frontier_schedule",

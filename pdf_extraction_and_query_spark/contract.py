@@ -153,6 +153,9 @@ KM_ITERS = 2
 # SQ_RERANK exact-dot re-rank (the PQ_RERANK precedent)
 SQ_LEVELS = 255
 SQ_RERANK = 32
+# binary quantization (operators/bq.py): Hamming shortlist over the SRP
+# sketch, then exact re-rank of the BQ_RERANK best (SQ_RERANK precedent)
+BQ_RERANK = 32
 # signed-random-projection LSH: SRP_BITS hyperplanes with deterministic
 # integer components (identical in Spark and the DuckDB oracle), banded
 # into SRP_BANDS equal-width bands for the candidate equi-join

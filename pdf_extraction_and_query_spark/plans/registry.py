@@ -35,6 +35,7 @@ from ..operators import multimodal as MM
 from ..operators import repetition as RP
 from ..operators import packing as PK
 from ..operators import pq as PQ
+from ..operators import bq as BQ
 from ..operators import search as S
 from ..operators import sq as SQ
 from ..operators import sketches as SK
@@ -752,6 +753,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq_codes": lambda s, d: SQ.sq_codes(_emb(s, d)),
     "sq_topk": lambda s, d: SQ.sq_topk(_emb(s, d)),
     "sq_recall": lambda s, d: SQ.sq_recall(_emb(s, d)),
+    # binary quantization: Hamming shortlist over the SRP sketch + exact
+    # re-rank (the fourth quantization-family member)
+    "bq_topk": lambda s, d: BQ.bq_topk(_emb(s, d)),
+    "bq_recall": lambda s, d: BQ.bq_recall(_emb(s, d)),
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
@@ -2716,6 +2721,42 @@ approx AS (
   ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
 brute AS (
   SELECT vec_id FROM (SELECT c.vec_id, {_DOT} AS dot_e12 FROM c, q)
+  ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
+h AS (SELECT count(*) AS n FROM approx JOIN brute USING (vec_id))
+SELECT cast(0 as bigint) AS q_id, cast(n as bigint) AS n_hits,
+       cast({C.TOPK} as bigint) AS k,
+       cast(n * {C.FIXED_POINT} // {C.TOPK} as bigint) AS recall_e6
+FROM h""",
+    # binary quantization (operators/bq.py bq_topk): Hamming shortlist
+    # over the shared SRP sketch (identical planes), exact-dot re-rank
+    "bq_topk": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+w AS (SELECT vec_id, ev, {_srp_word_sql()} AS srp FROM c),
+q AS (SELECT srp AS qsrp, ev AS qv FROM w WHERE vec_id = 0),
+short AS (
+  SELECT w.vec_id, w.ev, q.qv,
+         cast(bit_count(xor(w.srp, q.qsrp)) as bigint) AS hamming
+  FROM w, q ORDER BY hamming, w.vec_id LIMIT {C.BQ_RERANK}),
+hits AS (SELECT vec_id, hamming, {_DOT} AS dot_e12 FROM short)
+SELECT cast(vec_id as bigint) AS vec_id, hamming, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint)
+         AS rank
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
+    "bq_recall": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+w AS (SELECT vec_id, ev, {_srp_word_sql()} AS srp FROM c),
+q AS (SELECT srp AS qsrp, ev AS qv FROM w WHERE vec_id = 0),
+short AS (
+  SELECT w.vec_id, w.ev, q.qv,
+         cast(bit_count(xor(w.srp, q.qsrp)) as bigint) AS hamming
+  FROM w, q ORDER BY hamming, w.vec_id LIMIT {C.BQ_RERANK}),
+approx AS (
+  SELECT vec_id, {_DOT} AS dot_e12 FROM short
+  ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
+brute AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id, {_DOT} AS dot_e12
+    FROM c, (SELECT qv FROM q) q)
   ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}),
 h AS (SELECT count(*) AS n FROM approx JOIN brute USING (vec_id))
 SELECT cast(0 as bigint) AS q_id, cast(n as bigint) AS n_hits,
