@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "shuffle_skew_report",
     "bq_topk",
     "bitext_margin_pairs",
     "triplet_mining",
@@ -318,6 +319,7 @@ def main() -> None:
         "eval_by_category",
         "doc_stats",
         "source_quality_report",
+        "shuffle_skew_report",
         "events_rollup",
         "events_asof",
         "event_funnel",

@@ -261,3 +261,49 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup_rate_e6"),
     )
+
+
+def shuffle_skew_report(documents: DataFrame, key: str = "source") -> DataFrame:
+    """Partition-key skew pre-flight: per ``key`` value, the load it
+    would place on a shuffle partitioned by that key — doc count, char
+    mass, corpus share, load factor (1e6 = perfectly balanced; the
+    ivf_stats convention), the CEIL salt factor that would level a hot
+    key back to mean load, and a >=2x-mean skew flag.  This is the
+    report an operator reads BEFORE picking a partition key or a
+    salting factor for a 100-TB ingest (the north rule's "skew handled
+    explicitly" made first-class and queryable; the extraction plan's
+    whale routing in plans/extract.py is the same decision applied to
+    per-doc span counts).
+
+    Scale shape: ONE map-side-combined key aggregate (the corpus is
+    touched once); the grand totals ride a single-partition window over
+    the ALREADY-AGGREGATED n_keys-row frame (never corpus rows — the
+    short_outliers counting precedent).  int64 bound: char_mass * n_keys
+    * 1e6 — exact while total corpus chars * keys stays under ~9e18;
+    past that compute load from share_micro.
+    """
+    from pyspark.sql import Window
+
+    k = documents.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    k = k.withColumn("grand_total", F.sum("total_chars").over(w)).withColumn(
+        "n_keys", F.count(F.lit(1)).over(w)
+    )
+    return k.select(
+        key,
+        "n_docs",
+        "total_chars",
+        F.expr("total_chars * 1000000L DIV grand_total").alias("share_micro"),
+        F.expr("total_chars * n_keys * 1000000L DIV grand_total").alias(
+            "load_micro"
+        ),
+        F.expr(
+            "(total_chars * n_keys + grand_total - 1) DIV grand_total"
+        ).alias("salt_factor"),
+        F.expr(
+            "total_chars * n_keys * 1000000L DIV grand_total >= 2000000"
+        ).alias("is_skewed"),
+    )

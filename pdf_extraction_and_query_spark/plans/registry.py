@@ -804,6 +804,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_contamination": lambda s, d: SK.bloom_contamination(_docs(s, d)),
     "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
+    # partition-key skew pre-flight (per-source load/share/salt report)
+    "shuffle_skew_report": lambda s, d: ST.shuffle_skew_report(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
     "sessionize": lambda s, d: ST.sessionize(_events(s, d)),
     # --- span-corpus surface (oracle-paired via the word-index-arithmetic
@@ -3132,6 +3134,27 @@ SELECT cast(d.doc_id as bigint) AS doc_id, d.lang,
        cast(c.cutoff_chars as bigint) AS cutoff_chars,
        d.n_chars < c.cutoff_chars AS is_short_outlier
 FROM documents d JOIN cutoffs c USING (lang)""",
+    # partition-key skew pre-flight (operators/stats.py
+    # shuffle_skew_report): per-source shuffle load, share, load factor
+    # (1e6 = balanced), CEIL salt-to-mean factor, >=2x-mean flag.
+    # Positive integers throughout so DuckDB // == Spark DIV; sum() is
+    # HUGEINT — cast (CLAUDE.md sharp edge).
+    "shuffle_skew_report": """
+WITH k AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_chars) as bigint) AS total_chars
+  FROM documents GROUP BY 1),
+t AS (SELECT cast(sum(total_chars) as bigint) AS grand_total,
+             cast(count(*) as bigint) AS n_keys FROM k)
+SELECT source, n_docs, total_chars,
+       cast(total_chars * 1000000 // grand_total as bigint) AS share_micro,
+       cast(total_chars * n_keys * 1000000 // grand_total as bigint)
+         AS load_micro,
+       cast((total_chars * n_keys + grand_total - 1) // grand_total
+            as bigint) AS salt_factor,
+       total_chars * n_keys * 1000000 // grand_total >= 2000000
+         AS is_skewed
+FROM k, t""",
     "dedup_stats": f"""
 WITH g AS (
   SELECT md5({_NORM}) AS grp_hash, count(*) AS n
