@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "theta_source_overlap",
     "shuffle_skew_report",
     "bq_topk",
     "bitext_margin_pairs",
@@ -351,6 +352,7 @@ def main() -> None:
         "retrieval_eval",
         "cms_heavy_hitters",
         "hll_vocab",
+        "theta_source_overlap",
         "bloom_contamination",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)

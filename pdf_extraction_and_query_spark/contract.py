@@ -503,6 +503,17 @@ HITS_SCALE = 1_000_000
 HITS_ITERS = 2
 
 # --- mergeable corpus sketches (operators/sketches.py) ---
+# Fixed-threshold theta sketch (the KMV/bottom-k family, Bar-Yossef et
+# al. 2002; Apache DataSketches' theta with fixed p): a distinct token
+# joins the sample iff md5_bits48(THETA_SALT || token) < 2^48/THETA_RATE
+# — a pure per-row rule (md5, not poly_hash: the SAMPLE_SALT precedent —
+# sampling needs avalanche so the keep-set is uncorrelated with token
+# shape).  Intersections/Jaccards between per-source samples estimate
+# the true distinct-set overlaps scaled by THETA_RATE; sketches merge by
+# set union (associative), like CMS (+) and HLL (max).
+THETA_SALT = "theta:"
+THETA_RATE = 8
+THETA_BOUND = (1 << 48) // THETA_RATE
 # Count-min sketch (Cormode & Muthukrishnan 2005): CMS_D independent hash
 # rows x CMS_W buckets; row hashes are poly_hash("cms{i}:" || token) %
 # CMS_W.  Merging two sketches = cell-wise sum (associative), which is

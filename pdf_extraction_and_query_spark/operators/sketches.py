@@ -566,3 +566,84 @@ def hdr_quantiles(events: DataFrame) -> DataFrame:
             *errs,
         )
     )
+
+
+def theta_sample(docs: DataFrame) -> DataFrame:
+    """Per-source fixed-threshold theta sample of the distinct-token set:
+    (source, token) rows whose md5_bits48(THETA_SALT || token) falls
+    below 2^48/THETA_RATE.  The hash filter runs BEFORE the distinct so
+    the dedup shuffle carries only ~1/THETA_RATE of the (source, token)
+    stream — at 10^12 docs the sketch build is one rate-reduced
+    map-side-combined exchange, and the sample itself is the mergeable
+    artifact (union = merge)."""
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(C.THETA_SALT), F.col("token"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return tok.where(h < C.THETA_BOUND).distinct()
+
+
+def theta_source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source vocabulary-overlap report from theta samples: for
+    every source pair (a < b), the sampled distinct-token intersection,
+    the sample Jaccard (exact integer over the samples), and the
+    THETA_RATE-scaled estimate of the TRUE distinct intersection — the
+    report that answers "which ingest feeds duplicate each other's
+    vocabulary" without ever shuffling full vocabularies against each
+    other.  Pairs with empty sampled intersection still appear (zero
+    rows are the interesting ones for mixture design).
+
+    Scale shape: the only corpus-sized work is the rate-reduced distinct
+    in :func:`theta_sample`; the pair frame is built from the tiny
+    per-source size table (a broadcast self-cross of |sources| rows) and
+    the token-keyed sample self-join, both sample-sized."""
+    s = theta_sample(docs)
+    sizes = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    inter = (
+        s.alias("a")
+        .join(s.alias("b"), "token")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    pairs = (
+        sizes.select(
+            F.col("source").alias("src_a"), F.col("n_sampled").alias("n_a")
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_sampled").alias("n_b"),
+                )
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").alias("n_a_sampled"),
+        F.col("n_b").alias("n_b_sampled"),
+        "n_inter",
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        F.expr("n_inter * 1000000L DIV (n_a + n_b - n_inter)").alias(
+            "jaccard_e6"
+        ),
+        (F.col("n_inter") * C.THETA_RATE).cast("long").alias("est_inter"),
+    )

@@ -801,6 +801,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_report": lambda s, d: ST.source_quality_report(_docs(s, d)),
     "cms_heavy_hitters": lambda s, d: SK.cms_heavy_hitters(_docs(s, d)),
     "hll_vocab": lambda s, d: SK.hll_vocab(_docs(s, d)),
+    # theta-sketch cross-source vocabulary overlap (KMV family)
+    "theta_source_overlap": lambda s, d: SK.theta_source_overlap(_docs(s, d)),
     "bloom_contamination": lambda s, d: SK.bloom_contamination(_docs(s, d)),
     "short_outliers": lambda s, d: ST.short_outliers(_docs(s, d)),
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
@@ -2476,6 +2478,37 @@ SELECT m, n_registers_hit, s, est_raw, est, exact_distinct,
        cast((1000000 * (est - exact_distinct))
             // greatest(exact_distinct, 1) as bigint) AS err_e6
 FROM hf""",
+    # theta-sketch source overlap (operators/sketches.py
+    # theta_source_overlap): fixed-threshold distinct-token sample per
+    # source (md5_bits48 < 2^48/THETA_RATE — the stratified_sample md5
+    # convention), pairwise sampled intersection/Jaccard + rate-scaled
+    # true-intersection estimate; all-positive integers so // == DIV
+    "theta_source_overlap": f"""
+WITH ttok AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'))
+             AS token
+    FROM documents)
+  WHERE token <> ''
+    AND ('0x' || substr(md5('{C.THETA_SALT}' || token), 1, 12))::BIGINT
+        < {C.THETA_BOUND}),
+tsz AS (SELECT source, cast(count(*) as bigint) AS n FROM ttok GROUP BY 1),
+tint AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         cast(count(*) as bigint) AS n_inter
+  FROM ttok a JOIN ttok b USING (token)
+  WHERE a.source < b.source GROUP BY 1, 2)
+SELECT sa.source AS src_a, sb.source AS src_b,
+       sa.n AS n_a_sampled, sb.n AS n_b_sampled,
+       cast(coalesce(i.n_inter, 0) as bigint) AS n_inter,
+       cast(sa.n + sb.n - coalesce(i.n_inter, 0) as bigint) AS n_union,
+       cast(coalesce(i.n_inter, 0) * 1000000
+            // (sa.n + sb.n - coalesce(i.n_inter, 0)) as bigint)
+         AS jaccard_e6,
+       cast(coalesce(i.n_inter, 0) * {C.THETA_RATE} as bigint) AS est_inter
+FROM tsz sa JOIN tsz sb ON sa.source < sb.source
+LEFT JOIN tint i ON i.src_a = sa.source AND i.src_b = sb.source""",
     "fts_term_stats": f"""
 WITH tok AS (SELECT doc_id,
                     unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}')) AS token
