@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "retrieval_ndcg",
     "theta_source_overlap",
     "shuffle_skew_report",
     "bq_topk",
@@ -350,6 +351,7 @@ def main() -> None:
         "bpe_token_counts",
         "token_fertility",
         "retrieval_eval",
+        "retrieval_ndcg",
         "cms_heavy_hitters",
         "hll_vocab",
         "theta_source_overlap",

@@ -80,6 +80,14 @@ FIXED_POINT = 1_000_000  # float -> *_e6 bigint fixed point
 # default top_k; relevance ground truth = label equality (self excluded)
 RETRIEVAL_EVAL_N = 40
 RETRIEVAL_EVAL_K = 5
+# nDCG@k discounts, AUTHORED fixed point (the HLL_LN64_E6 precedent:
+# log2 ran once at authoring time, never at query time):
+# NDCG_DISC_E6[i-1] = round(1e6 / log2(i + 1)) for rank i = 1..K.
+# IDCG(n_rel) = sum of the first n_rel discounts — computed by both
+# engines from this same literal list, so ndcg_e6 = dcg*1e6 div idcg
+# is exact-integer cross-engine.
+NDCG_DISC_E6: tuple[int, ...] = (1_000_000, 630_930, 500_000, 430_677, 386_853)
+assert len(NDCG_DISC_E6) == RETRIEVAL_EVAL_K
 IVF_CENTROIDS = 8
 IVF_PROBE = 3
 # product quantization (IVFADC building block, Jégou et al. 2011): EMBED_DIM

@@ -759,6 +759,71 @@ def retrieval_eval(
     )
 
 
+def retrieval_ndcg(
+    embeddings: DataFrame,
+    n_queries: int = C.RETRIEVAL_EVAL_N,
+    k: int = C.RETRIEVAL_EVAL_K,
+) -> DataFrame:
+    """nDCG@k per query — the rank-position-weighted complement of
+    :func:`retrieval_eval` (MRR sees only the FIRST relevant hit;
+    nDCG credits every one by position).  Binary relevance (label
+    match, self excluded), discounts from the AUTHORED fixed-point
+    table ``contract.NDCG_DISC_E6`` (the HLL_LN64_E6 precedent — log2
+    runs at authoring time, so the metric is exact int64 cross-engine):
+    ``dcg_e6 = Σ rel_i · DISC[i]``, ``idcg_e6 = Σ first-n_rel
+    discounts``, ``ndcg_e6 = dcg·1e6 div idcg`` (0 when nothing is
+    relevant).
+
+    Scale shape: identical to retrieval_eval — broadcast-labeled top-k
+    hits frame (n_queries·k rows), one metadata-sized fold; the
+    discount lookup is a literal array index, the IDCG prefix sum an
+    interpreted HOF over a ≤k-element slice of the SAME literal (fine:
+    it runs on n_queries rows, not the corpus)."""
+    hits = vector_topk_multi(embeddings, n_queries, k)
+    labels = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    q_lab = labels.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    disc = F.array(*[F.lit(v).cast("long") for v in C.NDCG_DISC_E6])
+    labeled = (
+        labels.join(F.broadcast(hits), "vec_id")
+        .join(F.broadcast(q_lab), "q_id")
+        .withColumn(
+            "rel",
+            (
+                (F.col("label") == F.col("q_label"))
+                & (F.col("vec_id") != F.col("q_id"))
+            ).cast("long"),
+        )
+        .withColumn("disc", disc[F.col("rank").cast("int") - 1])
+    )
+    per_q = labeled.groupBy("q_id", "q_label").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg_e6"),
+    )
+    idcg = F.aggregate(
+        F.slice(disc, 1, F.col("n_rel").cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_q.withColumn("idcg_e6", idcg).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("q_label").alias("label"),
+        "n_rel",
+        "dcg_e6",
+        "idcg_e6",
+        F.when(
+            F.col("n_rel") > 0, F.expr("dcg_e6 * 1000000L DIV idcg_e6")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_e6"),
+    )
+
+
 def retrieval_eval_by_label(
     embeddings: DataFrame,
     n_queries: int = C.RETRIEVAL_EVAL_N,

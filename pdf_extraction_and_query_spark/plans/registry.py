@@ -765,6 +765,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triplet_mining": lambda s, d: S.triplet_mining(_emb(s, d)),
     "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
+    "retrieval_ndcg": lambda s, d: S.retrieval_ndcg(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
     "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
     "mmr_topk_multi": lambda s, d: S.mmr_topk_multi(_emb(s, d)),
@@ -2627,6 +2628,36 @@ SELECT cast(q_id as bigint) AS q_id, q_label AS label, n_rel,
        cast((n_rel * 1000000) // {C.RETRIEVAL_EVAL_K} as bigint)
            AS precision_micro
 FROM m""",
+    # nDCG@k (operators/search.py retrieval_ndcg): binary relevance,
+    # AUTHORED fixed-point discounts (contract.NDCG_DISC_E6 — the
+    # HLL_LN64_E6 precedent), idcg = prefix sum of the same literal list
+    "retrieval_ndcg": f"""
+WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
+                  {_FP_VEC} AS qv
+           FROM embeddings WHERE vec_id < {C.RETRIEVAL_EVAL_N}),
+c AS (SELECT vec_id, cast(label as bigint) AS label, {_FP_VEC} AS ev
+      FROM embeddings),
+s AS (SELECT q_id, q_label, vec_id, label, {_DOT} AS dot_e12 FROM c, q),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dot_e12 DESC, vec_id) AS rank
+      FROM s),
+t AS (SELECT *, CASE WHEN label = q_label AND vec_id <> q_id
+                     THEN 1 ELSE 0 END AS rel
+      FROM r WHERE rank <= {C.RETRIEVAL_EVAL_K}),
+m AS (SELECT q_id, q_label,
+             cast(sum(rel) as bigint) AS n_rel,
+             cast(sum(rel * ({list(C.NDCG_DISC_E6)})[rank]) as bigint)
+               AS dcg_e6
+      FROM t GROUP BY 1, 2),
+i AS (SELECT *, cast(coalesce(list_sum(
+             list_slice({list(C.NDCG_DISC_E6)}, 1, n_rel)), 0) as bigint)
+               AS idcg_e6
+      FROM m)
+SELECT cast(q_id as bigint) AS q_id, q_label AS label, n_rel, dcg_e6,
+       idcg_e6,
+       cast(CASE WHEN n_rel > 0 THEN dcg_e6 * 1000000 // idcg_e6
+                 ELSE 0 END as bigint) AS ndcg_e6
+FROM i""",
     "retrieval_eval_by_label": f"""
 WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
                   {_FP_VEC} AS qv

@@ -44,6 +44,58 @@ def test_retrieval_eval_hand_computed(spark):
     assert r["precision_micro"] == 500_000  # 2 * 1e6 div 4
 
 
+def test_retrieval_ndcg_hand_computed(spark):
+    # same frame as test_retrieval_eval_hand_computed: relevant hits sit
+    # at ranks 2 and 4 -> dcg = disc[2] + disc[4] = 630930 + 430677;
+    # idcg (2 rel) = 1000000 + 630930 = 1630930
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.8, 0.2], 1),
+            (3, [0.7, 0.3], 0),
+            (4, [0.0, 1.0], 1),
+            (5, [0.6, 0.4], 1),
+        ],
+    )
+    [r] = S.retrieval_ndcg(emb, n_queries=1, k=4).collect()
+    assert r["n_rel"] == 2
+    assert r["dcg_e6"] == 630_930 + 430_677
+    assert r["idcg_e6"] == 1_630_930
+    assert r["ndcg_e6"] == 1_061_607 * 1_000_000 // 1_630_930  # 650921
+
+
+def test_retrieval_ndcg_no_relevant_is_zero(spark):
+    emb = _emb(
+        spark,
+        [(i, [1.0 - 0.1 * i, 0.1 * i], i) for i in range(5)],
+    )
+    [r] = S.retrieval_ndcg(emb, n_queries=1, k=3).collect()
+    assert (r["n_rel"], r["dcg_e6"], r["idcg_e6"], r["ndcg_e6"]) == (0, 0, 0, 0)
+
+
+def test_retrieval_ndcg_perfect_ranking_is_one(spark):
+    # both relevant hits at ranks 2 and 3 (right behind the self-hit),
+    # and n_rel = 2 -> but idcg assumes ranks 1 and 2... perfect only if
+    # dcg == idcg; here relevant CAN'T hold rank 1 (self-hit does), so
+    # assert the exact discounted value instead of 1e6 — the convention
+    # (ranks include the self-hit) is pinned by retrieval_eval's oracle
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.8, 0.2], 0),
+            (3, [0.0, 1.0], 1),
+        ],
+    )
+    [r] = S.retrieval_ndcg(emb, n_queries=1, k=3).collect()
+    assert r["n_rel"] == 2
+    assert r["dcg_e6"] == 630_930 + 500_000
+    assert r["ndcg_e6"] == (630_930 + 500_000) * 1_000_000 // 1_630_930
+
+
 def test_retrieval_eval_no_relevant_hit(spark):
     # every vector carries a unique label -> nothing is ever relevant
     emb = _emb(
