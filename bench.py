@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "kn_continuation",
     "retrieval_ndcg",
     "theta_source_overlap",
     "shuffle_skew_report",
@@ -291,6 +292,7 @@ def main() -> None:
         "quality_classify",
         "ccnet_buckets",
         "lm_fluency",
+        "kn_continuation",
         "gopher_verdict",
         "embedding_near_pairs_lsh",
         "stub_embed",

@@ -409,3 +409,64 @@ def length_histogram(docs: DataFrame) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def kn_continuation(docs: DataFrame, topk: int = C.VOCAB_TOPK) -> DataFrame:
+    """Kneser-Ney continuation statistics (Kneser & Ney 1995 — the
+    smoothing family every n-gram LM pipeline trains): per token, how
+    many DISTINCT left contexts it follows (`cont_cnt` — KN's
+    "versatility": 'francisco' is frequent but follows only 'san') and
+    how many distinct right contexts it opens (`right_types`, the KN
+    normalizer), plus the continuation probability
+    ``p_cont_e6 = cont_cnt * 1e6 div total_bigram_types`` and the raw
+    unigram count for contrast.  Report = top-``topk`` tokens by
+    (cont_cnt desc, token asc) — the vocab_topk convention.
+
+    Scale shape: two map-side-combined corpus-stream aggregates (the
+    bigram-type table and the unigram counts — different keys, so two
+    exchanges is the floor); everything after is vocab-sized: cont /
+    right_types fold the ALREADY-AGGREGATED type table, the type total
+    rides a broadcast 1-row aggregate, and the report is
+    TakeOrderedAndProject."""
+    from .repetition import _words
+    from .util import fan_out
+
+    w = fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
+    bi = w.where(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> struct(words[i-1] as w1, words[i] as w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    types = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = (
+        w.select(F.explode("words").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("unigram_cnt"))
+    )
+    cont = types.groupBy(F.col("w2").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_cnt")
+    )
+    rt = types.groupBy(F.col("w1").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("right_types")
+    )
+    tot = types.agg(F.count(F.lit(1)).alias("total_types"))
+    out = (
+        uni.join(cont, "token", "left")
+        .join(rt, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "unigram_cnt",
+            F.coalesce("cont_cnt", F.lit(0)).cast("long").alias("cont_cnt"),
+            F.coalesce("right_types", F.lit(0))
+            .cast("long")
+            .alias("right_types"),
+            F.expr(
+                "coalesce(cont_cnt, 0) * 1000000L DIV total_types"
+            ).alias("p_cont_e6"),
+        )
+    )
+    return out.orderBy(F.desc("cont_cnt"), F.asc("token")).limit(topk)

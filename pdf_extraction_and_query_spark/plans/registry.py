@@ -719,6 +719,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": lambda s, d: PK.pack_sequences(_docs(s, d)),
     "sequence_stats": lambda s, d: PK.sequence_stats(_docs(s, d)),
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
+    # Kneser-Ney continuation statistics (top-K versatility report)
+    "kn_continuation": lambda s, d: TX.kn_continuation(_docs(s, d)),
     "ccnet_buckets": lambda s, d: TX.ccnet_buckets(_docs(s, d)),
     "ccnet_bucket_stats": lambda s, d: TX.ccnet_bucket_stats(_docs(s, d)),
     "quality_classify": lambda s, d: CL.quality_classify(_docs(s, d), spec="stub"),
@@ -2179,6 +2181,36 @@ SELECT cast(doc_id as bigint) AS doc_id,
        cast(count(*) as bigint) AS n_bigrams,
        cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
 FROM s GROUP BY doc_id""",
+    # Kneser-Ney continuation stats (operators/textstats.py
+    # kn_continuation): distinct left/right contexts per token over the
+    # bigram-type table, continuation probability vs total bigram types,
+    # top-K by (cont_cnt desc, token) — the vocab_topk convention
+    "kn_continuation": f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                              x -> x <> '') AS words
+           FROM documents),
+bi AS (SELECT words[i] AS w1, words[i + 1] AS w2
+       FROM (SELECT doc_id, words,
+                    unnest(range(1, greatest(len(words), 1))) AS i
+             FROM w)),
+ty AS (SELECT w1, w2 FROM bi GROUP BY 1, 2),
+uni AS (SELECT unnest(words) AS token FROM w),
+uc AS (SELECT token, cast(count(*) as bigint) AS unigram_cnt
+       FROM uni GROUP BY 1),
+co AS (SELECT w2 AS token, cast(count(*) as bigint) AS cont_cnt
+       FROM ty GROUP BY 1),
+rt AS (SELECT w1 AS token, cast(count(*) as bigint) AS right_types
+       FROM ty GROUP BY 1),
+tt AS (SELECT cast(count(*) as bigint) AS total_types FROM ty)
+SELECT uc.token, uc.unigram_cnt,
+       cast(coalesce(co.cont_cnt, 0) as bigint) AS cont_cnt,
+       cast(coalesce(rt.right_types, 0) as bigint) AS right_types,
+       cast(coalesce(co.cont_cnt, 0) * 1000000 // tt.total_types
+            as bigint) AS p_cont_e6
+FROM uc LEFT JOIN co USING (token) LEFT JOIN rt USING (token)
+CROSS JOIN tt
+ORDER BY cont_cnt DESC, uc.token ASC LIMIT {C.VOCAB_TOPK}""",
     "winnow_fingerprints": f"""
 WITH {_WINNOW_CTE}
 SELECT cast(doc_id as bigint) AS doc_id, fp_pos, fp FROM wfp""",
