@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "epoch_shuffle",
     "kn_continuation",
     "retrieval_ndcg",
     "theta_source_overlap",
@@ -283,6 +284,7 @@ def main() -> None:
         "simhash",
         "winnow_matches",
         "shard_pack",
+        "epoch_shuffle",
         "pack_sequences",
         "stratified_sample",
         "dsir_sample",

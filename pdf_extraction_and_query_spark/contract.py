@@ -510,6 +510,17 @@ PR_ITERS = 3
 HITS_SCALE = 1_000_000
 HITS_ITERS = 2
 
+# --- deterministic epoch shuffle (operators/packing.py epoch_shuffle):
+# training data-order reproducibility — every epoch permutes the corpus
+# by h = md5_bits48("epoch:<e>:" || doc_id) (the SAMPLE_SALT md5
+# precedent), shard = h % EPOCH_SHARDS, position within shard = rank by
+# (h, doc_id).  A resumed or re-run job reproduces the exact order from
+# (doc_id, epoch) alone. ---
+EPOCH_SALT = "epoch:"
+EPOCH_N = 2
+EPOCH_SHARDS = 8
+EPOCH_BAND_SHIFT = 36  # 48-bit hash -> 4096 hash-order bands
+
 # --- mergeable corpus sketches (operators/sketches.py) ---
 # Fixed-threshold theta sketch (the KMV/bottom-k family, Bar-Yossef et
 # al. 2002; Apache DataSketches' theta with fixed p): a distinct token

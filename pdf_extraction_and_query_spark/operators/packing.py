@@ -549,3 +549,70 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
         )
     )
     return stages.crossJoin(F.broadcast(kept))
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_epochs: int = C.EPOCH_N,
+    n_shards: int = C.EPOCH_SHARDS,
+) -> DataFrame:
+    """Deterministic epoch-wise training shuffle: for each epoch, every
+    document gets a fresh pseudorandom order key ``h = md5_bits48(
+    EPOCH_SALT || epoch || ':' || doc_id)``, a shard ``h % n_shards``
+    and its 1-based position within that shard under (h, doc_id) order
+    — the data-order-reproducibility contract a training stack needs
+    (the same (corpus, epoch) always yields the same loader order, so a
+    resumed run never re-sees or skips documents).
+
+    Scale shape: the rank within an (epoch, shard) is NOT one global
+    window task — positions come from hash-order bands (the
+    ``_prefix_tokens`` banded-scan pattern): a row_number window per
+    (epoch, shard, band = h >> EPOCH_BAND_SHIFT) whose partitions are
+    ~n/(shards·4096) rows, plus band offsets cumulated over the
+    band-count frame (≤ epochs·shards·4096 rows, broadcast back).  The
+    DuckDB oracle computes the same positions with the plain global
+    window — an independent algorithm pinning the banded scan."""
+    epochs = F.array(*[F.lit(i).cast("long") for i in range(n_epochs)])
+    e = docs.select(F.col("doc_id").cast("long").alias("doc_id")).withColumn(
+        "epoch", F.explode(epochs)
+    )
+    s = F.concat(
+        F.lit(C.EPOCH_SALT),
+        F.col("epoch").cast("string"),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+    )
+    t = (
+        e.withColumn(
+            "h", F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        )
+        .withColumn("shard", (F.col("h") % n_shards).cast("long"))
+        .withColumn(
+            "band", F.shiftright(F.col("h"), C.EPOCH_BAND_SHIFT).cast("long")
+        )
+    )
+    w_local = Window.partitionBy("epoch", "shard", "band").orderBy(
+        "h", "doc_id"
+    )
+    local = t.withColumn("lr", F.row_number().over(w_local).cast("long"))
+    w_bands = (
+        Window.partitionBy("epoch", "shard")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        t.groupBy("epoch", "shard", "band")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .select(
+            "epoch",
+            "shard",
+            "band",
+            F.coalesce(F.sum("bc").over(w_bands), F.lit(0)).alias("before"),
+        )
+    )
+    return local.join(F.broadcast(offs), ["epoch", "shard", "band"]).select(
+        "doc_id",
+        "epoch",
+        "shard",
+        (F.col("before") + F.col("lr")).cast("long").alias("pos"),
+    )

@@ -704,6 +704,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_stats": lambda s, d: D.semdedup_stats(_emb(s, d)),
     # --- training-shard packing (SQL-verified) ---
     "shard_pack": lambda s, d: PK.shard_pack(_docs(s, d)),
+    # deterministic epoch-wise training shuffle (banded-scan positions)
+    "epoch_shuffle": lambda s, d: PK.epoch_shuffle(_docs(s, d)),
     "shard_stats": lambda s, d: PK.shard_stats(_docs(s, d)),
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
@@ -1762,6 +1764,21 @@ SELECT cast(doc_id as bigint) AS doc_id, n_tokens,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / {C.PACK_TOKEN_BUDGET}) as bigint) AS shard_id
 FROM t""",
+    # deterministic epoch shuffle (operators/packing.py epoch_shuffle):
+    # the oracle ranks each (epoch, shard) with the PLAIN global window —
+    # an independent algorithm pinning the engine's banded prefix scan
+    "epoch_shuffle": f"""
+WITH e AS (SELECT doc_id, cast(r.epoch as bigint) AS epoch
+           FROM documents, range(0, {C.EPOCH_N}) r(epoch)),
+h AS (SELECT doc_id, epoch,
+             ('0x' || substr(md5('{C.EPOCH_SALT}' || epoch || ':' || doc_id),
+                             1, 12))::BIGINT AS h
+      FROM e)
+SELECT cast(doc_id as bigint) AS doc_id, epoch,
+       cast(h % {C.EPOCH_SHARDS} as bigint) AS shard,
+       cast(row_number() OVER (PARTITION BY epoch, h % {C.EPOCH_SHARDS}
+                               ORDER BY h, doc_id) as bigint) AS pos
+FROM h""",
     "pack_sequences": f"""
 WITH {_pack_sequences_cte(C.SEQ_LEN)}
 SELECT seq_id, doc_id, seq_tok_start, doc_tok_start, n_tokens FROM seqs""",
