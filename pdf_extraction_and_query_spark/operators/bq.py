@@ -78,6 +78,68 @@ def bq_topk(
     )
 
 
+def bq_build(embeddings: DataFrame, index_path: str) -> None:
+    """Build phase: persist the sketch table (vec_id, srp — 8 bytes per
+    vector, a 64x reduction over the fixed-point vector).  Unpartitioned
+    by design: Hamming ranking scans every sketch; the compression IS
+    the scan saving (the pq_build precedent)."""
+    from ..sources import tables
+
+    tables.replace_table(bq_sketches(embeddings), f"{index_path}/sketches")
+
+
+def bq_topk_prebuilt(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    rerank: int = C.BQ_RERANK,
+) -> DataFrame:
+    """Search phase over a :func:`bq_build` index — the production
+    search-many shape: the query's SRP word is planning metadata (one
+    64-int vector hashed once per query), folded into the sketch scan
+    as a LITERAL so the Hamming ranking is pure codegen arithmetic over
+    (vec_id, srp) — codes-only ReadSchema, zero shuffle before the
+    TakeOrderedAndProject shortlist; only ``rerank`` ids join back to
+    the true vectors for the exact re-rank.  Identical to the inline
+    :func:`bq_topk` by construction (asserted in test_bq)."""
+    from ..sources import tables
+
+    qword = int(
+        srp_words(embeddings.where(F.col("vec_id") == query_vec_id))
+        .collect()[0]["srp"]
+    )
+    sk = tables.read_table(spark, f"{index_path}/sketches")
+    shortlist = (
+        sk.select(
+            "vec_id",
+            F.bit_count(F.col("srp").bitwiseXOR(F.lit(qword)))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        fixed_point_vec(F.col("embedding")).alias("qv")
+    )
+    cand = embeddings.join(F.broadcast(shortlist), "vec_id").select(
+        "vec_id", "hamming", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    hits = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "hamming",
+        _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12"),
+    )
+    return _rank_topk(hits, k).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "hamming",
+        "dot_e12",
+        "rank",
+    )
+
+
 def bq_recall(
     embeddings: DataFrame, k: int = C.TOPK, query_vec_id: int = 0
 ) -> DataFrame:

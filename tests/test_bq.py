@@ -52,6 +52,33 @@ def test_bq_rerank_one_is_self_hit(spark):
     assert (r["vec_id"], r["hamming"], r["rank"]) == (0, 0, 1)
 
 
+def test_bq_prebuilt_matches_inline_and_scans_sketches_only(
+    spark, tmp_path_factory
+):
+    """The persisted index must equal the inline path exactly AND the
+    sketch scan must read only (vec_id, srp) — never a vector column."""
+    import re
+
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("bqidx"))
+    B.bq_build(emb, path)
+    pre = B.bq_topk_prebuilt(spark, emb, path, k=5)
+    inline = B.bq_topk(emb, k=5)
+    assert sorted(map(tuple, pre.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        s
+        for s in re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        if "srp" in s
+    ]
+    assert scans, plan
+    for s in scans:
+        assert "embedding" not in s and "ev" not in s, s
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_bq_plan_shape(spark):
     plan = (
         B.bq_topk(_emb(spark))
