@@ -606,7 +606,14 @@ def theta_source_overlap(docs: DataFrame) -> DataFrame:
     in :func:`theta_sample`; the pair frame is built from the tiny
     per-source size table (a broadcast self-cross of |sources| rows) and
     the token-keyed sample self-join, both sample-sized."""
-    s = theta_sample(docs)
+    return theta_overlap_from_sample(theta_sample(docs))
+
+
+def theta_overlap_from_sample(s: DataFrame) -> DataFrame:
+    """The overlap-report tail over an already-built (source, token)
+    theta sample — shared verbatim by the batch operator above and the
+    streaming merged read (streaming/sketches.py theta_overlap_merged)
+    so the two paths cannot drift."""
     sizes = s.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled")
     )

@@ -239,3 +239,80 @@ def stream_value_sketch_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Theta distinct-token sample over a live ingest WITH a source column:
+# per-batch samples into batch_id deltas — the merge law is SET UNION
+# (associative AND idempotent, the Bloom-OR class: overlapping or
+# replayed batches cannot corrupt it), so the merged sample is EXACTLY
+# the one-shot theta_sample over every document ever ingested, and the
+# live read tail is the batch side's pairwise overlap report.
+
+THETA_DOCS_SCHEMA = "doc_id long, text string, source string"
+
+_THETA_COLS = ["source", "token"]
+
+
+def _merge_theta(summaries: DataFrame) -> DataFrame:
+    return summaries.select("source", "token").distinct()
+
+
+def theta_init(docs: DataFrame, root: str) -> None:
+    """One-shot base build over an initial corpus."""
+    from ..operators.sketches import theta_sample
+
+    deltaindex.init_index(theta_sample(docs), f"{root}/theta")
+
+
+def make_theta_batch_processor(root: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body: theta-sample the micro-batch alone (a
+    ~1/THETA_RATE-rate distinct of one batch's (source, token) stream)
+    into ``batch_id`` delta partitions."""
+    from ..operators.sketches import theta_sample
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deltaindex.write_delta(
+            theta_sample(batch_df), f"{root}/theta", batch_id
+        )
+
+    return process_batch
+
+
+def theta_sample_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live sample — row-identical to ``theta_sample`` over every
+    document ever ingested (union is idempotent)."""
+    return deltaindex.read_merged(
+        spark, f"{root}/theta", _THETA_COLS, _merge_theta
+    )
+
+
+def theta_overlap_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The live cross-source overlap report — same read tail as the
+    batch side (``operators.sketches.theta_overlap_from_sample``)."""
+    from ..operators.sketches import theta_overlap_from_sample
+
+    return theta_overlap_from_sample(theta_sample_merged(spark, root))
+
+
+def theta_compact(spark: SparkSession, root: str) -> None:
+    """Fold unfolded deltas into the base sample."""
+    deltaindex.compact(spark, f"{root}/theta", _THETA_COLS, _merge_theta)
+
+
+def stream_theta_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for new document parquet files
+    (doc_id, text, source) and keep the theta sample current."""
+    stream = spark.readStream.schema(THETA_DOCS_SCHEMA).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(
+        make_theta_batch_processor(root)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -196,3 +196,62 @@ def test_hdr_available_now_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     every = _events(spark, _EV_BASE + _EV_B1)
     assert _cells(hdr_merged(spark, root)) == _cells(hdr_sketch(every))
+
+
+# ------------------------------------------------ theta sample (source docs)
+from pdf_extraction_and_query_spark.operators.sketches import (
+    theta_sample,
+    theta_source_overlap,
+)
+from pdf_extraction_and_query_spark.streaming.sketches import (
+    THETA_DOCS_SCHEMA,
+    make_theta_batch_processor,
+    theta_compact,
+    theta_init,
+    theta_overlap_merged,
+    theta_sample_merged,
+)
+
+# enough tokens that the 1/8 sample is non-empty per source
+_T_BASE = [
+    (0, " ".join(f"tok{i}" for i in range(120)), "a"),
+    (1, " ".join(f"tok{i}" for i in range(60, 180)), "b"),
+]
+_T_B1 = [
+    (2, " ".join(f"new{i}" for i in range(120)), "a"),
+    (3, " ".join(f"tok{i}" for i in range(200, 320)), "c"),
+]
+
+
+def _tdocs(spark, rows):
+    return spark.createDataFrame(rows, THETA_DOCS_SCHEMA)
+
+
+def test_theta_merged_equals_one_shot_and_replay_idempotent(spark, tmp_path):
+    root = str(tmp_path / "th")
+    theta_init(_tdocs(spark, _T_BASE), root)
+    proc = make_theta_batch_processor(root)
+    proc(_tdocs(spark, _T_B1), 0)
+    every = _tdocs(spark, _T_BASE + _T_B1)
+    assert _cells(theta_sample_merged(spark, root)) == _cells(
+        theta_sample(every)
+    )
+    # union is idempotent: a crash-replay of the same batch is a no-op
+    proc(_tdocs(spark, _T_B1), 0)
+    assert _cells(theta_sample_merged(spark, root)) == _cells(
+        theta_sample(every)
+    )
+    theta_compact(spark, root)
+    assert _cells(theta_sample_merged(spark, root)) == _cells(
+        theta_sample(every)
+    )
+
+
+def test_theta_overlap_read_tail_matches_batch(spark, tmp_path):
+    root = str(tmp_path / "th2")
+    theta_init(_tdocs(spark, _T_BASE), root)
+    make_theta_batch_processor(root)(_tdocs(spark, _T_B1), 0)
+    every = _tdocs(spark, _T_BASE + _T_B1)
+    assert _cells(theta_overlap_merged(spark, root)) == _cells(
+        theta_source_overlap(every)
+    )
