@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "label_separation",
     "epoch_shuffle",
     "kn_continuation",
     "retrieval_ndcg",
@@ -356,6 +357,7 @@ def main() -> None:
         "token_fertility",
         "retrieval_eval",
         "retrieval_ndcg",
+        "label_separation",
         "cms_heavy_hitters",
         "hll_vocab",
         "theta_source_overlap",

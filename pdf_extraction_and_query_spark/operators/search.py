@@ -1304,6 +1304,89 @@ def ivf_stats(
     )
 
 
+def label_separation(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space class-separation report: pairwise cosine between
+    per-label centroids — the diagnostic an owner reads before trusting
+    label-supervised operators (kNN classify, hard negatives, triplet
+    mining): centroids near cosine 1 mean the classes are inseparable in
+    this embedding space.  Centroid components are integer per-dim means
+    (``(sum + n·1e6) div n − 1e6`` — positive-dividend shift so Spark DIV
+    truncation == DuckDB floor for negative sums); cosine follows the
+    `_pair_cos_r6` contract (exact int64 dots, IEEE sqrt/divide, round 6).
+
+    Scale shape: ONE corpus pass (posexplode + map-side-combined
+    (label, dim) aggregate); everything after runs on the
+    |labels|·EMBED_DIM centroid frame (localCheckpointed — three plan
+    branches consume it, PLANS.md #11), and the pair matrix is
+    |labels|² rows."""
+    comp = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(fixed_point_vec(F.col("embedding"))).alias("dim", "v"),
+    )
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.expr("(s + n * 1000000L) DIV n - 1000000L").alias("c"),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.max("n").cast("long").alias("n"),
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dotp"))
+    )
+    na = F.broadcast(
+        norms.select(
+            F.col("label").alias("label_a"),
+            F.col("ss").alias("ss_a"),
+            F.col("n").alias("n_a"),
+        )
+    )
+    nb = F.broadcast(
+        norms.select(
+            F.col("label").alias("label_b"),
+            F.col("ss").alias("ss_b"),
+            F.col("n").alias("n_b"),
+        )
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("ss_a") == 0) | (F.col("ss_b") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.col("dotp")
+                    / (
+                        F.sqrt(F.col("ss_a").cast("double"))
+                        * F.sqrt(F.col("ss_b").cast("double"))
+                    ),
+                    6,
+                )
+            )
+            .alias("cos_r6"),
+        )
+    )
+
+
 def knn_brute(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
     """Exact all-kNN ground truth: every (a, b) pair scored, per-query
     top-k — O(n^2) dots, the small-scale YARDSTICK for

@@ -770,6 +770,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_eval": lambda s, d: S.retrieval_eval(_emb(s, d)),
     "retrieval_eval_by_label": lambda s, d: S.retrieval_eval_by_label(_emb(s, d)),
     "retrieval_ndcg": lambda s, d: S.retrieval_ndcg(_emb(s, d)),
+    # embedding-space class-separation report (pairwise label centroids)
+    "label_separation": lambda s, d: S.label_separation(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
     "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
     "mmr_topk_multi": lambda s, d: S.mmr_topk_multi(_emb(s, d)),
@@ -2707,6 +2709,35 @@ SELECT cast(q_id as bigint) AS q_id, q_label AS label, n_rel, dcg_e6,
        cast(CASE WHEN n_rel > 0 THEN dcg_e6 * 1000000 // idcg_e6
                  ELSE 0 END as bigint) AS ndcg_e6
 FROM i""",
+    # class-separation report (operators/search.py label_separation):
+    # integer per-dim centroid means (positive-dividend shift so // ==
+    # Spark DIV on negative sums), pairwise centroid cosine, round 6
+    "label_separation": f"""
+WITH c AS (SELECT cast(label as bigint) AS label, {_FP_VEC} AS ev
+           FROM embeddings),
+comp AS (SELECT label, i.i AS dim, ev[i.i] AS v
+         FROM c, generate_series(1, {C.EMBED_DIM}) i(i)),
+cent AS (
+  SELECT label, dim, cast(count(*) as bigint) AS n,
+         cast((cast(sum(v) as bigint) + cast(count(*) as bigint) * 1000000)
+              // cast(count(*) as bigint) - 1000000 as bigint) AS cc
+  FROM comp GROUP BY 1, 2),
+nrm AS (SELECT label, cast(sum(cc * cc) as bigint) AS ss,
+               cast(max(n) as bigint) AS n
+        FROM cent GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         cast(sum(a.cc * b.cc) as bigint) AS dotp
+  FROM cent a JOIN cent b USING (dim)
+  WHERE a.label < b.label GROUP BY 1, 2)
+SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+       CASE WHEN na.ss = 0 OR nb.ss = 0 THEN cast(0.0 as double)
+            ELSE round(d.dotp / (sqrt(cast(na.ss as double))
+                                 * sqrt(cast(nb.ss as double))), 6)
+       END AS cos_r6
+FROM dots d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b""",
     "retrieval_eval_by_label": f"""
 WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
                   {_FP_VEC} AS qv

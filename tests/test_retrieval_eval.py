@@ -131,6 +131,30 @@ def test_retrieval_eval_by_label_integer_means(spark):
     assert r["mean_precision_micro"] == 333_333  # (333333+333333) div 2
 
 
+def test_label_separation_hand_computed(spark):
+    """label 0 centroid = mean([1,0],[0,1]) = [.5,.5]; label 1 = [1,0];
+    label 2 = [-1,0] -> cos(0,1) = +0.707107, cos(0,2) = -0.707107,
+    cos(1,2) = -1.0 (round 6, the _pair_cos_r6 contract)."""
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),
+            (2, [1.0, 0.0], 1),
+            (3, [-1.0, 0.0], 2),
+        ],
+    )
+    rows = {
+        (r["label_a"], r["label_b"]): r
+        for r in S.label_separation(emb).collect()
+    }
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    assert (rows[(0, 1)]["n_a"], rows[(0, 1)]["n_b"]) == (2, 1)
+    assert rows[(0, 1)]["cos_r6"] == 0.707107
+    assert rows[(0, 2)]["cos_r6"] == -0.707107
+    assert rows[(1, 2)]["cos_r6"] == -1.0
+
+
 def test_hard_negatives_skips_same_label_and_self(spark):
     """The nearest candidate overall shares the query's label (and the
     self-hit trivially does) — neither may appear; ranks count only
