@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "winnow_source_matrix",
     "label_separation",
     "epoch_shuffle",
     "kn_continuation",
@@ -284,6 +285,7 @@ def main() -> None:
         "dedup_clusters",
         "simhash",
         "winnow_matches",
+        "winnow_source_matrix",
         "shard_pack",
         "epoch_shuffle",
         "pack_sequences",

@@ -154,3 +154,37 @@ def winnow_matches(docs: DataFrame) -> DataFrame:
             .alias("overlap_e6"),
         )
     )
+
+
+def winnow_source_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source syndication matrix: the :func:`winnow_matches` pair
+    graph rolled up to (source, source) — which feeds republish each
+    other's passages (wire-service syndication, mirror sites, scraped
+    re-posts), including the diagonal (intra-source self-syndication).
+    Pair orientation is canonicalized lexicographically (least/greatest)
+    so A->B and B->A land in one cell.
+
+    Scale shape: the heavy work is winnow_matches (already blocked +
+    df-pruned); the rollup attaches sources via two COLUMN-PRUNED
+    (doc_id, source) scans joined against the sparse
+    above-threshold pair frame, then one |sources|^2-bounded fold."""
+    m = winnow_matches(docs)
+    src = docs.select("doc_id", "source")
+    j = m.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("n_shared").cast("long").alias("n_shared_total"),
+            F.max("overlap_e6").cast("long").alias("max_overlap_e6"),
+        )
+    )

@@ -732,6 +732,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- winnowing fingerprints (SQL-verified) ---
     "winnow_fingerprints": lambda s, d: WN.winnow_fingerprints(_docs(s, d)),
     "winnow_matches": lambda s, d: WN.winnow_matches(_docs(s, d)),
+    # cross-source syndication matrix (winnow pair graph by source)
+    "winnow_source_matrix": lambda s, d: WN.winnow_source_matrix(_docs(s, d)),
     # --- full Gopher quality-rule verdict (SQL-verified) ---
     "gopher_rules": lambda s, d: GO.gopher_rules(_docs(s, d)),
     "gopher_verdict": lambda s, d: GO.gopher_verdict(_docs(s, d)),
@@ -2252,6 +2254,37 @@ SELECT cast(doc_a as bigint) AS doc_a, cast(doc_b as bigint) AS doc_b,
 FROM wpairs
 JOIN wsizes na ON na.doc_id = wpairs.doc_a
 JOIN wsizes nb ON nb.doc_id = wpairs.doc_b""",
+    # cross-source syndication matrix (operators/winnow.py
+    # winnow_source_matrix): the winnow_matches pair graph rolled up to
+    # canonical (source, source) cells, diagonal included
+    "winnow_source_matrix": f"""
+WITH {_WINNOW_CTE},
+wdistinct AS (SELECT DISTINCT doc_id, fp FROM wfp),
+wsizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_fp
+           FROM wdistinct GROUP BY doc_id),
+wkept AS (SELECT doc_id, fp FROM wdistinct
+          WHERE fp IN (SELECT fp FROM wdistinct GROUP BY fp
+                       HAVING count(*) <= {C.WINNOW_MAX_DF})),
+wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  cast(count(*) as bigint) AS n_shared
+           FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= {C.WINNOW_MIN_SHARED}),
+wm AS (SELECT doc_a, doc_b, n_shared,
+              cast((1000000 * n_shared) // least(na.n_fp, nb.n_fp)
+                   as bigint) AS overlap_e6
+       FROM wpairs
+       JOIN wsizes na ON na.doc_id = wpairs.doc_a
+       JOIN wsizes nb ON nb.doc_id = wpairs.doc_b)
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(sum(n_shared) as bigint) AS n_shared_total,
+       cast(max(overlap_e6) as bigint) AS max_overlap_e6
+FROM wm
+JOIN documents da ON da.doc_id = wm.doc_a
+JOIN documents db ON db.doc_id = wm.doc_b
+GROUP BY 1, 2""",
     "gopher_rules": f"""
 WITH {_GOPHER_RULES_CTE}
 SELECT cast(doc_id as bigint) AS doc_id,

@@ -114,3 +114,39 @@ def test_matches_df_pruning(spark):
     ]
     out = winnow_matches(_df(spark, rows)).collect()
     assert out == []
+
+
+def test_source_matrix_rollup_and_canonical_orientation(spark):
+    """Docs 0 (src b) and 1 (src a) share a long passage -> one (a, b)
+    cell (lexicographic canonicalization regardless of doc order); docs
+    2 and 3 are identical within src c -> a diagonal (c, c) cell;
+    src d's doc shares nothing -> absent."""
+    from pdf_extraction_and_query_spark.operators.winnow import (
+        winnow_matches,
+        winnow_source_matrix,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(30))
+    rows = [
+        (0, shared + " " + " ".join(f"x{i}" for i in range(20)), "en", "b", 1),
+        (1, " ".join(f"y{i}" for i in range(20)) + " " + shared, "en", "a", 1),
+        (2, " ".join(f"dup{i}" for i in range(40)), "en", "c", 1),
+        (3, " ".join(f"dup{i}" for i in range(40)), "en", "c", 1),
+        (4, " ".join(f"solo{i}" for i in range(40)), "en", "d", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cells = {
+        (r["src_a"], r["src_b"]): r
+        for r in winnow_source_matrix(docs).collect()
+    }
+    assert set(cells) == {("a", "b"), ("c", "c")}
+    m = {(r["doc_a"], r["doc_b"]): r for r in winnow_matches(docs).collect()}
+    ab = cells[("a", "b")]
+    assert ab["n_pairs"] == 1
+    assert ab["n_shared_total"] == m[(0, 1)]["n_shared"]
+    assert ab["max_overlap_e6"] == m[(0, 1)]["overlap_e6"]
+    cc = cells[("c", "c")]
+    assert cc["n_pairs"] == 1
+    assert cc["max_overlap_e6"] == 1_000_000  # identical docs
