@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "ivfbq_topk",
     "winnow_source_matrix",
     "label_separation",
     "epoch_shuffle",
@@ -352,6 +353,7 @@ def main() -> None:
         "semdedup",
         "sq_topk",
         "bq_topk",
+        "ivfbq_topk",
         "kmeans_centroids",
         "cluster_topics",
         "frontier_schedule",

@@ -78,6 +78,69 @@ def bq_topk(
     )
 
 
+def ivfbq_topk(
+    embeddings: DataFrame,
+    k: int = C.TOPK,
+    query_vec_id: int = 0,
+    n_centroids: int = C.IVF_CENTROIDS,
+    n_probe: int = C.IVF_PROBE,
+    rerank: int = C.BQ_RERANK,
+) -> DataFrame:
+    """IVF + binary quantization end-to-end (the ivfpq_topk shape with
+    the 1-bit quantizer): the coarse quantizer prunes to the ``n_probe``
+    probed lists, Hamming distance over the SRP sketch ranks only the
+    survivors, and the ``rerank`` shortlist pays the exact dot.  At
+    10^12 vectors the scan touches n_probe/n_lists of the corpus AND
+    reads 8 bytes per survivor — the two savings multiply (in a
+    persisted layout the sketches live partitioned by cent_id, the
+    ivfpq_build precedent; this is the inline oracle-paired form)."""
+    from .search import _centroids, _dot, _ivf_assign
+
+    s = srp_words(embeddings).select("vec_id", "srp")
+    assigned = _ivf_assign(embeddings, n_centroids).select("vec_id", "cent_id")
+    qs = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        fixed_point_vec(F.col("embedding")).alias("qv")
+    )
+    probes = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(qs))
+        .select("cent_id", _dot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    qw = srp_words(embeddings.where(F.col("vec_id") == query_vec_id)).select(
+        F.col("srp").alias("qsrp")
+    )
+    shortlist = (
+        s.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(qw))
+        .select(
+            "vec_id",
+            F.bit_count(F.col("srp").bitwiseXOR(F.col("qsrp")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    cand = embeddings.join(F.broadcast(shortlist), "vec_id").select(
+        "vec_id", "hamming", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    hits = cand.crossJoin(F.broadcast(qs)).select(
+        "vec_id",
+        "hamming",
+        _dot_vec(F.col("ev"), F.col("qv")).alias("dot_e12"),
+    )
+    return _rank_topk(hits, k).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "hamming",
+        "dot_e12",
+        "rank",
+    )
+
+
 def bq_build(embeddings: DataFrame, index_path: str) -> None:
     """Build phase: persist the sketch table (vec_id, srp — 8 bytes per
     vector, a 64x reduction over the fixed-point vector).  Unpartitioned

@@ -763,6 +763,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # re-rank (the fourth quantization-family member)
     "bq_topk": lambda s, d: BQ.bq_topk(_emb(s, d)),
     "bq_recall": lambda s, d: BQ.bq_recall(_emb(s, d)),
+    "ivfbq_topk": lambda s, d: BQ.ivfbq_topk(_emb(s, d)),
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
@@ -2942,6 +2943,45 @@ SELECT cast(0 as bigint) AS q_id, cast(n as bigint) AS n_hits,
        cast({C.TOPK} as bigint) AS k,
        cast(n * {C.FIXED_POINT} // {C.TOPK} as bigint) AS recall_e6
 FROM h""",
+    # IVF + binary quantization (operators/bq.py ivfbq_topk): the
+    # ivfpq_topk blocking with the SRP/Hamming quantizer
+    "ivfbq_topk": f"""
+WITH c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+w AS (SELECT vec_id, ev, {_srp_word_sql()} AS srp FROM c),
+q AS (SELECT srp AS qsrp, ev AS qv FROM w WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cent_id, {_FP_VEC} AS cv FROM embeddings
+          WHERE vec_id < {C.IVF_CENTROIDS}),
+cscored AS (
+  SELECT c.vec_id, cents.cent_id,
+         cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+              i -> ev[i] * cv[i])) as bigint) AS cdot
+  FROM c, cents),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cdot DESC, cent_id) AS rn
+    FROM cscored) WHERE rn = 1),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT cent_id,
+           cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}),
+                i -> cv[i] * qv[i])) as bigint) AS qdot
+    FROM cents, q)
+  ORDER BY qdot DESC, cent_id LIMIT {C.IVF_PROBE}),
+short AS (
+  SELECT w.vec_id, w.ev, q.qv,
+         cast(bit_count(xor(w.srp, q.qsrp)) as bigint) AS hamming
+  FROM w
+  JOIN assigned USING (vec_id)
+  JOIN probes USING (cent_id)
+  CROSS JOIN q
+  ORDER BY hamming, w.vec_id LIMIT {C.BQ_RERANK}),
+hits AS (SELECT vec_id, hamming, {_DOT} AS dot_e12 FROM short)
+SELECT cast(vec_id as bigint) AS vec_id, hamming, dot_e12,
+       cast(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) as bigint)
+         AS rank
+FROM hits ORDER BY dot_e12 DESC, vec_id LIMIT {C.TOPK}""",
     "kmeans_centroids": f"""
 WITH {_kmeans_ctes()}
 SELECT cent_id, cast(i.i - 1 as bigint) AS dim, cv[i.i] AS value

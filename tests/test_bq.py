@@ -79,6 +79,32 @@ def test_bq_prebuilt_matches_inline_and_scans_sketches_only(
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ivfbq_full_probe_equals_bq(spark):
+    """Probing every list removes the IVF pruning: ivfbq must then equal
+    plain bq_topk exactly (same sketch, same shortlist, same re-rank)."""
+    emb = _emb(spark)
+    ivf = B.ivfbq_topk(emb, k=5, n_centroids=4, n_probe=4)
+    plain = B.bq_topk(emb, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_ivfbq_pruning_restricts_candidates(spark):
+    """With 1 probed list of 4, every hit must come from the probed
+    list's membership — assert the result is a subset of that list."""
+    from pdf_extraction_and_query_spark.operators.search import _ivf_assign
+
+    emb = _emb(spark)
+    assigned = {
+        r["vec_id"]: r["cent_id"]
+        for r in _ivf_assign(emb, 4).select("vec_id", "cent_id").collect()
+    }
+    hits = B.ivfbq_topk(emb, k=10, n_centroids=4, n_probe=1).collect()
+    probed_cents = {assigned[r["vec_id"]] for r in hits}
+    assert len(probed_cents) == 1  # all hits from the single probed list
+
+
 def test_bq_plan_shape(spark):
     plan = (
         B.bq_topk(_emb(spark))
