@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "minhash_est_audit",
     "ivfbq_topk",
     "winnow_source_matrix",
     "label_separation",
@@ -283,6 +284,7 @@ def main() -> None:
         "exact_dedup",
         "ngram_jaccard",
         "minhash_lsh_pairs",
+        "minhash_est_audit",
         "dedup_clusters",
         "simhash",
         "winnow_matches",

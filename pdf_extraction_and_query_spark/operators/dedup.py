@@ -820,3 +820,88 @@ def knn_dedup_clusters(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return connected_components_star(pairs, max_iters=max_iters)
+
+
+def minhash_est_audit(docs: DataFrame) -> DataFrame:
+    """MinHash calibration audit: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (`n_agree/K`, the unbiased
+    MinHash estimator) next to the EXACT shingle Jaccard and their
+    signed error — the report an operator reads before trusting
+    MINHASH_K / banding parameters on a new corpus (estimator variance
+    ~ 1/sqrt(K); a systematic error means the shingle distribution
+    violates the estimator's assumptions, e.g. tiny docs).
+
+    Scale shape: signatures and candidates are the production LSH path
+    (never all-pairs); the exact-Jaccard denominator runs the shingle
+    self-join ONLY over docs that appear in some candidate pair
+    (left-semi prune) — candidate-mass-proportional, not corpus."""
+    sig = minhash_signatures(docs).localCheckpoint()
+    cands = band_pairs_from_signatures(sig).localCheckpoint()
+    # explicit K-term agreement sum (pure codegen column expression)
+    terms = [
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("long")
+        for i in range(C.MINHASH_K)
+    ]
+    n_agree = terms[0]
+    for t in terms[1:]:
+        n_agree = n_agree + t
+    est = (
+        cands.join(
+            sig.alias("a"), F.col("doc_a") == F.col("a.doc_id")
+        )
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    sh = doc_shingles(docs)
+    cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint()
+    sizes = sh_c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a, b = sh_c.alias("sa"), sh_c.alias("sb")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .join(cands, ["doc_a", "doc_b"])
+    )
+    out = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("long"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("na"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("nb"),
+                )
+            ),
+            "doc_b",
+        )
+    )
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_agree",
+        F.expr(f"n_agree * 1000000L DIV {C.MINHASH_K}").alias("est_e6"),
+        "inter",
+        F.expr("inter * 1000000L DIV (na + nb - inter)").alias("exact_e6"),
+        F.expr(
+            f"n_agree * 1000000L DIV {C.MINHASH_K}"
+            " - inter * 1000000L DIV (na + nb - inter)"
+        ).alias("err_e6"),
+    )

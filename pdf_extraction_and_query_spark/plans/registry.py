@@ -690,6 +690,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
     "ngram_jaccard_pruned": lambda s, d: D.ngram_jaccard_pruned(_docs(s, d)),
     "minhash_lsh_pairs": lambda s, d: D.minhash_band_pairs(_docs(s, d)),
+    # MinHash estimator calibration: signature estimate vs exact Jaccard
+    "minhash_est_audit": lambda s, d: D.minhash_est_audit(_docs(s, d)),
     "dedup_clusters": lambda s, d: D.dedup_clusters(_docs(s, d)),
     # same contract through the O(log^2 n)-round large-star/small-star
     # path — the oracle below is shared verbatim with dedup_clusters, so
@@ -1727,6 +1729,47 @@ bands AS ({_band_union_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, val)
 WHERE a.doc_id < b.doc_id""",
+    # MinHash calibration audit (operators/dedup.py minhash_est_audit):
+    # per LSH candidate pair, signature-agreement estimate vs exact
+    # shingle Jaccard, signed error — all-positive integer DIV
+    "minhash_est_audit": f"""
+WITH {_SH_CTE},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b USING (band, val)
+         WHERE a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         cast({" + ".join(
+             f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+             for i in range(C.MINHASH_K)
+         )} as bigint) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b),
+sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT cast(g.doc_a as bigint) AS doc_a, cast(g.doc_b as bigint) AS doc_b,
+       g.n_agree,
+       cast(g.n_agree * 1000000 // {C.MINHASH_K} as bigint) AS est_e6,
+       cast(coalesce(i.inter, 0) as bigint) AS inter,
+       cast(coalesce(i.inter, 0) * 1000000
+            // (na.n_sh + nb.n_sh - coalesce(i.inter, 0)) as bigint)
+         AS exact_e6,
+       cast(g.n_agree * 1000000 // {C.MINHASH_K}
+            - coalesce(i.inter, 0) * 1000000
+              // (na.n_sh + nb.n_sh - coalesce(i.inter, 0)) as bigint)
+         AS err_e6
+FROM agree g
+LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+JOIN sizes na ON na.doc_id = g.doc_a
+JOIN sizes nb ON nb.doc_id = g.doc_b""",
     # train/val/test assignment (operators/packing.dataset_split): salted
     # md5 coordinate, contract band edges — the curation->training handoff
     "dataset_split": f"""

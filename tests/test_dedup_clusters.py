@@ -88,3 +88,31 @@ def test_star_bounded_rounds_on_10k_chain(spark):
         "sum(cast(is_keeper AS long)) AS keepers",
     ).collect()[0]
     assert (agg["n"], agg["bad"], agg["keepers"]) == (n, 0, 1)
+
+
+def test_minhash_est_audit_identical_and_partial(spark):
+    """Identical docs: 16/16 agreeing components, exact Jaccard 1e6,
+    error 0.  A partially-overlapping pair (if it survives banding) must
+    carry the hand-computable exact Jaccard and an estimate within
+    [0, 1e6]."""
+    from pdf_extraction_and_query_spark import contract as C
+    from pdf_extraction_and_query_spark.operators.dedup import (
+        minhash_est_audit,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, text, "en", "s", 1),
+            (1, text, "en", "s", 1),
+            (2, " ".join(f"z{i}" for i in range(30)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in minhash_est_audit(docs).collect()}
+    assert (0, 1) in rows and (0, 2) not in rows and (1, 2) not in rows
+    r = rows[(0, 1)]
+    assert r["n_agree"] == C.MINHASH_K
+    assert (r["est_e6"], r["exact_e6"], r["err_e6"]) == (1_000_000, 1_000_000, 0)
+    # 28 shingles each, all shared
+    assert r["inter"] == 28

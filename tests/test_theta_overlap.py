@@ -83,3 +83,4 @@ def test_theta_overlap_arithmetic_and_zero_pairs(spark):
     assert ab["est_inter"] == n_sh * C.THETA_RATE
     ac = rows[("a", "c")]
     assert (ac["n_inter"], ac["jaccard_e6"], ac["est_inter"]) == (0, 0, 0)
+
