@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "isotropy_report",
     "minhash_est_audit",
     "ivfbq_topk",
     "winnow_source_matrix",
@@ -364,6 +365,7 @@ def main() -> None:
         "retrieval_eval",
         "retrieval_ndcg",
         "label_separation",
+        "isotropy_report",
         "cms_heavy_hitters",
         "hll_vocab",
         "theta_source_overlap",

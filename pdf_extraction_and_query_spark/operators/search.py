@@ -1387,6 +1387,48 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def isotropy_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-anisotropy report (Ethayarajh 2019's diagnostic, exact
+    integer form): ``iso_e6 = centroid_sq_norm * 1e6 div mean_sq_norm``
+    — the corpus centroid's squared norm as a fraction of the mean
+    squared vector norm.  Near 0 = isotropic (directions cancel); near
+    1e6 = a dominant common direction (cosine similarities inflated
+    corpus-wide — the known failure mode that breaks cosine-threshold
+    dedup and similarity bucketing).  One scalar row.
+
+    Scale shape: one posexplode + per-dim map-side-combined aggregate
+    (EMBED_DIM rows out), one fold over those 64 rows.  int64 bounds
+    hold at ANY corpus size: the centroid component is the per-dim
+    INTEGER MEAN (the label_separation positive-dividend shift, so
+    Spark DIV == DuckDB floor on negative sums), giving
+    ``centroid_sq <= 64e12`` unconditionally; under the L2-normalized
+    contract ``centroid_sq <= mean_sq ~= 1e12`` so the 1e6-scaled
+    ratio stays ~1e18 < 2^63."""
+    comp = embeddings.select(
+        F.posexplode(fixed_point_vec(F.col("embedding"))).alias("dim", "v")
+    )
+    per_dim = comp.groupBy("dim").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.expr("(s + n * 1000000L) DIV n - 1000000L").alias("m"), "ssq", "n"
+    )
+    return per_dim.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("ssq").cast("long").alias("sum_sq_norm_e12"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("centroid_sq_norm_e12"),
+    ).select(
+        "n",
+        "sum_sq_norm_e12",
+        F.expr("sum_sq_norm_e12 DIV n").alias("mean_sq_norm_e12"),
+        "centroid_sq_norm_e12",
+        F.expr(
+            "centroid_sq_norm_e12 * 1000000L DIV (sum_sq_norm_e12 DIV n)"
+        ).alias("iso_e6"),
+    )
+
+
 def knn_brute(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
     """Exact all-kNN ground truth: every (a, b) pair scored, per-query
     top-k — O(n^2) dots, the small-scale YARDSTICK for

@@ -777,6 +777,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_ndcg": lambda s, d: S.retrieval_ndcg(_emb(s, d)),
     # embedding-space class-separation report (pairwise label centroids)
     "label_separation": lambda s, d: S.label_separation(_emb(s, d)),
+    # embedding-anisotropy scalar report (Ethayarajh 2019)
+    "isotropy_report": lambda s, d: S.isotropy_report(_emb(s, d)),
     "knn_join": lambda s, d: S.knn_join(_emb(s, d)),
     "mmr_topk": lambda s, d: S.mmr_topk(_emb(s, d)),
     "mmr_topk_multi": lambda s, d: S.mmr_topk_multi(_emb(s, d)),
@@ -2815,6 +2817,29 @@ SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
 FROM dots d
 JOIN nrm na ON na.label = d.label_a
 JOIN nrm nb ON nb.label = d.label_b""",
+    # anisotropy report (operators/search.py isotropy_report): centroid
+    # = per-dim integer mean (positive-dividend shift), one scalar row
+    "isotropy_report": f"""
+WITH c AS (SELECT {_FP_VEC} AS ev FROM embeddings),
+comp AS (SELECT i.i AS dim, ev[i.i] AS v
+         FROM c, generate_series(1, {C.EMBED_DIM}) i(i)),
+pd AS (
+  SELECT dim,
+         cast((cast(sum(v) as bigint) + cast(count(*) as bigint) * 1000000)
+              // cast(count(*) as bigint) - 1000000 as bigint) AS m,
+         cast(sum(v * v) as bigint) AS ssq,
+         cast(count(*) as bigint) AS n
+  FROM comp GROUP BY 1),
+t AS (SELECT cast(max(n) as bigint) AS n,
+             cast(sum(ssq) as bigint) AS sum_sq_norm_e12,
+             cast(sum(m * m) as bigint) AS centroid_sq_norm_e12
+      FROM pd)
+SELECT n, sum_sq_norm_e12,
+       cast(sum_sq_norm_e12 // n as bigint) AS mean_sq_norm_e12,
+       centroid_sq_norm_e12,
+       cast(centroid_sq_norm_e12 * 1000000 // (sum_sq_norm_e12 // n)
+            as bigint) AS iso_e6
+FROM t""",
     "retrieval_eval_by_label": f"""
 WITH q AS (SELECT vec_id AS q_id, cast(label as bigint) AS q_label,
                   {_FP_VEC} AS qv

@@ -155,6 +155,23 @@ def test_label_separation_hand_computed(spark):
     assert rows[(1, 2)]["cos_r6"] == -1.0
 
 
+def test_isotropy_hand_computed(spark):
+    """Identical vectors -> iso 1e6; antipodal pair -> iso 0; orthogonal
+    pair -> centroid [.5,.5], iso = 0.5e12/1e12 = 500000."""
+    S_ = S.isotropy_report
+    same = _emb(spark, [(i, [1.0, 0.0], 0) for i in range(4)])
+    [r] = S_(same).collect()
+    assert (r["n"], r["iso_e6"]) == (4, 1_000_000)
+    assert r["mean_sq_norm_e12"] == 10**12
+    anti = _emb(spark, [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0)])
+    [r] = S_(anti).collect()
+    assert (r["centroid_sq_norm_e12"], r["iso_e6"]) == (0, 0)
+    orth = _emb(spark, [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)])
+    [r] = S_(orth).collect()
+    assert r["centroid_sq_norm_e12"] == 500_000_000_000
+    assert r["iso_e6"] == 500_000
+
+
 def test_hard_negatives_skips_same_label_and_self(spark):
     """The nearest candidate overall shares the query's label (and the
     self-hit trivially does) — neither may appear; ranks count only
