@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "readability",
     "isotropy_report",
     "minhash_est_audit",
     "ivfbq_topk",
@@ -302,6 +303,7 @@ def main() -> None:
         "ccnet_buckets",
         "lm_fluency",
         "kn_continuation",
+        "readability",
         "gopher_verdict",
         "embedding_near_pairs_lsh",
         "stub_embed",

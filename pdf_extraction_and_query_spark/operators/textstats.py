@@ -470,3 +470,48 @@ def kn_continuation(docs: DataFrame, topk: int = C.VOCAB_TOPK) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("cont_cnt"), F.asc("token")).limit(topk)
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade, exact-integer fixed
+    point — the classic curation signal complementing the Gopher rules
+    (a near-unreadable doc passes word-count gates but scores deeply
+    negative here).  Deterministic syllable proxy: VOWEL GROUPS
+    (``[aeiouy]+`` runs over the lowercased text) — the standard
+    approximation, and exactly replayable in SQL, unlike dictionary
+    syllabification.
+
+      flesch_e3   = 206835 − 1015·words div sentences
+                            − 84600·syllables div words
+      fk_grade_e3 = 390·words div sentences
+                    + 11800·syllables div words − 15590
+
+    Sentences = ``[.!?]+`` runs (min 1); words = whitespace tokens
+    (docs with zero words emit no row).  Zero-shuffle pure-codegen
+    projection — regexp counts and integer arithmetic only."""
+    t = F.col("text")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE)).cast("long")
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.expr(
+            "206835 - 1015 * n_words DIV n_sentences"
+            " - 84600 * n_syllables DIV n_words"
+        ).cast("long").alias("flesch_e3"),
+        F.expr(
+            "390 * n_words DIV n_sentences"
+            " + 11800 * n_syllables DIV n_words - 15590"
+        ).cast("long").alias("fk_grade_e3"),
+    )

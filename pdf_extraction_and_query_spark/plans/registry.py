@@ -725,6 +725,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_fluency": lambda s, d: TX.lm_fluency(_docs(s, d)),
     # Kneser-Ney continuation statistics (top-K versatility report)
     "kn_continuation": lambda s, d: TX.kn_continuation(_docs(s, d)),
+    # Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
+    "readability": lambda s, d: TX.readability(_docs(s, d)),
     "ccnet_buckets": lambda s, d: TX.ccnet_buckets(_docs(s, d)),
     "ccnet_bucket_stats": lambda s, d: TX.ccnet_bucket_stats(_docs(s, d)),
     "quality_classify": lambda s, d: CL.quality_classify(_docs(s, d), spec="stub"),
@@ -2278,6 +2280,26 @@ SELECT uc.token, uc.unigram_cnt,
 FROM uc LEFT JOIN co USING (token) LEFT JOIN rt USING (token)
 CROSS JOIN tt
 ORDER BY cont_cnt DESC, uc.token ASC LIMIT {C.VOCAB_TOPK}""",
+    # readability (operators/textstats.py readability): Flesch + FK
+    # grade in e3 fixed point, vowel-group syllable proxy; all-positive
+    # DIV operands so // == Spark DIV
+    "readability": f"""
+WITH r AS (
+  SELECT doc_id,
+         greatest(cast(len(regexp_extract_all(text, '[.!?]+')) as bigint),
+                  1) AS n_sentences,
+         cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+              as bigint) AS n_words,
+         cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) as bigint)
+           AS n_syllables
+  FROM documents)
+SELECT cast(doc_id as bigint) AS doc_id, n_sentences, n_words, n_syllables,
+       cast(206835 - 1015 * n_words // n_sentences
+            - 84600 * n_syllables // n_words as bigint) AS flesch_e3,
+       cast(390 * n_words // n_sentences
+            + 11800 * n_syllables // n_words - 15590 as bigint)
+         AS fk_grade_e3
+FROM r WHERE n_words > 0""",
     "winnow_fingerprints": f"""
 WITH {_WINNOW_CTE}
 SELECT cast(doc_id as bigint) AS doc_id, fp_pos, fp FROM wfp""",

@@ -62,3 +62,21 @@ def test_kn_continuation_topk_cap(spark):
     assert len(rows) == 3
     # all cont_cnt = 1 except 'a' (0); asc token tie-break
     assert [r["token"] for r in rows] == ["b", "c", "d"]
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. The dog ran!' -> 2 sentences, 6 words, 6 vowel
+    groups: flesch = 206.835 - 1.015*3 - 84.6*1 = 119.190 (e3),
+    fk = 0.39*3 + 11.8*1 - 15.59 = -2.620 (e3)."""
+    docs = _docs(spark, ["The cat sat. The dog ran!"])
+    [r] = TX.readability(docs).collect()
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (2, 6, 6)
+    assert r["flesch_e3"] == 206_835 - 3_045 - 84_600
+    assert r["fk_grade_e3"] == 1_170 + 11_800 - 15_590
+
+
+def test_readability_no_terminator_counts_one_sentence(spark):
+    docs = _docs(spark, ["just words no punctuation here"])
+    [r] = TX.readability(docs).collect()
+    assert r["n_sentences"] == 1
+    assert r["n_words"] == 5
