@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "quality_agreement",
     "readability",
     "isotropy_report",
     "minhash_est_audit",
@@ -300,6 +301,7 @@ def main() -> None:
         "curate_corpus_v2",
         "curation_funnel",
         "quality_classify",
+        "quality_agreement",
         "ccnet_buckets",
         "lm_fluency",
         "kn_continuation",

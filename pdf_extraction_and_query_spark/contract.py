@@ -280,6 +280,10 @@ SEQ_LEN = 2048
 # drops some
 CURATE_MAX_DUP_COVERAGE_E6 = 500_000
 CURATE_MIN_FLUENCY_E6 = 32_000
+# readability pass threshold (operators/textstats.readability flesch_e3
+# >= this; ~corpus median at the gate fixtures, so the binary signal is
+# informative rather than degenerate) — used by quality_agreement
+READABILITY_MIN_E3 = 27_000
 
 # deterministic stratified sampling (operators/packing.stratified_sample):
 # keep a document iff md5_bits48(SAMPLE_SALT || doc_id) % 1e6 < rate_micro

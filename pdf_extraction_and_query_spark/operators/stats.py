@@ -307,3 +307,119 @@ def shuffle_skew_report(documents: DataFrame, key: str = "source") -> DataFrame:
             "total_chars * n_keys * 1000000L DIV grand_total >= 2000000"
         ).alias("is_skewed"),
     )
+
+
+_AGREE_SIGNALS = ("cls", "flu", "rd", "cc")
+_AGREE_PAIRS = (
+    ("cls", "flu"),
+    ("cls", "rd"),
+    ("cls", "cc"),
+    ("flu", "rd"),
+    ("flu", "cc"),
+    ("rd", "cc"),
+)
+
+
+def quality_agreement(documents: DataFrame) -> DataFrame:
+    """Inter-signal agreement matrix for the curation stack: for every
+    pair of binary quality signals — classifier keep (`cls`), bigram-LM
+    fluency >= CURATE_MIN_FLUENCY_E6 (`flu`), Flesch readability >=
+    READABILITY_MIN_E3 (`rd`), CCNet bucket != tail (`cc`) — the 2x2
+    contingency counts, raw agreement, and Cohen's kappa (chance-
+    corrected, exact e6 fixed point).  Near-zero kappa between two
+    signals means they filter INDEPENDENT failure modes (keep both);
+    kappa near 1e6 means one is redundant — the measurement that turns
+    "seven signals" from a list into a designed ensemble.
+
+    Population = docs where every signal is defined (>= 2 tokens, the
+    fluency requirement; inner joins).  Kappa's possibly-negative
+    division uses the positive-dividend shift so Spark DIV == DuckDB
+    floor; pe == 1e6 (two constant signals) reports kappa 0.
+
+    Scale shape: the four signal subplans are the production operators
+    themselves; their join collapses to a skinny per-doc flag frame
+    (localCheckpointed — 1 + 24 sums consume it), the whole matrix is
+    ONE map-side-combined aggregate row, and the 6-row report is a
+    stack() over that row — nothing after the joins is corpus-sized."""
+    from .. import contract as C
+    from .classifier import quality_classify
+    from .textstats import ccnet_buckets, lm_fluency, readability
+
+    cls = quality_classify(documents).select(
+        "doc_id", (F.col("label") == "keep").cast("long").alias("cls")
+    )
+    flu = lm_fluency(documents).select(
+        "doc_id",
+        (F.col("fluency_e6") >= C.CURATE_MIN_FLUENCY_E6)
+        .cast("long")
+        .alias("flu"),
+    )
+    rd = readability(documents).select(
+        "doc_id",
+        (F.col("flesch_e3") >= C.READABILITY_MIN_E3).cast("long").alias("rd"),
+    )
+    cc = ccnet_buckets(documents).select(
+        "doc_id", (F.col("bucket") != "tail").cast("long").alias("cc")
+    )
+    base = (
+        cls.join(flu, "doc_id").join(rd, "doc_id").join(cc, "doc_id")
+    ).localCheckpoint()
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for a, b in _AGREE_PAIRS:
+        aggs += [
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"{a}_{b}_11"),
+            F.sum((1 - F.col(a)) * (1 - F.col(b)))
+            .cast("long")
+            .alias(f"{a}_{b}_00"),
+            F.sum(F.col(a) * (1 - F.col(b)))
+            .cast("long")
+            .alias(f"{a}_{b}_10"),
+            F.sum((1 - F.col(a)) * F.col(b))
+            .cast("long")
+            .alias(f"{a}_{b}_01"),
+        ]
+    row = base.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', {a}_{b}_11, {a}_{b}_00, {a}_{b}_10, {a}_{b}_01"
+        for a, b in _AGREE_PAIRS
+    )
+    stacked = row.selectExpr(
+        "n",
+        f"stack({len(_AGREE_PAIRS)}, {stack})"
+        " as (sig_a, sig_b, n11, n00, n10, n01)",
+    )
+    staged = stacked.select(
+        "sig_a",
+        "sig_b",
+        "n",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        F.expr("(n11 + n00) * 1000000L DIV n").alias("po"),
+        F.expr("(n11 + n10) * 1000000L DIV n").alias("pa"),
+        F.expr("(n11 + n01) * 1000000L DIV n").alias("pb"),
+    ).withColumn(
+        "pe",
+        F.expr(
+            "(pa * pb) DIV 1000000L"
+            " + ((1000000L - pa) * (1000000L - pb)) DIV 1000000L"
+        ),
+    )
+    return staged.select(
+        "sig_a",
+        "sig_b",
+        "n",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        F.col("po").alias("agree_e6"),
+        # kappa = (po - pe) / (1 - pe); numerator may be negative, so the
+        # positive-dividend shift keeps Spark DIV == DuckDB floor
+        F.expr(
+            "CASE WHEN pe = 1000000L THEN 0L"
+            " ELSE ((po - pe) * 1000000L + 1000000000000L * (1000000L - pe))"
+            "      DIV (1000000L - pe) - 1000000000000L END"
+        ).cast("long").alias("kappa_e6"),
+    )

@@ -824,6 +824,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stats": lambda s, d: ST.dedup_stats(_docs(s, d)),
     # partition-key skew pre-flight (per-source load/share/salt report)
     "shuffle_skew_report": lambda s, d: ST.shuffle_skew_report(_docs(s, d)),
+    # inter-signal agreement / Cohen's kappa matrix for the curation stack
+    "quality_agreement": lambda s, d: ST.quality_agreement(_docs(s, d)),
     "events_rollup": lambda s, d: ST.events_rollup(_events(s, d)),
     "sessionize": lambda s, d: ST.sessionize(_events(s, d)),
     # --- span-corpus surface (oracle-paired via the word-index-arithmetic
@@ -2280,6 +2282,113 @@ SELECT uc.token, uc.unigram_cnt,
 FROM uc LEFT JOIN co USING (token) LEFT JOIN rt USING (token)
 CROSS JOIN tt
 ORDER BY cont_cnt DESC, uc.token ASC LIMIT {C.VOCAB_TOPK}""",
+    # inter-signal agreement matrix (operators/stats.py
+    # quality_agreement): classifier keep / LM fluency / Flesch
+    # readability / CCNet bucket as binary signals, 2x2 counts, raw
+    # agreement, Cohen's kappa (positive-dividend shift for the
+    # possibly-negative kappa division)
+    "quality_agreement": f"""
+WITH {_cls_cte('q')},
+{_ccnet_cte('n')},
+afw AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'),
+                           x -> x <> '') AS fwords
+        FROM documents),
+afbi AS (SELECT doc_id, fwords[i] AS w1, fwords[i + 1] AS w2
+         FROM (SELECT doc_id, fwords,
+                      unnest(range(1, greatest(len(fwords), 1))) AS i
+               FROM afw)),
+afc2 AS (SELECT w1, w2, cast(count(*) as bigint) AS c2
+         FROM afbi GROUP BY 1, 2),
+afc1 AS (SELECT w1, cast(sum(c2) as bigint) AS c1 FROM afc2 GROUP BY 1),
+aflu AS (SELECT doc_id, cast(sum(p_e6) // count(*) as bigint) AS fluency_e6
+         FROM (SELECT afbi.doc_id, (1000000 * afc2.c2) // afc1.c1 AS p_e6
+               FROM afbi JOIN afc2 USING (w1, w2) JOIN afc1 USING (w1))
+         GROUP BY doc_id),
+ard AS (SELECT doc_id,
+               cast(206835
+                    - 1015 * len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                      // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    - 84600 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      // len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+                    as bigint) AS flesch_e3
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) > 0),
+abase AS (
+  SELECT qqb.doc_id,
+         CASE WHEN qqb.label = 'keep' THEN 1 ELSE 0 END AS cls,
+         CASE WHEN aflu.fluency_e6 >= {C.CURATE_MIN_FLUENCY_E6}
+              THEN 1 ELSE 0 END AS flu,
+         CASE WHEN ard.flesch_e3 >= {C.READABILITY_MIN_E3}
+              THEN 1 ELSE 0 END AS rd,
+         CASE WHEN nb.bucket <> 'tail' THEN 1 ELSE 0 END AS cc
+  FROM qqb
+  JOIN aflu USING (doc_id)
+  JOIN ard USING (doc_id)
+  JOIN nb ON nb.doc_id = qqb.doc_id),
+acnt AS (
+SELECT 'cls' AS sig_a, 'flu' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cls * flu) as bigint) AS n11,
+       cast(sum((1 - cls) * (1 - flu)) as bigint) AS n00,
+       cast(sum(cls * (1 - flu)) as bigint) AS n10,
+       cast(sum((1 - cls) * flu) as bigint) AS n01
+FROM abase
+UNION ALL
+SELECT 'cls' AS sig_a, 'rd' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cls * rd) as bigint) AS n11,
+       cast(sum((1 - cls) * (1 - rd)) as bigint) AS n00,
+       cast(sum(cls * (1 - rd)) as bigint) AS n10,
+       cast(sum((1 - cls) * rd) as bigint) AS n01
+FROM abase
+UNION ALL
+SELECT 'cls' AS sig_a, 'cc' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(cls * cc) as bigint) AS n11,
+       cast(sum((1 - cls) * (1 - cc)) as bigint) AS n00,
+       cast(sum(cls * (1 - cc)) as bigint) AS n10,
+       cast(sum((1 - cls) * cc) as bigint) AS n01
+FROM abase
+UNION ALL
+SELECT 'flu' AS sig_a, 'rd' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(flu * rd) as bigint) AS n11,
+       cast(sum((1 - flu) * (1 - rd)) as bigint) AS n00,
+       cast(sum(flu * (1 - rd)) as bigint) AS n10,
+       cast(sum((1 - flu) * rd) as bigint) AS n01
+FROM abase
+UNION ALL
+SELECT 'flu' AS sig_a, 'cc' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(flu * cc) as bigint) AS n11,
+       cast(sum((1 - flu) * (1 - cc)) as bigint) AS n00,
+       cast(sum(flu * (1 - cc)) as bigint) AS n10,
+       cast(sum((1 - flu) * cc) as bigint) AS n01
+FROM abase
+UNION ALL
+SELECT 'rd' AS sig_a, 'cc' AS sig_b,
+       cast(count(*) as bigint) AS n,
+       cast(sum(rd * cc) as bigint) AS n11,
+       cast(sum((1 - rd) * (1 - cc)) as bigint) AS n00,
+       cast(sum(rd * (1 - cc)) as bigint) AS n10,
+       cast(sum((1 - rd) * cc) as bigint) AS n01
+FROM abase),
+ap AS (SELECT *, (n11 + n00) * 1000000 // n AS po,
+              (n11 + n10) * 1000000 // n AS pa,
+              (n11 + n01) * 1000000 // n AS pb
+       FROM acnt),
+ae AS (SELECT *, (pa * pb) // 1000000
+                 + ((1000000 - pa) * (1000000 - pb)) // 1000000 AS pe
+       FROM ap)
+SELECT sig_a, sig_b, n, n11, n00, n10, n01,
+       cast(po as bigint) AS agree_e6,
+       cast(CASE WHEN pe = 1000000 THEN 0
+                 ELSE ((po - pe) * 1000000
+                       + 1000000000000 * (1000000 - pe))
+                      // (1000000 - pe) - 1000000000000 END
+            as bigint) AS kappa_e6
+FROM ae""",
     # readability (operators/textstats.py readability): Flesch + FK
     # grade in e3 fixed point, vowel-group syllable proxy; all-positive
     # DIV operands so // == Spark DIV

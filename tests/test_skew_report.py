@@ -71,3 +71,32 @@ def test_skew_report_plan_single_corpus_pass(spark):
     # exchange for the totals window over the aggregated key rows
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_quality_agreement_invariants_and_python_replay(spark):
+    """Six pairs over one shared population; contingency counts sum to
+    n; agree/kappa match an independent Python implementation of the
+    exact integer spec (including the positive-dividend floor shift)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ST.quality_agreement(docs).collect()
+    assert len(rows) == 6
+    assert len({r["n"] for r in rows}) == 1
+    for r in rows:
+        n, n11, n00, n10, n01 = (
+            r["n"], r["n11"], r["n00"], r["n10"], r["n01"]
+        )
+        assert n11 + n00 + n10 + n01 == n
+        po = (n11 + n00) * 1_000_000 // n
+        pa = (n11 + n10) * 1_000_000 // n
+        pb = (n11 + n01) * 1_000_000 // n
+        pe = pa * pb // 1_000_000 + (1_000_000 - pa) * (
+            1_000_000 - pb
+        ) // 1_000_000
+        assert r["agree_e6"] == po
+        if pe == 1_000_000:
+            want = 0
+        else:
+            # Python // IS floor division — the spec the shift encodes
+            want = (po - pe) * 1_000_000 // (1_000_000 - pe)
+        assert r["kappa_e6"] == want, (r["sig_a"], r["sig_b"])
+        assert -1_000_000 <= r["kappa_e6"] <= 1_000_000
