@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "event_interarrival",
     "quality_agreement",
     "readability",
     "isotropy_report",
@@ -342,6 +343,7 @@ def main() -> None:
         "event_funnel",
         "retention_cohorts",
         "value_quantiles",
+        "event_interarrival",
         "session_attribution",
         "rollup_cascade",
         "rollup_anomalies",

@@ -478,3 +478,79 @@ def rollup_anomalies(events: DataFrame, k: int = C.ANOM_K) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+def event_interarrival(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival distribution: gap = microseconds
+    since the SAME USER's previous event (any type; (ts_us, event_id)
+    total order, the contract.EVT_KEY_FMT tie rule), keyed by the LATER
+    event's type, summarized by the HDR log-bucket sketch (est50/90/99
+    bucket lower bounds, unit = µs) plus the exact min/max/mean — the
+    burstiness / engagement-cadence report next to value_quantiles'
+    value distributions.
+
+    Scale shape: one user_id window exchange for the lag (reused
+    unchanged from the sessionize family), then a (key, bucket)
+    map-side-combined aggregate (sketch-sized) and a per-key exact
+    aggregate (|types| rows); the join of the two summaries is
+    metadata-sized."""
+    from .. import contract as C
+    from .sketches import hdr_estimates_from_sketch
+
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    base = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        ts_us.alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (
+        base.withColumn("prev", F.lag("ts_us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            (F.col("ts_us") - F.col("prev")).alias("v"),
+        )
+    )
+    s = C.HDR_SUB_BITS
+    e = F.greatest(
+        F.length(F.conv(F.col("v"), 10, 2)).cast("int") - F.lit(s), F.lit(0)
+    )
+    coords = g.select(
+        "key",
+        F.col("v").alias("v"),
+        e.alias("_e"),
+    ).select(
+        "key",
+        (F.col("_e").cast("long") * (1 << s) + F.expr("shiftright(v, _e)"))
+        .alias("bucket"),
+        F.expr("shiftleft(shiftright(v, _e), _e)").cast("long").alias("lb"),
+    )
+    sk = coords.groupBy("key", "bucket").agg(
+        F.max("lb").cast("long").alias("lb"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    est = hdr_estimates_from_sketch(sk).select(
+        "key",
+        "n",
+        *[
+            F.col(f"est{p}_e2").alias(f"est{p}_us")
+            for p in C.HDR_PCTS
+        ],
+    )
+    exact = g.groupBy("key").agg(
+        F.min("v").cast("long").alias("min_us"),
+        F.max("v").cast("long").alias("max_us"),
+        F.expr("sum(v) DIV count(*)").cast("long").alias("mean_us"),
+    )
+    return est.join(exact, "key").select(
+        F.col("key").alias("event_type"),
+        "n",
+        "min_us",
+        "mean_us",
+        "max_us",
+        *[f"est{p}_us" for p in C.HDR_PCTS],
+    )

@@ -889,6 +889,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_report": lambda s, d: EV.funnel_report(_events(s, d)),
     "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
     "value_quantiles": lambda s, d: SK.hdr_quantiles(_events(s, d)),
+    # per-type inter-arrival distribution (HDR µs buckets + exact stats)
+    "event_interarrival": lambda s, d: EV.event_interarrival(_events(s, d)),
     # HTML source -> the SAME downstream chunking pipeline as PDF-derived
     # span corpora (rows-only: chunk fold not SQL-expressible; pipeline
     # equality vs the eager kernel in tests/test_html_pipeline.py)
@@ -4908,6 +4910,37 @@ FROM w"""
 # over DuckDB's bin()/shift operators; all counts/ranks exact int64.
 _HDR_S = C.HDR_SUB_BITS
 _HDR_RANKS = {p: f"(({p} * n) + 99) // 100" for p in C.HDR_PCTS}
+
+# per-type inter-arrival distribution (operators/eventflow.py
+# event_interarrival): per-user lag gaps in µs under the (ts_us,
+# event_id) total order, HDR log-bucket estimates + exact min/mean/max
+ORACLE_SQL["event_interarrival"] = """
+WITH eb AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+            FROM events),
+eg AS (SELECT event_type AS key,
+              ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS v
+       FROM eb),
+egn AS (SELECT key, v FROM eg WHERE v IS NOT NULL),
+ec AS (SELECT key, v, greatest(length(bin(v)) - 6, 0) AS e FROM egn),
+esk AS (SELECT key, e * 64 + (v >> e) AS bucket,
+               cast(((v >> e) << e) as bigint) AS lb,
+               cast(count(*) as bigint) AS cnt
+        FROM ec GROUP BY 1, 2, 3),
+eskc AS (SELECT key, lb,
+                cast(sum(cnt) OVER (PARTITION BY key ORDER BY bucket)
+                     as bigint) AS cum,
+                cast(sum(cnt) OVER (PARTITION BY key) as bigint) AS n
+         FROM esk),
+eest AS (SELECT key, max(n) AS n, min(CASE WHEN cum >= ((50 * n) + 99) // 100 THEN lb END) AS est50, min(CASE WHEN cum >= ((90 * n) + 99) // 100 THEN lb END) AS est90, min(CASE WHEN cum >= ((99 * n) + 99) // 100 THEN lb END) AS est99
+         FROM eskc GROUP BY key),
+eex AS (SELECT key, cast(min(v) as bigint) AS min_us,
+               cast(max(v) as bigint) AS max_us,
+               cast(sum(v) // count(*) as bigint) AS mean_us
+        FROM egn GROUP BY key)
+SELECT eest.key AS event_type, cast(n as bigint) AS n,
+       min_us, mean_us, max_us, cast(est50 as bigint) AS est50_us, cast(est90 as bigint) AS est90_us, cast(est99 as bigint) AS est99_us
+FROM eest JOIN eex ON eex.key = eest.key"""
 
 ORACLE_SQL["value_quantiles"] = f"""
 WITH b AS (SELECT event_type AS key,

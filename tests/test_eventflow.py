@@ -416,3 +416,39 @@ def test_asof_and_funnel_are_single_exchange(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
         assert "PushedFilters: [In(event_type" in plan or "DataFilters: [event_type" in plan, plan
+
+
+def test_event_interarrival_hand_computed(spark):
+    """User 1: events at 0, 100, 350 µs -> gaps 100 (type b), 250
+    (type a); user 2: single event -> no gap; gaps key by the LATER
+    event's type; exact min/mean/max per type; HDR estimate >= the
+    true value (bucket lower bound is a floor of a covering bucket)."""
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "a"),
+            (2, 100, 1, "b"),
+            (3, 350, 1, "a"),
+            (4, 500, 2, "a"),
+        ],
+    )
+    rows = {r["event_type"]: r for r in EV.event_interarrival(ev).collect()}
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    assert (a["n"], a["min_us"], a["mean_us"], a["max_us"]) == (1, 250, 250, 250)
+    b = rows["b"]
+    assert (b["n"], b["min_us"], b["max_us"]) == (1, 100, 100)
+    # single-value keys: every estimate is that value's bucket floor
+    for r in rows.values():
+        for p in C.HDR_PCTS:
+            assert r[f"est{p}_us"] <= r["max_us"]
+            assert r[f"est{p}_us"] >= 0
+
+
+def test_event_interarrival_gap_zero_and_tie_order(spark):
+    """Simultaneous events for one user: the (ts_us, event_id) total
+    order makes the gap 0 and keys it by the higher event_id's type."""
+    ev = _ev(spark, [(1, 0, 1, "a"), (2, 0, 1, "b")])
+    rows = {r["event_type"]: r for r in EV.event_interarrival(ev).collect()}
+    assert set(rows) == {"b"}
+    assert (rows["b"]["n"], rows["b"]["min_us"]) == (1, 0)
