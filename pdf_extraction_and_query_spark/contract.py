@@ -701,3 +701,61 @@ ANOM_K = 3
 # and its surrounding prose never pollutes the pair); a pair is kept for
 # training when the caption holds >= MIN_WORDS whitespace words.
 MM_PAIR_MIN_WORDS = 3
+# UniMax language-budget allocation (packing.unimax_alloc — Chung et
+# al. 2023, "UniMax: Fairer and More Effective Language Sampling",
+# public): per-language capacity = n_tokens * UNIMAX_MAX_EPOCHS; the
+# total training budget B = total_corpus_tokens * UNIMAX_BUDGET_E6 /
+# 1e6 waterfills ascending by capacity — a language is CAPPED (gets its
+# full capacity) iff cap * (L - rank + 1) <= B - sum(smaller caps), and
+# once one language is uncapped every remaining one splits the leftover
+# evenly (the standard waterfill closed form; the greedy min(cap,
+# remaining/left) recurrence provably caps a PREFIX of the ascending
+# order, so one ranked window pass computes the whole allocation).
+# Integer div throughout; the division remainder goes +1 token to the
+# first (R mod n_uncapped) uncapped languages in rank order so the
+# allocations sum EXACTLY to B.  (lang count is bounded ~10^2-10^4, so
+# the single ranked window over the per-language aggregate is safe —
+# unlike sources, which can be millions: source_mix's broadcast-totals
+# shape.)
+UNIMAX_MAX_EPOCHS = 2
+UNIMAX_BUDGET_E6 = 1_500_000  # budget = 1.5x the corpus token mass
+# (2 epochs / 1.5x: with the fixture's 5-language token shares this
+# caps the two smallest languages and leaves three sharing the
+# leftover — both waterfill branches live under the gate)
+# bucketed-batching padding-waste report (packing.pad_efficiency): each
+# doc's whitespace token count rounds UP to the smallest power-of-two
+# bucket in [PAD_MIN_BUCKET, PAD_MAX_LEN] (the length-bucketed batching
+# every trainer runs to bound padding); docs longer than PAD_MAX_LEN
+# truncate.  pad = bucket - min(n_tokens, PAD_MAX_LEN); utilization_e6
+# = 1e6 * real_tokens div (real + pad).  The bucket ladder is a
+# BOUNDED case chain (6 edges), identical in both engines — never a
+# float log2 (misrounds at exact powers).
+PAD_MIN_BUCKET = 16
+PAD_MAX_LEN = 64
+# (16..64 spans the fixture's 10-99-token docs: every bucket is
+# populated AND the truncation branch fires; a production run would
+# set 64..2048 — the ladder is the contract, not the edge values)
+# C4-style line-level corpus cleaning (textstats.c4_line_stats /
+# c4_clean — Raffel et al. 2020 §2.2, public): a line is KEPT iff it
+# has >= C4_MIN_LINE_WORDS whitespace words AND ends in a terminal
+# punctuation mark (C4_TERMINAL_RE on the line) AND does not contain
+# 'javascript' (case-insensitive); a DOC is kept iff >= C4_MIN_KEPT
+# lines survive AND the page contains neither 'lorem ipsum' (any case)
+# nor a '{'.  The driver corpus is single-line word soup, so the
+# fixture side (textstats._c4_page) lifts documents.text into a lined
+# page by PURE word-index arithmetic (the htmlcorpus meet-in-the-middle
+# pattern): line i = the next C4_WORDS_PER_LINE words, suffixed '.'
+# unless (doc_id + i) % C4_PUNCT_EVERY == 0, prefixed the literal word
+# 'javascript' when (doc_id * C4_JS_MULT + i) % C4_JS_EVERY == 0, and
+# the page gains a ' lorem ipsum' / ' {' tail line on the doc_id
+# cadences below — every rule fires on real fixture rows and the
+# DuckDB oracle re-derives page AND verdicts from documents directly.
+C4_WORDS_PER_LINE = 6
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_PUNCT_EVERY = 3
+C4_JS_MULT = 31
+C4_JS_EVERY = 11
+C4_LOREM_EVERY = 17
+C4_BRACE_EVERY = 19

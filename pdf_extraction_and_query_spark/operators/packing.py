@@ -616,3 +616,233 @@ def epoch_shuffle(
         "shard",
         (F.col("before") + F.col("lr")).cast("long").alias("pos"),
     )
+
+
+def unimax_alloc(docs: DataFrame) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, public):
+    waterfill the training token budget across languages with a
+    per-language epoch cap — the multilingual sampling step that replaces
+    temperature mixing (:func:`source_mix`) when low-resource languages
+    must not be over-epoched.
+
+    Closed form (contract.py UNIMAX_* note): rank languages ascending by
+    capacity ``cap = n_tokens * UNIMAX_MAX_EPOCHS``; a language is capped
+    iff ``cap * (L - rank + 1) <= B - sum(smaller caps)`` (capped
+    languages form a prefix of the ascending order, provably); everyone
+    else splits the leftover evenly, the integer-div remainder going +1
+    to the first uncapped ranks so ``sum(alloc_tokens) == B`` exactly.
+
+    Scale shape: one map-side-combined hash agg over the corpus reduces
+    it to the per-language frame (bounded ~10^2..10^4 rows — languages,
+    not sources), then ONE ranked window over that tiny frame; the
+    budget/leftover scalars ride a broadcast 1-row crossJoin, never a
+    second pass over documents."""
+    toks = F.size(F.split(F.trim(F.col("text")), C.WS_SPLIT_RE)).cast("long")
+    per = docs.select("lang", toks.alias("t")).groupBy("lang").agg(
+        F.sum("t").cast("long").alias("n_tokens")
+    )
+    per = per.withColumn(
+        "cap_tokens", (F.col("n_tokens") * C.UNIMAX_MAX_EPOCHS).cast("long")
+    )
+    # budget in integer div (a float divide would go inexact past 2^53
+    # at real corpus token masses)
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+    ).select(
+        "n_langs",
+        F.expr(f"(tt * {C.UNIMAX_BUDGET_E6}) div 1000000")
+        .cast("long")
+        .alias("budget"),
+    )
+    w = Window.orderBy("cap_tokens", "lang")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "smaller_caps",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("n_langs") - F.col("rank") + 1)
+            <= F.col("budget") - F.col("smaller_caps"),
+        )
+    )
+    # the ranked frame is consumed twice (the leftover aggregate + the
+    # final select) and Spark plans shared subtrees independently
+    # (PLANS.md #11) — pin the corpus aggregation once; the frame is L
+    # rows, so the checkpoint is metadata-sized
+    ranked = ranked.localCheckpoint()
+    # leftover after the capped prefix + how many languages share it:
+    # 1-row aggregate of the tiny ranked frame, broadcast back
+    rem = ranked.agg(
+        (
+            F.max("budget")
+            - F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("leftover"),
+        F.sum((~F.col("capped")).cast("long")).cast("long").alias("n_unc"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.lit(1)).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_capped"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr("leftover div greatest(n_unc, 1)").cast("long")
+        + (
+            (F.col("rank") - F.col("n_capped"))
+            <= F.col("leftover") % F.greatest(F.col("n_unc"), F.lit(1))
+        ).cast("long")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(rem))
+        .select(
+            "lang",
+            "n_tokens",
+            "cap_tokens",
+            "rank",
+            "capped",
+            alloc.cast("long").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_e3",
+            F.expr("(1000 * alloc_tokens) div greatest(n_tokens, 1)").cast(
+                "long"
+            ),
+        )
+    )
+
+
+def pad_efficiency(docs: DataFrame) -> DataFrame:
+    """Length-bucketed batching padding-waste report (contract PAD_*):
+    per power-of-two bucket, how many docs land there, the real token
+    mass, the padding the bucket would add, truncated tokens, and the
+    bucket utilization in ppm — the report a trainer reads to pick
+    sequence-length buckets.  ONE narrow scan + one map-side-combined
+    hash agg on a ~6-value key; the bucket ladder is a bounded CASE
+    chain (never float log2, contract note)."""
+    n = F.size(F.split(F.trim(F.col("text")), C.WS_SPLIT_RE)).cast("long")
+    edges = []
+    b = C.PAD_MIN_BUCKET
+    while b <= C.PAD_MAX_LEN:
+        edges.append(b)
+        b *= 2
+    bucket = F.when(n <= edges[0], F.lit(edges[0]))
+    for e in edges[1:]:
+        bucket = bucket.when(n <= e, F.lit(e))
+    bucket = bucket.otherwise(F.lit(C.PAD_MAX_LEN)).cast("long")
+    kept = F.least(n, F.lit(C.PAD_MAX_LEN)).cast("long")
+    d = docs.select(
+        bucket.alias("bucket"),
+        kept.alias("kept"),
+        (n - kept).cast("long").alias("trunc"),
+    )
+    g = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_tokens"),
+        (F.first("bucket") * F.count(F.lit(1)) - F.sum("kept"))
+        .cast("long")
+        .alias("n_pad"),
+        F.sum("trunc").cast("long").alias("n_trunc"),
+    )
+    return g.withColumn(
+        "util_e6",
+        F.expr("(1000000 * n_tokens) div (n_tokens + n_pad)").cast("long"),
+    )
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: MinHash-LSH candidate
+    pairs (the EXACT banding arithmetic of ``dedup.minhash_band_pairs``)
+    labeled with each side's train/val/test assignment (the EXACT salted
+    coordinate of :func:`dataset_split`) — ``leak`` marks pairs that
+    straddle a split boundary, the contamination a doc-id split cannot
+    see (the dataset_split docstring's stated composition contract,
+    made checkable).
+
+    Scale shape: the pair side is the LSH (band, val) equi-join — never
+    all-pairs; the split coordinate is pure per-row arithmetic folded
+    into the tiny pair frame by two joins against the (doc_id, split)
+    projection (broadcast at report scale; doc_id-keyed equi-joins at
+    10^12)."""
+    from .dedup import minhash_band_pairs
+
+    pairs = minhash_band_pairs(docs)
+    splits = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _split_label(_split_bucket().cast("long")).alias("split"),
+    )
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leak"),
+        )
+    )
+
+
+def split_leakage_stats(docs: DataFrame) -> DataFrame:
+    """One-row rollup of :func:`split_leakage` — candidate pairs total,
+    leaking pairs, and how many distinct val/test documents have a
+    TRAIN-side near-dup (the number a pipeline owner checks before
+    trusting held-out loss; a val-test pair leaks but contaminates no
+    eval metric, so it counts toward ``n_leaks`` only).
+
+    The pair frame is referenced ONCE: both sides of each pair explode
+    from one array-of-structs (a doc can be doc_a in one pair and doc_b
+    in another, so the distinct must run over the union of sides —
+    and two selects of the same pair subtree would plan the LSH twice,
+    PLANS.md #11), with pair-level counts recovered exactly as
+    side-count div 2."""
+    lk = split_leakage(docs)
+    sides = lk.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("d"),
+                    F.col("split_a").alias("s"),
+                    F.col("split_b").alias("o"),
+                    F.col("leak"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("d"),
+                    F.col("split_b").alias("s"),
+                    F.col("split_a").alias("o"),
+                    F.col("leak"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    eval_doc = F.when(
+        F.col("leak")
+        & F.col("s").isin("val", "test")
+        & (F.col("o") == "train"),
+        F.col("d"),
+    )
+    return sides.agg(
+        F.expr("count(1) div 2").cast("long").alias("n_pairs"),
+        F.expr("coalesce(sum(cast(leak as long)), 0) div 2")
+        .cast("long")
+        .alias("n_leaks"),
+        F.count_distinct(eval_doc).cast("long").alias("n_eval_contaminated"),
+    )

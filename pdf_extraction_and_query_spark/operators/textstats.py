@@ -515,3 +515,140 @@ def readability(docs: DataFrame) -> DataFrame:
             " + 11800 * n_syllables DIV n_words - 15590"
         ).cast("long").alias("fk_grade_e3"),
     )
+
+
+def c4_page_lines(doc_id: Column, text: Column) -> Column:
+    """Lift a single-line word-soup doc into a lined page (array of line
+    strings) by PURE word-index arithmetic — the C4-family fixture
+    generator (contract C4_* note; the ``marked_raw`` /
+    ``htmlcorpus.html_from_text`` meet-in-the-middle pattern).  Line i =
+    the next C4_WORDS_PER_LINE words, prefixed the literal word
+    'javascript' on the (doc_id*C4_JS_MULT + i) % C4_JS_EVERY == 0
+    cadence, suffixed '.' unless (doc_id + i) % C4_PUNCT_EVERY == 0;
+    docs on the LOREM/BRACE cadences gain a 'lorem ipsum' / '{' tail
+    line.  Every C4 rule fires on real fixture rows and the DuckDB
+    oracle re-derives the page from ``documents`` directly."""
+    words = F.when(F.trim(text) == "", F.array()).otherwise(
+        F.split(F.trim(text), C.WS_SPLIT_RE)
+    )
+    did = doc_id.cast("long")
+    L = C.C4_WORDS_PER_LINE
+    # materialized via select in callers: HOF lambdas re-evaluate captured
+    # expressions per element, so callers pass a *column* of words
+    n = F.size(words)
+    n_lines = F.ceil(n / F.lit(L)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.when(
+                (did * C.C4_JS_MULT + i) % C.C4_JS_EVERY == 0,
+                F.lit("javascript "),
+            ).otherwise(F.lit("")),
+            F.array_join(F.slice(words, i * L + 1, L), " "),
+            F.when((did + i) % C.C4_PUNCT_EVERY != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    # sequence(0, -1) counts DOWN (contract sharp edge) — guard empty docs
+    body = F.when(n_lines >= 1, body).otherwise(
+        F.array().cast("array<string>")
+    )
+    lorem = F.when(
+        did % C.C4_LOREM_EVERY == 0, F.array(F.lit("lorem ipsum"))
+    ).otherwise(F.array().cast("array<string>"))
+    brace = F.when(
+        did % C.C4_BRACE_EVERY == 0, F.array(F.lit("{"))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(body, lorem, brace)
+
+
+def c4_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, page): the lined fixture page — one narrow codegen pass,
+    no shuffle."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(
+            c4_page_lines(F.col("doc_id"), F.col("text")), "\n"
+        ).alias("page"),
+    )
+
+
+def _c4_line_flags(lines: Column):
+    """(short, nopunct, js, kept) predicates over a line element — the C4
+    keep rule (Raffel et al. 2020 §2.2, public): >= C4_MIN_LINE_WORDS
+    words AND terminal punctuation AND no 'javascript'."""
+    def wc(x):
+        return F.when(F.trim(x) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(x), C.WS_SPLIT_RE))
+        )
+
+    short = lambda x: wc(x) < C.C4_MIN_LINE_WORDS  # noqa: E731
+    nopunct = lambda x: ~x.rlike(C.C4_TERMINAL_RE)  # noqa: E731
+    js = lambda x: F.contains(F.lower(x), F.lit("javascript"))  # noqa: E731
+    kept = lambda x: ~short(x) & ~nopunct(x) & ~js(x)  # noqa: E731
+    return short, nopunct, js, kept
+
+
+def c4_line_stats(pages: DataFrame) -> DataFrame:
+    """Per-document C4 line-filter attrition report over a lined page
+    table (doc_id, page): line totals, how many lines each rule rejects
+    (a line can fail several — the counts attribute independently), the
+    surviving line count, the doc-level lorem-ipsum / brace flags, and
+    the C4 page verdict ``keep_doc`` (>= C4_MIN_KEPT kept lines AND
+    neither page flag).
+
+    Scale shape: ONE narrow pass, no shuffle — the line array
+    materializes once per row and the per-rule counts are
+    size(filter(...)) expressions over it (interpreted HOFs: ~n_lines
+    element evaluations per rule, bounded by page size; the corpus-scale
+    alternative is the same arithmetic in a mapInPandas batch — the
+    expression form here IS the semantic spec, PLANS.md #14)."""
+    short, nopunct, js, kept = _c4_line_flags(F.col("lines"))
+    d = pages.select(
+        "doc_id",
+        F.split(F.col("page"), "\n").alias("lines"),
+        F.col("page"),
+    )
+    ls = F.col("lines")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(F.filter(ls, short)).cast("long").alias("n_short"),
+        F.size(F.filter(ls, nopunct)).cast("long").alias("n_nopunct"),
+        F.size(F.filter(ls, js)).cast("long").alias("n_js"),
+        F.size(F.filter(ls, kept)).cast("long").alias("n_kept"),
+        F.contains(F.lower(F.col("page")), F.lit("lorem ipsum")).alias(
+            "has_lorem"
+        ),
+        F.contains(F.col("page"), F.lit("{")).alias("has_brace"),
+    ).withColumn(
+        "keep_doc",
+        (F.col("n_kept") >= C.C4_MIN_KEPT)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
+def c4_clean(pages: DataFrame) -> DataFrame:
+    """The cleaning itself: for pages that pass the C4 doc verdict, the
+    page rewritten to only its kept lines (newline-joined) — what
+    actually enters the training corpus.  Same one-pass narrow shape as
+    :func:`c4_line_stats`; rejected docs emit no row."""
+    short, nopunct, js, kept = _c4_line_flags(F.col("lines"))
+    d = pages.select(
+        "doc_id",
+        F.split(F.col("page"), "\n").alias("lines"),
+        F.col("page"),
+    )
+    keep_lines = F.filter(F.col("lines"), kept)
+    out = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(keep_lines).cast("long").alias("n_kept"),
+        F.array_join(keep_lines, "\n").alias("c4_text"),
+        F.contains(F.lower(F.col("page")), F.lit("lorem ipsum")).alias("_l"),
+        F.contains(F.col("page"), F.lit("{")).alias("_b"),
+    )
+    return out.where(
+        (F.col("n_kept") >= C.C4_MIN_KEPT) & ~F.col("_l") & ~F.col("_b")
+    ).drop("_l", "_b")

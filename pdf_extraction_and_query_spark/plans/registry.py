@@ -712,6 +712,17 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
     "dataset_split_stats": lambda s, d: PK.dataset_split_stats(_docs(s, d)),
+    # UniMax waterfill language-budget allocation (Chung et al. 2023)
+    "unimax_alloc": lambda s, d: PK.unimax_alloc(_docs(s, d)),
+    # length-bucketed batching padding-waste report
+    "pad_efficiency": lambda s, d: PK.pad_efficiency(_docs(s, d)),
+    # cross-split near-dup leakage audit (MinHash-LSH x dataset_split)
+    "split_leakage": lambda s, d: PK.split_leakage(_docs(s, d)),
+    "split_leakage_stats": lambda s, d: PK.split_leakage_stats(_docs(s, d)),
+    # C4 line-level cleaning family (Raffel et al. 2020) over the lined
+    # fixture page (textstats.c4_pages meet-in-the-middle generator)
+    "c4_line_stats": lambda s, d: TX.c4_line_stats(TX.c4_pages(_docs(s, d))),
+    "c4_clean": lambda s, d: TX.c4_clean(TX.c4_pages(_docs(s, d))),
     "dsir_weights": lambda s, d: DS.dsir_weights(_docs(s, d)),
     "dsir_sample": lambda s, d: DS.dsir_sample(_docs(s, d)),
     "source_mix": lambda s, d: PK.source_mix(_docs(s, d)),
@@ -5190,3 +5201,220 @@ SELECT d.event_type, hour_epoch, n_events, med, mad.mad,
        cast(CASE WHEN dev > 3 * greatest(mad.mad, 1)
                  THEN 1 ELSE 0 END as bigint) AS is_anomaly
 FROM d JOIN mad ON d.event_type = mad.event_type"""
+
+# ---------------------------------------------------------------------------
+# UniMax / padding / split-leakage / C4 family (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+# UniMax waterfill (operators/packing.unimax_alloc): the oracle replays
+# the closed form — ascending-capacity rank, capped iff
+# cap * (L - rank + 1) <= budget - sum(smaller caps), leftover split
+# evenly with the remainder going +1 to the first uncapped ranks.
+# Window sums cast to bigint (DuckDB HUGEINT sharp edge).
+ORACLE_SQL["unimax_alloc"] = f"""
+WITH per AS (
+  SELECT lang,
+         cast(sum(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')))
+              as bigint) AS n_tokens
+  FROM documents GROUP BY lang),
+c AS (SELECT lang, n_tokens,
+             cast(n_tokens * {C.UNIMAX_MAX_EPOCHS} as bigint) AS cap_tokens
+      FROM per),
+t AS (SELECT cast(count(*) as bigint) AS n_langs,
+             cast((sum(n_tokens) * {C.UNIMAX_BUDGET_E6}) // 1000000
+                  as bigint) AS budget
+      FROM c),
+r AS (SELECT c.lang, c.n_tokens, c.cap_tokens, t.n_langs, t.budget,
+        cast(row_number() OVER (ORDER BY cap_tokens, lang) as bigint) AS rank,
+        cast(coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             as bigint) AS smaller_caps
+      FROM c, t),
+f AS (SELECT *,
+        (cap_tokens * (n_langs - rank + 1) <= budget - smaller_caps) AS capped
+      FROM r),
+g AS (SELECT cast(max(budget)
+               - coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+               as bigint) AS leftover,
+             cast(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) as bigint)
+               AS n_unc,
+             cast(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+               as bigint) AS n_capped
+      FROM f),
+a AS (SELECT f.lang, f.n_tokens, f.cap_tokens, f.rank, f.capped,
+        cast(CASE WHEN f.capped THEN f.cap_tokens
+             ELSE g.leftover // greatest(g.n_unc, 1)
+                  + CASE WHEN (f.rank - g.n_capped)
+                              <= g.leftover % greatest(g.n_unc, 1)
+                         THEN 1 ELSE 0 END
+             END as bigint) AS alloc_tokens
+      FROM f, g)
+SELECT lang, n_tokens, cap_tokens, rank, capped, alloc_tokens,
+       cast((1000 * alloc_tokens) // greatest(n_tokens, 1) as bigint)
+         AS epochs_e3
+FROM a"""
+
+
+def _pad_bucket_sql() -> str:
+    """CASE ladder from the PAD_* contract constants (never float log2)."""
+    edges, b = [], C.PAD_MIN_BUCKET
+    while b <= C.PAD_MAX_LEN:
+        edges.append(b)
+        b *= 2
+    whens = " ".join(f"WHEN n <= {e} THEN {e}" for e in edges[:-1])
+    return f"CASE {whens} ELSE {edges[-1]} END"
+
+
+ORACLE_SQL["pad_efficiency"] = f"""
+WITH d AS (
+  SELECT {_pad_bucket_sql()} AS bucket,
+         least(n, {C.PAD_MAX_LEN}) AS kept,
+         n - least(n, {C.PAD_MAX_LEN}) AS trunc
+  FROM (SELECT len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS n
+        FROM documents)),
+g AS (SELECT cast(bucket as bigint) AS bucket,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(kept) as bigint) AS n_tokens,
+             cast(bucket * count(*) - sum(kept) as bigint) AS n_pad,
+             cast(sum(trunc) as bigint) AS n_trunc
+      FROM d GROUP BY bucket)
+SELECT bucket, n_docs, n_tokens, n_pad, n_trunc,
+       cast((1000000 * n_tokens) // (n_tokens + n_pad) as bigint) AS util_e6
+FROM g"""
+
+# cross-split near-dup leakage (operators/packing.split_leakage): the
+# EXACT minhash_lsh_pairs banding joined to the EXACT dataset_split
+# coordinate — a pair leaks when its sides land in different splits.
+_SPLIT_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN b < {C.SPLIT_VAL_MICRO} THEN 'val'
+              WHEN b < {C.SPLIT_VAL_MICRO + C.SPLIT_TEST_MICRO} THEN 'test'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5('{C.SPLIT_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+                 % {C.SAMPLE_MOD} AS b
+        FROM documents)"""
+
+ORACLE_SQL["split_leakage"] = f"""
+WITH {_SH_CTE},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, val)
+  WHERE a.doc_id < b.doc_id),
+sp AS ({_SPLIT_SQL})
+SELECT cast(p.doc_a as bigint) AS doc_a, cast(p.doc_b as bigint) AS doc_b,
+       sa.split AS split_a, sb.split AS split_b,
+       (sa.split <> sb.split) AS leak
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b"""
+
+ORACLE_SQL["split_leakage_stats"] = f"""
+WITH {_SH_CTE},{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, val)
+  WHERE a.doc_id < b.doc_id),
+sp AS ({_SPLIT_SQL}),
+lk AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+         (sa.split <> sb.split) AS leak
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b),
+sides AS (
+  SELECT doc_a AS d, split_a AS s, split_b AS o, leak FROM lk
+  UNION ALL
+  SELECT doc_b AS d, split_b AS s, split_a AS o, leak FROM lk)
+SELECT cast(count(*) // 2 as bigint) AS n_pairs,
+       cast(coalesce(sum(CASE WHEN leak THEN 1 ELSE 0 END), 0) // 2
+            as bigint) AS n_leaks,
+       cast(count(DISTINCT CASE WHEN leak AND s IN ('val', 'test')
+                                     AND o = 'train'
+                                THEN d END) as bigint)
+         AS n_eval_contaminated
+FROM sides"""
+
+# C4 line-filter family (operators/textstats.c4_line_stats / c4_clean
+# over the c4_pages fixture generator): the oracle re-derives the lined
+# page from documents by the SAME word-index arithmetic (contract C4_*)
+# as row-per-line SQL, then applies the keep rule independently.
+_C4_LINES_SQL = f"""
+  w AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')
+           END AS words,
+           (doc_id % {C.C4_LOREM_EVERY} = 0) AS lorem_c,
+           (doc_id % {C.C4_BRACE_EVERY} = 0) AS brace_c
+    FROM documents),
+  nn AS (
+    SELECT doc_id, words, lorem_c, brace_c,
+           len(words) AS n,
+           cast(ceil(len(words) / {C.C4_WORDS_PER_LINE}.0) as bigint)
+             AS n_body
+    FROM w),
+  li AS (
+    SELECT doc_id, n_body, lorem_c, brace_c, i,
+           CASE
+             WHEN i < n_body THEN
+               (CASE WHEN (doc_id * {C.C4_JS_MULT} + i) % {C.C4_JS_EVERY} = 0
+                     THEN 'javascript ' ELSE '' END)
+               || array_to_string(
+                    words[(i * {C.C4_WORDS_PER_LINE} + 1):least((i + 1) * {C.C4_WORDS_PER_LINE}, n)],
+                    ' ')
+               || (CASE WHEN (doc_id + i) % {C.C4_PUNCT_EVERY} <> 0
+                        THEN '.' ELSE '' END)
+             WHEN i = n_body AND lorem_c THEN 'lorem ipsum'
+             ELSE chr(123)
+           END AS line
+    FROM nn,
+         unnest(range(0, n_body
+                         + (CASE WHEN lorem_c THEN 1 ELSE 0 END)
+                         + (CASE WHEN brace_c THEN 1 ELSE 0 END))) AS r(i)),
+  fl AS (
+    SELECT doc_id, i, line,
+           (CASE WHEN trim(line) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(line), '{C.WS_SPLIT_RE}'))
+            END < {C.C4_MIN_LINE_WORDS}) AS short,
+           (NOT regexp_matches(line, '[.!?"]$')) AS nopunct,
+           contains(lower(line), 'javascript') AS js
+    FROM li),
+  fk AS (
+    SELECT *, (NOT short AND NOT nopunct AND NOT js) AS kept FROM fl)"""
+
+ORACLE_SQL["c4_line_stats"] = f"""
+WITH {_C4_LINES_SQL},
+g AS (
+  SELECT doc_id,
+         cast(count(*) as bigint) AS n_lines,
+         cast(sum(CASE WHEN short THEN 1 ELSE 0 END) as bigint) AS n_short,
+         cast(sum(CASE WHEN nopunct THEN 1 ELSE 0 END) as bigint) AS n_nopunct,
+         cast(sum(CASE WHEN js THEN 1 ELSE 0 END) as bigint) AS n_js,
+         cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+         bool_or(contains(line, chr(123))) AS has_brace
+  FROM fk GROUP BY doc_id)
+SELECT cast(doc_id as bigint) AS doc_id, n_lines, n_short, n_nopunct, n_js,
+       n_kept, has_lorem, has_brace,
+       (n_kept >= {C.C4_MIN_KEPT} AND NOT has_lorem AND NOT has_brace)
+         AS keep_doc
+FROM g"""
+
+ORACLE_SQL["c4_clean"] = f"""
+WITH {_C4_LINES_SQL},
+g AS (
+  SELECT doc_id,
+         cast(coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0) as bigint)
+           AS n_kept,
+         coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                             ORDER BY i), '') AS c4_text,
+         bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+         bool_or(contains(line, chr(123))) AS has_brace
+  FROM fk GROUP BY doc_id)
+SELECT cast(doc_id as bigint) AS doc_id, n_kept, c4_text
+FROM g
+WHERE n_kept >= {C.C4_MIN_KEPT} AND NOT has_lorem AND NOT has_brace"""
