@@ -60,6 +60,10 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "unimax_alloc",
+    "pad_efficiency",
+    "split_leakage_stats",
+    "c4_line_stats",
     "event_interarrival",
     "quality_agreement",
     "readability",
@@ -376,6 +380,10 @@ def main() -> None:
         "hll_vocab",
         "theta_source_overlap",
         "bloom_contamination",
+        "unimax_alloc",
+        "pad_efficiency",
+        "split_leakage_stats",
+        "c4_line_stats",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)
