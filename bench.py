@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "vocab_growth",
+    "kcenter_coreset",
     "unimax_alloc",
     "pad_efficiency",
     "split_leakage_stats",
@@ -384,6 +386,8 @@ def main() -> None:
         "pad_efficiency",
         "split_leakage_stats",
         "c4_line_stats",
+        "vocab_growth",
+        "kcenter_coreset",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

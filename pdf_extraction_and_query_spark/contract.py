@@ -759,3 +759,22 @@ C4_JS_MULT = 31
 C4_JS_EVERY = 11
 C4_LOREM_EVERY = 17
 C4_BRACE_EVERY = 19
+# greedy k-center coreset selection (kmeans.kcenter_coreset — Gonzalez
+# 1985 farthest-point traversal, public; the diversity-selection step a
+# data-curation pipeline runs to pick a small representative subset):
+# seed = smallest vec_id, then KC_K-1 rounds of "pick the point with
+# the MAX min-L2^2 distance to the chosen set" (exact int64 fixed-point
+# distances, <= 64*(2e6)^2 = 2.56e14 — float64-exact too; ties -> the
+# smaller vec_id; already-chosen ids excluded so a fully-duplicated
+# corpus cannot loop).  Determinism makes the whole traversal a pure
+# function of the corpus, replayable in SQL by unrolling KC_K rounds
+# (the kmeans unrolled-oracle precedent).
+KC_K = 8
+# Heaps-law vocabulary-growth diagnostic (textstats.vocab_growth): at
+# each doc_id threshold, the running corpus token mass and distinct
+# vocabulary size — vocabulary tracked by FIRST-OCCURRENCE doc (min
+# doc_id per token), so the cumulative-distinct curve needs one
+# hash agg + a bounded threshold explode, never an ordered scan.
+# Fixed power-of-two ladder; thresholds past the corpus end show the
+# saturated totals (harmless, and the curve stays scale-comparable).
+VG_THRESHOLDS: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)

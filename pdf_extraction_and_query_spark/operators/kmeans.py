@@ -233,3 +233,65 @@ def cluster_summary(embeddings: DataFrame, docs: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
         )
     )
+
+
+def _mind_kernel(cents: np.ndarray):
+    """Arrow kernel: exact min-L2^2 distance from each row vector to the
+    chosen-center matrix.  Unlike :func:`_assign_l2` the ||x||^2 term is
+    KEPT — the k-center argmax needs true distances, not just their
+    order.  All intermediates are integer-valued float64 < 2^53
+    (contract KC note): exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    cf = cents.astype(np.float64)
+    c2 = np.einsum("kd,kd->k", cf, cf)
+
+    @pandas_udf("long")
+    def mind(ev: pd.Series) -> pd.Series:
+        if ev.empty:
+            return pd.Series([], dtype="int64")
+        X = np.stack(ev.to_numpy()).astype(np.float64)
+        x2 = np.einsum("nd,nd->n", X, X)
+        d = x2[:, None] + c2[None, :] - 2.0 * (X @ cf.T)
+        return pd.Series(d.min(axis=1).astype(np.int64))
+
+    return mind
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = C.KC_K) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — contract KC
+    note.  Returns the k selected rows in selection order:
+    (rank, vec_id, d2) with d2 = the point's min-L2^2 to the previously
+    chosen set at the moment it was picked (0 for the seed); the last
+    row's d2 upper-bounds the coverage radius of the whole corpus.
+
+    100-TB shape: k bounded rounds, each ONE narrow Arrow pass against
+    the broadcast center matrix followed by a TakeOrdered(1) reduce —
+    no shuffle, no state between rounds beyond the (k x 64)-int center
+    matrix on the driver (the kmeans/PQ codebook precedent).  The
+    full-matrix recompute per round (vs carrying an incremental min
+    column) keeps every round a pure stateless function of
+    (corpus, chosen ids) — resumable mid-traversal by construction."""
+    from .search import fixed_point_vec
+
+    ev = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        fixed_point_vec(F.col("embedding")).alias("ev"),
+    )
+    seed = ev.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed["vec_id"]), 0)]
+    cents = np.array([seed["ev"]], dtype=np.int64)
+    for rank in range(1, k):
+        mind = _mind_kernel(cents)
+        picked = (
+            ev.where(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .select("vec_id", "ev", mind(F.col("ev")).alias("d2"))
+            .orderBy(F.col("d2").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rank, int(picked["vec_id"]), int(picked["d2"])))
+        cents = np.vstack([cents, np.array([picked["ev"]], dtype=np.int64)])
+    return embeddings.sparkSession.createDataFrame(
+        chosen, "rank long, vec_id long, d2 long"
+    )

@@ -652,3 +652,60 @@ def c4_clean(pages: DataFrame) -> DataFrame:
     return out.where(
         (F.col("n_kept") >= C.C4_MIN_KEPT) & ~F.col("_l") & ~F.col("_b")
     ).drop("_l", "_b")
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (contract VG note): per doc_id
+    threshold, how many documents / token occurrences the prefix corpus
+    holds and how large its distinct vocabulary is — the diagnostic that
+    says whether a corpus is still contributing new types or re-treading
+    its vocabulary (token rule shared with :func:`vocab_topk`:
+    lowercase whitespace tokens, empties dropped).
+
+    Scale shape: the vocabulary reduces to one (token, first_doc) row
+    per TYPE via a map-side-combined min agg (never an ordered scan —
+    cumulative distinct at threshold t == types whose first occurrence
+    lands before t); the doc side reduces to per-doc scalar counts
+    before the bounded threshold explode; the final join carries
+    |VG_THRESHOLDS| rows."""
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in C.VG_THRESHOLDS])
+    ).alias("threshold")
+    vocab = (
+        first.select("first_doc", thr)
+        .where(F.col("first_doc") < F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    )
+    # narrow per-doc count (same token rule, as an expression) — never a
+    # second shuffle of exploded tokens
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    mass = (
+        per_doc.select("doc_id", "n_tok", thr)
+        .where(F.col("doc_id") < F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    return mass.join(vocab, "threshold").select(
+        "threshold", "n_docs", "n_tokens", "n_vocab"
+    )

@@ -679,6 +679,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": lambda s, d: TX.lang_id(_docs(s, d)),
     "fingerprint": lambda s, d: TX.fingerprint(_docs(s, d)),
     "vocab_topk": lambda s, d: TX.vocab_topk(_docs(s, d)),
+    # Heaps-law cumulative vocabulary curve (first-occurrence agg)
+    "vocab_growth": lambda s, d: TX.vocab_growth(_docs(s, d)),
     "bpe_merges": lambda s, d: BP.bpe_merges(_docs(s, d)),
     "bpe_token_counts": lambda s, d: BP.bpe_token_counts(_docs(s, d)),
     "token_fertility": lambda s, d: BP.token_fertility(_docs(s, d)),
@@ -768,6 +770,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": lambda s, d: S.vector_topk(_emb(s, d)),
     "ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
     "kmeans_centroids": lambda s, d: KM.kmeans_centroids(_emb(s, d)),
+    # greedy k-center coreset (Gonzalez farthest-point; unrolled oracle)
+    "kcenter_coreset": lambda s, d: KM.kcenter_coreset(_emb(s, d)),
     "ivf_topk_trained": lambda s, d: KM.ivf_topk_trained(_emb(s, d)),
     "cluster_topics": lambda s, d: KM.cluster_topics(_emb(s, d), _docs(s, d)),
     "cluster_summary": lambda s, d: KM.cluster_summary(_emb(s, d), _docs(s, d)),
@@ -5418,3 +5422,67 @@ g AS (
 SELECT cast(doc_id as bigint) AS doc_id, n_kept, c4_text
 FROM g
 WHERE n_kept >= {C.C4_MIN_KEPT} AND NOT has_lorem AND NOT has_brace"""
+
+
+# Heaps-law vocabulary growth (operators/textstats.vocab_growth): the
+# cumulative-distinct curve by first-occurrence doc — one min-agg per
+# token type, bounded threshold explode.
+ORACLE_SQL["vocab_growth"] = f"""
+WITH tk AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'))
+         AS t(token)
+  WHERE t.token <> ''),
+fo AS (SELECT token, min(doc_id) AS first_doc FROM tk GROUP BY token),
+th AS (SELECT unnest({list(C.VG_THRESHOLDS)}) AS threshold),
+v AS (SELECT th.threshold, cast(count(*) as bigint) AS n_vocab
+      FROM fo, th WHERE fo.first_doc < th.threshold GROUP BY th.threshold),
+pd AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY doc_id),
+m AS (SELECT th.threshold, cast(count(*) as bigint) AS n_docs,
+             cast(sum(n_tok) as bigint) AS n_tokens
+      FROM pd, th WHERE pd.doc_id < th.threshold GROUP BY th.threshold)
+SELECT cast(m.threshold as bigint) AS threshold, m.n_docs, m.n_tokens,
+       v.n_vocab
+FROM m JOIN v ON m.threshold = v.threshold"""
+
+
+def _kcenter_sql() -> str:
+    """Unrolled greedy farthest-point traversal (the kmeans
+    unrolled-oracle precedent): KC_K chained CTEs, each picking the
+    max-min-L2^2 point (ties -> smaller vec_id) against the union of all
+    previously chosen rows, excluding already-chosen ids."""
+    d2 = (
+        f"cast(list_sum(list_transform(generate_series(1, {C.EMBED_DIM}), "
+        f"i -> (c.ev[i] - ch.ev[i]) * (c.ev[i] - ch.ev[i]))) as bigint)"
+    )
+    parts = [
+        f"c AS MATERIALIZED (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT 0 AS rank, vec_id, ev, cast(0 as bigint) AS d2"
+        " FROM c ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(1, C.KC_K):
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id, ev FROM s{i}" for i in range(j)
+        )
+        parts.append(
+            f"s{j} AS MATERIALIZED (SELECT {j} AS rank, c.vec_id, c.ev, m.d2\n"
+            f"  FROM c JOIN (\n"
+            f"    SELECT c.vec_id, min({d2}) AS d2\n"
+            f"    FROM c, ({chosen}) ch\n"
+            f"    WHERE c.vec_id NOT IN (SELECT vec_id FROM ({chosen}) x)\n"
+            f"    GROUP BY c.vec_id) m ON m.vec_id = c.vec_id\n"
+            f"  ORDER BY m.d2 DESC, c.vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, d2 FROM s{i}" for i in range(C.KC_K)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cast(rank as bigint) AS rank, cast(vec_id as bigint)"
+        f" AS vec_id, d2 FROM ({union})"
+    )
+
+
+ORACLE_SQL["kcenter_coreset"] = _kcenter_sql()
