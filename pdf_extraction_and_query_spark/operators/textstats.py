@@ -654,6 +654,64 @@ def c4_clean(pages: DataFrame) -> DataFrame:
     ).drop("_l", "_b")
 
 
+def vg_first_occurrence(docs: DataFrame) -> DataFrame:
+    """(token, first_doc): one row per vocabulary TYPE — the min-merged
+    summary the streaming maintainer keeps (min is associative AND
+    idempotent, so the live merge is replay-proof)."""
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return tok.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+
+
+def _vg_thresholds():
+    return F.explode(
+        F.array(*[F.lit(t).cast("long") for t in C.VG_THRESHOLDS])
+    ).alias("threshold")
+
+
+def vg_vocab_curve(first: DataFrame) -> DataFrame:
+    """(threshold, n_vocab) from a first-occurrence table."""
+    return (
+        first.select("first_doc", _vg_thresholds())
+        .where(F.col("first_doc") < F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    )
+
+
+def vg_mass(docs: DataFrame) -> DataFrame:
+    """(threshold, n_docs, n_tokens): prefix-corpus doc/token mass —
+    narrow per-doc counts (same token rule as the explode, as an
+    expression) + the bounded threshold explode; sum-mergeable across
+    disjoint batches."""
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        per_doc.select("doc_id", "n_tok", _vg_thresholds())
+        .where(F.col("doc_id") < F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def vocab_growth(docs: DataFrame) -> DataFrame:
     """Heaps-law vocabulary-growth curve (contract VG note): per doc_id
     threshold, how many documents / token occurrences the prefix corpus
@@ -668,44 +726,6 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     lands before t); the doc side reduces to per-doc scalar counts
     before the bounded threshold explode; the final join carries
     |VG_THRESHOLDS| rows."""
-    tok = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE)
-        ).alias("token"),
-    ).where(F.col("token") != "")
-    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    thr = F.explode(
-        F.array(*[F.lit(t).cast("long") for t in C.VG_THRESHOLDS])
-    ).alias("threshold")
-    vocab = (
-        first.select("first_doc", thr)
-        .where(F.col("first_doc") < F.col("threshold"))
-        .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
-    )
-    # narrow per-doc count (same token rule, as an expression) — never a
-    # second shuffle of exploded tokens
-    per_doc = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(
-            F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), C.WS_SPLIT_RE),
-                lambda x: x != F.lit(""),
-            )
-        )
-        .cast("long")
-        .alias("n_tok"),
-    )
-    mass = (
-        per_doc.select("doc_id", "n_tok", thr)
-        .where(F.col("doc_id") < F.col("threshold"))
-        .groupBy("threshold")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-    )
-    return mass.join(vocab, "threshold").select(
-        "threshold", "n_docs", "n_tokens", "n_vocab"
-    )
+    return vg_mass(docs).join(
+        vg_vocab_curve(vg_first_occurrence(docs)), "threshold"
+    ).select("threshold", "n_docs", "n_tokens", "n_vocab")
