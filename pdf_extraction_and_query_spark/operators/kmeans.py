@@ -278,6 +278,14 @@ def kcenter_coreset(embeddings: DataFrame, k: int = C.KC_K) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         fixed_point_vec(F.col("embedding")).alias("ev"),
     )
+    # materialize the fixed-point conversion ONCE per traversal — the
+    # interpreted HOF conversion is the dominant per-pass cost and would
+    # otherwise run k times (measured 45.5 s -> 20.9 s at a 200k-vector
+    # stress corpus); rounding stays JVM-side by the cross-engine
+    # contract (numpy cannot replicate BigDecimal HALF_UP on doubles).
+    # At 10^12 rows the same role is played by a persisted ev sidecar
+    # (the ivf_build precedent), not a localCheckpoint.
+    ev = ev.localCheckpoint(eager=True)
     seed = ev.orderBy("vec_id").limit(1).collect()[0]
     chosen = [(0, int(seed["vec_id"]), 0)]
     cents = np.array([seed["ev"]], dtype=np.int64)

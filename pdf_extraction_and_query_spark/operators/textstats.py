@@ -590,7 +590,7 @@ def _c4_line_flags(lines: Column):
     return short, nopunct, js, kept
 
 
-def c4_line_stats(pages: DataFrame) -> DataFrame:
+def c4_line_stats_expr(pages: DataFrame) -> DataFrame:
     """Per-document C4 line-filter attrition report over a lined page
     table (doc_id, page): line totals, how many lines each rule rejects
     (a line can fail several — the counts attribute independently), the
@@ -630,7 +630,7 @@ def c4_line_stats(pages: DataFrame) -> DataFrame:
     )
 
 
-def c4_clean(pages: DataFrame) -> DataFrame:
+def c4_clean_expr(pages: DataFrame) -> DataFrame:
     """The cleaning itself: for pages that pass the C4 doc verdict, the
     page rewritten to only its kept lines (newline-joined) — what
     actually enters the training corpus.  Same one-pass narrow shape as
@@ -729,3 +729,112 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     return vg_mass(docs).join(
         vg_vocab_curve(vg_first_occurrence(docs)), "threshold"
     ).select("threshold", "n_docs", "n_tokens", "n_vocab")
+
+
+def _c4_flags_arrow(lines_flat):
+    """Per-line C4 flags over a FLAT pyarrow string array — true
+    vectorized C++ kernels (pyarrow.compute), never a Python-level loop:
+    word count = count of \\S+ runs (identical to the expression twin's
+    trim/split/empty-guard on any string), terminal punctuation =
+    C4_TERMINAL_RE match, javascript = literal containment on the
+    lowered line."""
+    import pyarrow.compute as pc
+
+    wc = pc.count_substring_regex(lines_flat, r"\S+")
+    short = pc.less(wc, C.C4_MIN_LINE_WORDS)
+    nopunct = pc.invert(
+        pc.match_substring_regex(lines_flat, C.C4_TERMINAL_RE)
+    )
+    js = pc.match_substring(pc.utf8_lower(lines_flat), "javascript")
+    kept = pc.and_(
+        pc.and_(pc.invert(short), pc.invert(nopunct)), pc.invert(js)
+    )
+    return short, nopunct, js, kept
+
+
+def _c4_kernel(batch_iter, want_text: bool):
+    """Shared mapInPandas body: one Arrow pass per batch — split pages to
+    a flat line array, per-line flags via pyarrow.compute, per-doc sums
+    via np.add.reduceat over the list offsets.  Bit-equality with the
+    expression twins is pinned in tests/test_c4.py."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for pdf in batch_iter:
+        if pdf.empty:
+            continue
+        pages = pa.array(pdf["page"], type=pa.string())
+        lists = pc.split_pattern(pages, "\n")
+        offs = lists.offsets.to_numpy()
+        flat = pc.list_flatten(lists)
+        short, nopunct, js, kept = _c4_flags_arrow(flat)
+        seg = offs[:-1]
+        n_lines = np.diff(offs)
+
+        def _per_doc(mask):
+            return np.add.reduceat(
+                mask.to_numpy(zero_copy_only=False).astype(np.int64), seg
+            ) * (n_lines > 0)
+
+        ns, np_, nj, nk = map(_per_doc, (short, nopunct, js, kept))
+        has_lorem = pc.match_substring(
+            pc.utf8_lower(pages), "lorem ipsum"
+        ).to_numpy(zero_copy_only=False)
+        has_brace = pc.match_substring(pages, "{").to_numpy(
+            zero_copy_only=False
+        )
+        keep_doc = (nk >= C.C4_MIN_KEPT) & ~has_lorem & ~has_brace
+        out = {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_lines": n_lines.astype("int64"),
+            "n_short": ns,
+            "n_nopunct": np_,
+            "n_js": nj,
+            "n_kept": nk,
+            "has_lorem": has_lorem,
+            "has_brace": has_brace,
+            "keep_doc": keep_doc,
+        }
+        if want_text:
+            flat_np = flat.to_numpy(zero_copy_only=False)
+            kept_np = kept.to_numpy(zero_copy_only=False)
+            texts = [
+                "\n".join(flat_np[s:e][kept_np[s:e]])
+                for s, e in zip(offs[:-1], offs[1:])
+            ]
+            out["c4_text"] = texts
+        yield pd.DataFrame(out)
+
+
+def c4_line_stats(pages: DataFrame) -> DataFrame:
+    """Corpus-scale form of :func:`c4_line_stats_expr` — same columns,
+    same values (bit-equality tested), one narrow ``mapInPandas`` Arrow
+    pass instead of interpreted higher-order functions (PLANS.md #14:
+    measured 121.8 s -> Arrow at 500k stress docs; the expression twin
+    remains the semantic spec)."""
+    schema = (
+        "doc_id long, n_lines long, n_short long, n_nopunct long, "
+        "n_js long, n_kept long, has_lorem boolean, has_brace boolean, "
+        "keep_doc boolean"
+    )
+    src = pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "page"
+    )
+    return src.mapInPandas(lambda it: _c4_kernel(it, False), schema)
+
+
+def c4_clean(pages: DataFrame) -> DataFrame:
+    """Corpus-scale form of :func:`c4_clean_expr` (same Arrow pass, plus
+    the kept-text reconstruction)."""
+    schema = (
+        "doc_id long, n_lines long, n_short long, n_nopunct long, "
+        "n_js long, n_kept long, has_lorem boolean, has_brace boolean, "
+        "keep_doc boolean, c4_text string"
+    )
+    src = pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "page"
+    )
+    out = src.mapInPandas(lambda it: _c4_kernel(it, True), schema)
+    return out.where("keep_doc").select("doc_id", "n_kept", "c4_text")

@@ -116,3 +116,16 @@ def test_clean_emits_only_kept_docs_and_lines(docs):
         assert r.n_kept == st.loc[r.doc_id, "n_kept"]
         for line in r.c4_text.split("\n"):
             assert _kept_py(line)
+
+
+def test_kernel_bit_equality_with_expression_twin(docs):
+    """PLANS.md #14 discipline: the Arrow mapInPandas kernel and the
+    interpreted expression twin must agree on EVERY column for EVERY
+    fixture doc (stats and clean both)."""
+    pages = TX.c4_pages(docs)
+    a = TX.c4_line_stats(pages).orderBy("doc_id").collect()
+    b = TX.c4_line_stats_expr(pages).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    ca = TX.c4_clean(pages).orderBy("doc_id").collect()
+    cb = TX.c4_clean_expr(pages).orderBy("doc_id").collect()
+    assert [r.asDict() for r in ca] == [r.asDict() for r in cb]
