@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "mrl_recall",
     "vocab_growth",
     "kcenter_coreset",
     "unimax_alloc",
@@ -388,6 +389,7 @@ def main() -> None:
         "c4_line_stats",
         "vocab_growth",
         "kcenter_coreset",
+        "mrl_recall",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

@@ -778,3 +778,13 @@ KC_K = 8
 # Fixed power-of-two ladder; thresholds past the corpus end show the
 # saturated totals (harmless, and the curve stays scale-comparable).
 VG_THRESHOLDS: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)
+# Matryoshka truncation-quality report (search.mrl_recall — Kusupati et
+# al. 2022, public: MRL embeddings serve truncated prefixes at lower
+# cost; before shipping a truncation a pipeline measures how much of the
+# full-dim top-k the prefix preserves).  For each query (vec_id <
+# MULTI_QUERY_N) and each prefix dim, brute top-TOPK by the EXACT
+# integer prefix dot (prefix of the fixed-point vector; ties ->
+# smaller vec_id, the standard ranking contract) and report the overlap
+# with the full-dim top-TOPK as recall ppm.  The full-dim row (dim =
+# EMBED_DIM, recall 1e6) stays in the output as the audit anchor.
+MRL_DIMS: tuple[int, ...] = (8, 16, 32, 64)

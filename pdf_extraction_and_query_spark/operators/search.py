@@ -1582,3 +1582,109 @@ def knn_recall(embeddings: DataFrame, k: int = C.KNN_K) -> DataFrame:
             ),
         )
     )
+
+
+def _prefix_dots_vec(a: Column, b: Column) -> Column:
+    """Arrow kernel: the MRL_DIMS prefix dots of two fixed-point vectors
+    in ONE pass (cumulative einsum over each prefix slice) — exact int64
+    like :func:`_dot_vec`; returns array<long> aligned with
+    contract.MRL_DIMS."""
+    from pyspark.sql.functions import pandas_udf
+
+    dims = C.MRL_DIMS
+
+    @pandas_udf("array<long>")
+    def pdots(x: pd.Series, y: pd.Series) -> pd.Series:
+        if x.empty:
+            return pd.Series([], dtype="object")
+        A = np.stack(x.to_numpy()).astype(np.int64, copy=False)
+        B = np.stack(y.to_numpy()).astype(np.int64, copy=False)
+        P = A * B
+        cs = np.cumsum(P, axis=1)
+        out = np.stack([cs[:, d - 1] for d in dims], axis=1)
+        return pd.Series(list(out))
+
+    return pdots(a, b)
+
+
+def mrl_recall(
+    embeddings: DataFrame,
+    n_queries: int = C.MULTI_QUERY_N,
+    k: int = C.TOPK,
+) -> DataFrame:
+    """Matryoshka truncation-quality report (contract MRL note):
+    (q_id, dim, n_overlap, recall_e6) — how much of the full-dim brute
+    top-k each prefix dimension preserves.
+
+    Scale shape: ONE broadcast-query scoring pass computes every prefix
+    dot simultaneously (cumulative sums inside the Arrow kernel — never
+    |MRL_DIMS| corpus passes), one (q_id, dim)-keyed row_number window
+    over the scored frame, and the overlap join runs on the tiny
+    (n_queries * |MRL_DIMS| * k) ranked frame."""
+    qs = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        fixed_point_vec(F.col("embedding")).alias("qv"),
+    )
+    cand = embeddings.select(
+        "vec_id", fixed_point_vec(F.col("embedding")).alias("ev")
+    )
+    scored = (
+        cand.join(F.broadcast(qs))
+        .select(
+            "q_id",
+            "vec_id",
+            _prefix_dots_vec(F.col("ev"), F.col("qv")).alias("pd"),
+            F.array(*[F.lit(d).cast("long") for d in C.MRL_DIMS]).alias(
+                "dims"
+            ),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.explode(F.arrays_zip("dims", "pd")).alias("z"),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("z.dims").cast("long").alias("dim"),
+            F.col("z.pd").cast("long").alias("dot"),
+        )
+    )
+    w = Window.partitionBy("q_id", "dim").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    # the ranked frame feeds both sides of the overlap comparison —
+    # pin it once (n_queries * |MRL_DIMS| * k rows) or the whole scoring
+    # pass plans twice (PLANS.md #11)
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "dim", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    full = ranked.where(F.col("dim") == C.EMBED_DIM).select(
+        F.col("q_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    # left join + flag (NOT a semi join): a (q_id, dim) group with ZERO
+    # overlap must still emit its recall-0 row
+    return (
+        ranked.join(
+            F.broadcast(full),
+            (ranked.q_id == full.fq) & (ranked.vec_id == full.fv),
+            "left",
+        )
+        .groupBy("q_id", "dim")
+        .agg(
+            F.sum(F.col("fv").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "dim",
+            "n_overlap",
+            F.expr(f"(1000000 * n_overlap) div {k}").cast("long").alias(
+                "recall_e6"
+            ),
+        )
+    )

@@ -785,6 +785,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfbq_topk": lambda s, d: BQ.ivfbq_topk(_emb(s, d)),
     "ivf_topk_multi": lambda s, d: S.ivf_topk_multi(_emb(s, d)),
     "ivf_recall": lambda s, d: S.ivf_recall(_emb(s, d)),
+    # Matryoshka truncation-recall report (prefix-dim brute top-k overlap)
+    "mrl_recall": lambda s, d: S.mrl_recall(_emb(s, d)),
     "vector_topk_multi": lambda s, d: S.vector_topk_multi(_emb(s, d)),
     # hard-negative mining for contrastive retrieval training
     "hard_negatives": lambda s, d: S.hard_negatives(_emb(s, d)),
@@ -5486,3 +5488,29 @@ def _kcenter_sql() -> str:
 
 
 ORACLE_SQL["kcenter_coreset"] = _kcenter_sql()
+
+
+# Matryoshka truncation recall (operators/search.mrl_recall): prefix-dim
+# brute top-k overlap vs the full-dim top-k, exact integer prefix dots.
+ORACLE_SQL["mrl_recall"] = f"""
+WITH q AS (SELECT vec_id AS q_id, {_FP_VEC} AS qv FROM embeddings
+           WHERE vec_id < {C.MULTI_QUERY_N}),
+c AS (SELECT vec_id, {_FP_VEC} AS ev FROM embeddings),
+dm AS (SELECT unnest({list(C.MRL_DIMS)}) AS dim),
+d AS (SELECT q.q_id, c.vec_id, dm.dim,
+        cast(list_sum(list_transform(generate_series(1, dm.dim),
+             i -> ev[i] * qv[i])) as bigint) AS dot
+      FROM c, q, dm),
+r AS (SELECT q_id, dim, vec_id,
+        row_number() OVER (PARTITION BY q_id, dim
+                           ORDER BY dot DESC, vec_id) AS rn
+      FROM d),
+t AS (SELECT q_id, dim, vec_id FROM r WHERE rn <= {C.TOPK}),
+f AS (SELECT q_id, vec_id FROM t WHERE dim = {C.EMBED_DIM})
+SELECT cast(t.q_id as bigint) AS q_id, cast(t.dim as bigint) AS dim,
+       cast(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            as bigint) AS n_overlap,
+       cast((1000000 * sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+            // {C.TOPK} as bigint) AS recall_e6
+FROM t LEFT JOIN f ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+GROUP BY t.q_id, t.dim"""
