@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "corpus_datacard",
     "mrl_recall",
     "vocab_growth",
     "kcenter_coreset",
@@ -390,6 +391,7 @@ def main() -> None:
         "vocab_growth",
         "kcenter_coreset",
         "mrl_recall",
+        "corpus_datacard",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

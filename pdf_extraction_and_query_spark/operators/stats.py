@@ -423,3 +423,78 @@ def quality_agreement(documents: DataFrame) -> DataFrame:
             "      DIV (1000000L - pe) - 1000000000000L END"
         ).cast("long").alias("kappa_e6"),
     )
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """One-row corpus data card (the Datasheets-for-Datasets /
+    Data-Cards summary a corpus release ships): size, language/source
+    breadth, the dominant language, exact-duplicate rate, the quality
+    pass rate (the curate_corpus word/stopword rule), token mass and
+    distinct vocabulary — every number re-uses the EXACT arithmetic of
+    its standalone operator (exact_dedup's normalized md5,
+    curate_corpus's predicate, vocab_topk's token rule), so the card can
+    never disagree with the operators it summarizes (the
+    curation_funnel discipline).
+
+    Scale shape: one narrow scan reduces every doc to scalar columns,
+    localCheckpointed ONCE and consumed by the card aggregate and the
+    top-language rollup (independent planning, PLANS.md #11); the
+    vocabulary count is its own token-explode agg (map-side combined);
+    all three 1-row/1-value frames meet in broadcast crossJoins."""
+    from .. import contract as C
+    from .dedup import _norm
+
+    t = F.col("text")
+    words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
+    stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
+    base = docs.select(
+        "lang",
+        "source",
+        words.cast("long").alias("n_tok"),
+        ((words >= 10) & (stops / words <= 0.5)).cast("long").alias("q"),
+        F.md5(_norm(t)).alias("h"),
+    ).localCheckpoint(eager=True)
+    card = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("h").cast("long").alias("n_unique_content"),
+        F.sum("q").cast("long").alias("n_quality"),
+    )
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(t)), C.WS_SPLIT_RE)
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .agg(F.count_distinct("token").cast("long").alias("vocab_size"))
+    )
+    return (
+        card.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "top_lang",
+            "vocab_size",
+            F.expr(
+                "(1000000 * (n_docs - n_unique_content)) div n_docs"
+            )
+            .cast("long")
+            .alias("dup_rate_e6"),
+            F.expr("(1000000 * n_quality) div n_docs")
+            .cast("long")
+            .alias("quality_rate_e6"),
+        )
+    )

@@ -830,6 +830,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_id", "lang", "source", "n_chars"
     ),
     # --- stats (SQL-verified) ---
+    # one-row corpus data card (Datasheets-for-Datasets summary)
+    "corpus_datacard": lambda s, d: ST.corpus_datacard(_docs(s, d)),
     "doc_stats": lambda s, d: ST.doc_stats(_docs(s, d)),
     "source_quality_report": lambda s, d: ST.source_quality_report(_docs(s, d)),
     "cms_heavy_hitters": lambda s, d: SK.cms_heavy_hitters(_docs(s, d)),
@@ -5514,3 +5516,42 @@ SELECT cast(t.q_id as bigint) AS q_id, cast(t.dim as bigint) AS dim,
             // {C.TOPK} as bigint) AS recall_e6
 FROM t LEFT JOIN f ON f.q_id = t.q_id AND f.vec_id = t.vec_id
 GROUP BY t.q_id, t.dim"""
+
+
+# one-row corpus data card (operators/stats.corpus_datacard): every
+# number is the standalone operator's own arithmetic (exact_dedup's
+# normalized md5, curate_corpus's quality predicate, vocab_topk's token
+# rule) re-derived in one SQL.
+ORACLE_SQL["corpus_datacard"] = f"""
+WITH b AS (
+  SELECT lang, source,
+         cast(len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}'))
+              as bigint) AS n_tok,
+         CASE WHEN len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) >= 10
+                   AND len(regexp_extract_all(text, '{C.QUALITY_STOPWORD_RE}'))
+                       / len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) <= 0.5
+              THEN 1 ELSE 0 END AS q,
+         md5({_NORM}) AS h
+  FROM documents),
+card AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_tok) as bigint) AS n_tokens,
+         cast(count(DISTINCT lang) as bigint) AS n_langs,
+         cast(count(DISTINCT source) as bigint) AS n_sources,
+         cast(count(DISTINCT h) as bigint) AS n_unique_content,
+         cast(sum(q) as bigint) AS n_quality
+  FROM b),
+top AS (
+  SELECT lang AS top_lang FROM b GROUP BY lang
+  ORDER BY count(*) DESC, lang LIMIT 1),
+v AS (
+  SELECT cast(count(DISTINCT t.token) as bigint) AS vocab_size
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '{C.WS_SPLIT_RE}'))
+         AS t(token)
+  WHERE t.token <> '')
+SELECT n_docs, n_tokens, n_langs, n_sources, top_lang, vocab_size,
+       cast((1000000 * (n_docs - n_unique_content)) // n_docs as bigint)
+         AS dup_rate_e6,
+       cast((1000000 * n_quality) // n_docs as bigint) AS quality_rate_e6
+FROM card, top, v"""
