@@ -190,3 +190,63 @@ def test_html_registry_chain_has_single_roundrobin_exchange(spark):
     assert plan.count("Exchange") == plan.count(
         "Exchange RoundRobinPartitioning"
     ) == 1, plan
+
+
+def test_pad_efficiency_single_exchange(spark):
+    """pad_efficiency is one map-side-combined hash agg on a ~|buckets|
+    key: exactly ONE shuffle exchange, no window, no join."""
+    from pdf_extraction_and_query_spark.operators.packing import pad_efficiency
+
+    d = spark.range(500).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 90 + 5).cast("int"))).alias("text"),
+    )
+    plan = pad_efficiency(d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_unimax_window_runs_over_language_aggregate_only(spark):
+    """unimax_alloc's only window runs AFTER the per-language aggregate
+    (bounded frame) — the corpus side contributes exactly one hash-agg
+    exchange before it."""
+    from pdf_extraction_and_query_spark.operators.packing import unimax_alloc
+
+    d = spark.range(500).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("a b c d e").alias("text"),
+        F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
+    )
+    plan = unimax_alloc(d)._jdf.queryExecution().executedPlan().toString()
+    # final select consumes the checkpointed ranked frame + the 1-row
+    # broadcast: the window exchange (singlepartition over L rows) must
+    # sit above a hash aggregate, and the only joins are broadcasts
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_mrl_recall_single_scoring_join(spark, tmp_path):
+    """mrl_recall computes every prefix dim from ONE broadcast scoring
+    join (never |dims| corpus passes): exactly one scan of the
+    embeddings source feeds the scored frame."""
+    import numpy as np
+    from pdf_extraction_and_query_spark.operators.search import mrl_recall
+
+    p = str(tmp_path / "emb.parquet")
+    rng = np.random.default_rng(7)
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [rng.normal(size=64).astype("float64").tolist() for _ in range(50)],
+    })
+    spark.createDataFrame(pdf).write.parquet(p)
+    emb = spark.read.parquet(p)
+    df = mrl_recall(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ranked frame is checkpointed, so the executed plan sees the
+    # tiny scan + one broadcast join for the overlap — no second
+    # corpus-scoring subtree
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    rows = df.collect()
+    assert len(rows) == 5 * 4
