@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "langid_confusion",
     "corpus_datacard",
     "mrl_recall",
     "vocab_growth",
@@ -392,6 +393,7 @@ def main() -> None:
         "kcenter_coreset",
         "mrl_recall",
         "corpus_datacard",
+        "langid_confusion",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

@@ -104,17 +104,52 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """N-gram/function-word language ID. Deterministic argmax with
-    LANG_ORDER tie-break; any CJK char short-circuits to 'zh'."""
-    t = F.col("text")
+def _lang_pred(t: Column):
+    """(hits dict, pred Column): the language-ID argmax — shared by
+    :func:`lang_id` and :func:`langid_confusion` so the evaluation can
+    never drift from the classifier it evaluates."""
     hits = {lang: F.regexp_count(t, F.lit(rx)) for lang, rx in C.LANG_STOPWORD_RE.items()}
     best = F.greatest(*hits.values())
     pred = F.when(F.regexp_count(t, F.lit(C.CJK_RE)) > 0, F.lit("zh"))
     for lang in C.LANG_ORDER:
         pred = pred.when(hits[lang] == best, F.lit(lang))
+    return hits, pred.otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/function-word language ID. Deterministic argmax with
+    LANG_ORDER tie-break; any CJK char short-circuits to 'zh'."""
+    hits, pred = _lang_pred(F.col("text"))
     cols = [hits[lang].cast("long").alias(f"hits_{lang}") for lang in C.LANG_ORDER]
-    return docs.select("doc_id", *cols, pred.otherwise(F.lit("und")).alias("pred_lang"))
+    return docs.select("doc_id", *cols, pred.alias("pred_lang"))
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus
+    label: (lang, pred_lang, n_docs, share_e6, correct) — the evaluation
+    every classifier in the curation stack owes its user (the
+    quality_classify_stats / knn_classify_accuracy precedent).
+
+    Scale shape: one narrow scan computes the prediction inline (the
+    SHARED :func:`_lang_pred` expressions — never a self-join back onto
+    the corpus), one map-side-combined hash agg on the bounded
+    (lang, pred) key, per-truth totals folded back by a broadcast join
+    over the |langs|^2 matrix."""
+    _, pred = _lang_pred(F.col("text"))
+    m = docs.select("lang", pred.alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = m.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("t"))
+    return (
+        m.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div t").cast("long").alias("share_e6"),
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+    )
 
 
 def poly_hash(col: Column) -> Column:

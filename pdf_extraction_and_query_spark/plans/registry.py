@@ -676,6 +676,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_loss": lambda s, d: TX.content_loss(_docs(s, d)),
     "token_counts": lambda s, d: TX.token_counts(_docs(s, d)),
     "text_quality": lambda s, d: TX.text_quality(_docs(s, d)),
+    # language-ID confusion matrix vs the corpus label
+    "langid_confusion": lambda s, d: TX.langid_confusion(_docs(s, d)),
     "lang_id": lambda s, d: TX.lang_id(_docs(s, d)),
     "fingerprint": lambda s, d: TX.fingerprint(_docs(s, d)),
     "vocab_topk": lambda s, d: TX.vocab_topk(_docs(s, d)),
@@ -5555,3 +5557,23 @@ SELECT n_docs, n_tokens, n_langs, n_sources, top_lang, vocab_size,
          AS dup_rate_e6,
        cast((1000000 * n_quality) // n_docs as bigint) AS quality_rate_e6
 FROM card, top, v"""
+
+
+# language-ID confusion matrix (operators/textstats.langid_confusion):
+# the SAME hits/CJK argmax as lang_id, aggregated against the label.
+ORACLE_SQL["langid_confusion"] = f"""
+WITH h AS (
+  SELECT lang, {_LANG_HITS},
+         len(regexp_extract_all(text, '{C.CJK_RE}')) AS cjk
+  FROM documents),
+g AS (SELECT *, greatest({', '.join('hits_' + l for l in C.LANG_ORDER)}) AS best FROM h),
+p AS (SELECT lang,
+             CASE WHEN cjk > 0 THEN 'zh' {_LANG_CASE} ELSE 'und' END AS pred_lang
+      FROM g),
+m AS (SELECT lang, pred_lang, cast(count(*) as bigint) AS n_docs
+      FROM p GROUP BY lang, pred_lang),
+t AS (SELECT lang, cast(sum(n_docs) as bigint) AS t FROM m GROUP BY lang)
+SELECT m.lang, m.pred_lang, m.n_docs,
+       cast((1000000 * m.n_docs) // t.t as bigint) AS share_e6,
+       (m.lang = m.pred_lang) AS correct
+FROM m JOIN t ON m.lang = t.lang"""
