@@ -60,6 +60,7 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "curriculum_order",
     "langid_confusion",
     "corpus_datacard",
     "mrl_recall",
@@ -394,6 +395,7 @@ def main() -> None:
         "mrl_recall",
         "corpus_datacard",
         "langid_confusion",
+        "curriculum_order",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)

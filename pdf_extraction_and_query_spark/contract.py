@@ -788,3 +788,14 @@ VG_THRESHOLDS: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)
 # with the full-dim top-TOPK as recall ppm.  The full-dim row (dim =
 # EMBED_DIM, recall 1e6) stays in the output as the audit anchor.
 MRL_DIMS: tuple[int, ...] = (8, 16, 32, 64)
+# deterministic curriculum ordering (packing.curriculum_order): docs
+# ordered easiest-first by the readability flesch_e3 signal (ties ->
+# doc_id), position assigned by the banded-rank device (epoch_shuffle
+# precedent): band = (-flesch_e3) div CURR_BAND_E3 (integer truncation
+# is monotone, so cross-band order is consistent and the within-band
+# window handles the rest), local row_number + cumulated higher-band
+# counts — the band-totals window runs over #bands rows, never docs.
+# The oracle ranks with the PLAIN global window: an independent
+# algorithm pinning the banded scan.  Zero-word docs (no readability
+# row) are excluded, matching the readability operator's domain.
+CURR_BAND_E3 = 10_000

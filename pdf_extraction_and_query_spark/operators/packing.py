@@ -846,3 +846,65 @@ def split_leakage_stats(docs: DataFrame) -> DataFrame:
         .alias("n_leaks"),
         F.count_distinct(eval_doc).cast("long").alias("n_eval_contaminated"),
     )
+
+
+def curriculum_order(docs: DataFrame) -> DataFrame:
+    """Deterministic easy-to-hard training curriculum (contract
+    CURR_BAND_E3 note): (doc_id, flesch_e3, pos) with pos a permutation
+    of 0..n-1 ordered by (flesch_e3 DESC, doc_id) — curriculum learning
+    wants the most readable documents first, and a training loader
+    needs the order to be a pure function of the corpus (resumable,
+    engine-independent) like :func:`epoch_shuffle`.
+
+    The score reuses the readability operator's exact arithmetic
+    (:func:`..textstats.readability` docstring) so the curriculum can
+    never disagree with the published signal."""
+    t = F.col("text")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE)).cast("long")
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            n_sent.alias("ns"),
+            n_words.alias("nw"),
+            n_syll.alias("sy"),
+        )
+        .where(F.col("nw") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "206835 - 1015 * nw DIV ns - 84600 * sy DIV nw"
+            ).cast("long").alias("flesch_e3"),
+        )
+        .withColumn(
+            "band",
+            F.expr(f"(-flesch_e3) div {C.CURR_BAND_E3}").cast("long"),
+        )
+    )
+    w_local = Window.partitionBy("band").orderBy(
+        F.desc("flesch_e3"), F.asc("doc_id")
+    )
+    local = base.withColumn(
+        "lr", (F.row_number().over(w_local) - 1).cast("long")
+    )
+    w_bands = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        base.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .select(
+            "band",
+            F.coalesce(F.sum("bc").over(w_bands), F.lit(0))
+            .cast("long")
+            .alias("before"),
+        )
+    )
+    return local.join(F.broadcast(offs), "band").select(
+        "doc_id",
+        "flesch_e3",
+        (F.col("before") + F.col("lr")).cast("long").alias("pos"),
+    )

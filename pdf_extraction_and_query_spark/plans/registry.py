@@ -716,6 +716,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
     "dataset_split_stats": lambda s, d: PK.dataset_split_stats(_docs(s, d)),
+    # deterministic easy-to-hard curriculum (banded rank over flesch_e3)
+    "curriculum_order": lambda s, d: PK.curriculum_order(_docs(s, d)),
     # UniMax waterfill language-budget allocation (Chung et al. 2023)
     "unimax_alloc": lambda s, d: PK.unimax_alloc(_docs(s, d)),
     # length-bucketed batching padding-waste report
@@ -5577,3 +5579,24 @@ SELECT m.lang, m.pred_lang, m.n_docs,
        cast((1000000 * m.n_docs) // t.t as bigint) AS share_e6,
        (m.lang = m.pred_lang) AS correct
 FROM m JOIN t ON m.lang = t.lang"""
+
+
+# deterministic curriculum order (operators/packing.curriculum_order):
+# the oracle ranks with the PLAIN global window — an independent
+# algorithm pinning the banded scan (the epoch_shuffle precedent).
+ORACLE_SQL["curriculum_order"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         len(regexp_split_to_array(trim(text), '{C.WS_SPLIT_RE}')) AS nw,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         cast(206835 - 1015 * nw // ns - 84600 * sy // nw as bigint)
+           AS flesch_e3
+  FROM b WHERE nw > 0)
+SELECT cast(doc_id as bigint) AS doc_id, flesch_e3,
+       cast(row_number() OVER (ORDER BY flesch_e3 DESC, doc_id) - 1
+            as bigint) AS pos
+FROM f"""

@@ -147,3 +147,27 @@ def test_split_leakage_labels_match_dataset_split(docs):
         assert r.split_a == sp[r.doc_a]
         assert r.split_b == sp[r.doc_b]
         assert r.leak == (r.split_a != r.split_b)
+
+
+def test_curriculum_order_is_readability_permutation(spark, docs):
+    """pos must be a 0..n-1 permutation whose order is exactly
+    (flesch_e3 DESC, doc_id) — the banded rank equals the plain global
+    ordering; scores must equal the readability operator's."""
+    from pdf_extraction_and_query_spark.operators.packing import (
+        curriculum_order,
+    )
+    from pdf_extraction_and_query_spark.operators.textstats import (
+        readability,
+    )
+
+    out = curriculum_order(docs).toPandas().sort_values("pos")
+    n = len(out)
+    assert out.pos.tolist() == list(range(n))
+    ordered = sorted(
+        zip(out.flesch_e3, out.doc_id), key=lambda t: (-t[0], t[1])
+    )
+    assert list(zip(out.flesch_e3, out.doc_id)) == ordered
+    rd = readability(docs).toPandas().set_index("doc_id")["flesch_e3"]
+    assert n == len(rd)
+    for _, r in out.head(50).iterrows():
+        assert r.flesch_e3 == rd[r.doc_id]
