@@ -799,3 +799,14 @@ MRL_DIMS: tuple[int, ...] = (8, 16, 32, 64)
 # algorithm pinning the banded scan.  Zero-word docs (no readability
 # row) are excluded, matching the readability operator's domain.
 CURR_BAND_E3 = 10_000
+# exact-count deterministic sampling (packing.exact_sample): the K docs
+# with the SMALLEST 48-bit salted-md5 coordinate (ties -> doc_id) — the
+# budget-exact complement to rate-based stratified_sample (a rate
+# cannot hit a headcount; bottom-k-by-hash is the standard trick, and
+# it is STABLE under corpus growth: a doc only leaves the sample when a
+# smaller-keyed doc arrives, which is what makes it a uniform sample
+# without replacement).  Plan contract: TakeOrderedAndProject
+# (per-partition bottom-k + driver merge of k rows) — NEVER a global
+# sort (the paginate lesson); row_number only over the collected k.
+EXACT_SAMPLE_K = 100
+EXACT_SAMPLE_SALT = "exact:"

@@ -908,3 +908,37 @@ def curriculum_order(docs: DataFrame) -> DataFrame:
         "flesch_e3",
         (F.col("before") + F.col("lr")).cast("long").alias("pos"),
     )
+
+
+def exact_sample(docs: DataFrame, k: int = C.EXACT_SAMPLE_K) -> DataFrame:
+    """Deterministic exact-count sample (contract EXACT_SAMPLE note):
+    bottom-k by salted md5 coordinate, TakeOrderedAndProject plan
+    (plan-asserted in tests/test_plan_shapes.py), rank window only over
+    the k surviving rows."""
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(C.EXACT_SAMPLE_SALT),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    top = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            key.alias("sample_key"),
+        )
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("sample_key"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", (F.row_number().over(w)).cast("long")
+    )

@@ -716,6 +716,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: PK.stratified_sample(_docs(s, d)),
     "dataset_split": lambda s, d: PK.dataset_split(_docs(s, d)),
     "dataset_split_stats": lambda s, d: PK.dataset_split_stats(_docs(s, d)),
+    # exact-count bottom-k-by-hash sampling (budget-exact complement to
+    # the rate-based stratified sampler)
+    "exact_sample": lambda s, d: PK.exact_sample(_docs(s, d)),
     # deterministic easy-to-hard curriculum (banded rank over flesch_e3)
     "curriculum_order": lambda s, d: PK.curriculum_order(_docs(s, d)),
     # UniMax waterfill language-budget allocation (Chung et al. 2023)
@@ -5600,3 +5603,16 @@ SELECT cast(doc_id as bigint) AS doc_id, flesch_e3,
        cast(row_number() OVER (ORDER BY flesch_e3 DESC, doc_id) - 1
             as bigint) AS pos
 FROM f"""
+
+
+# exact-count deterministic sample (operators/packing.exact_sample).
+ORACLE_SQL["exact_sample"] = f"""
+WITH b AS (
+  SELECT cast(doc_id as bigint) AS doc_id, lang,
+         ('0x' || substr(md5('{C.EXACT_SAMPLE_SALT}' || cast(doc_id as varchar)), 1, 12))::BIGINT
+           AS sample_key
+  FROM documents),
+t AS (SELECT * FROM b ORDER BY sample_key, doc_id LIMIT {C.EXACT_SAMPLE_K})
+SELECT doc_id, lang, sample_key,
+       cast(row_number() OVER (ORDER BY sample_key, doc_id) as bigint) AS rank
+FROM t"""

@@ -250,3 +250,21 @@ def test_mrl_recall_single_scoring_join(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") == 1, plan
     rows = df.collect()
     assert len(rows) == 5 * 4
+
+
+def test_exact_sample_is_take_ordered(spark):
+    """exact_sample must be TakeOrderedAndProject (per-partition bottom-k
+    + driver merge), never a global sort — the paginate lesson."""
+    from pdf_extraction_and_query_spark.operators.packing import exact_sample
+
+    d = spark.range(500).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("w x y z").alias("text"),
+    )
+    df = exact_sample(d, k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r.rank for r in sorted(rows, key=lambda r: (r.sample_key, r.doc_id))] == list(range(1, 21))
