@@ -60,6 +60,8 @@ _MAX_LINE = 1800
 # cheap, round-stable pure-SQL queries whose numbers live on in
 # data/bench_full.json either way
 _TRIM_ORDER = [
+    "c4_clean",
+    "exact_sample",
     "curriculum_order",
     "langid_confusion",
     "corpus_datacard",
@@ -396,6 +398,8 @@ def main() -> None:
         "corpus_datacard",
         "langid_confusion",
         "curriculum_order",
+        "exact_sample",
+        "c4_clean",
     ):
         sec, _ = bench(lambda n=name: QUERIES[n](spark, SF_DIR).count(), name=name)
         query_times[name] = round(sec, 2)
