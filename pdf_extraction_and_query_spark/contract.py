@@ -788,6 +788,9 @@ VG_THRESHOLDS: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)
 # with the full-dim top-TOPK as recall ppm.  The full-dim row (dim =
 # EMBED_DIM, recall 1e6) stays in the output as the audit anchor.
 MRL_DIMS: tuple[int, ...] = (8, 16, 32, 64)
+# INVARIANT: EMBED_DIM must stay a member of MRL_DIMS — the full-dim
+# frame is mrl_recall's anchor and the operator asserts this at call
+# time (search.mrl_recall); change both together.
 # deterministic curriculum ordering (packing.curriculum_order): docs
 # ordered easiest-first by the readability flesch_e3 signal (ties ->
 # doc_id), position assigned by the banded-rank device (epoch_shuffle

@@ -638,9 +638,15 @@ def c4_line_stats_expr(pages: DataFrame) -> DataFrame:
     size(filter(...)) expressions over it (interpreted HOFs: ~n_lines
     element evaluations per rule, bounded by page size; the corpus-scale
     alternative is the same arithmetic in a mapInPandas batch — the
-    expression form here IS the semantic spec, PLANS.md #14)."""
+    expression form here IS the semantic spec, PLANS.md #14).
+
+    Empty pages (a doc with no words and no lorem/brace trailer) emit NO
+    row: split('', '\\n') would otherwise count one phantom empty line,
+    while the oracle's range(0, n_body) unnest omits the doc entirely
+    (round-4 ADVICE.md) — the line table of an empty page has zero rows
+    on both engines."""
     short, nopunct, js, kept = _c4_line_flags(F.col("lines"))
-    d = pages.select(
+    d = pages.where(F.col("page") != "").select(
         "doc_id",
         F.split(F.col("page"), "\n").alias("lines"),
         F.col("page"),
@@ -669,9 +675,10 @@ def c4_clean_expr(pages: DataFrame) -> DataFrame:
     """The cleaning itself: for pages that pass the C4 doc verdict, the
     page rewritten to only its kept lines (newline-joined) — what
     actually enters the training corpus.  Same one-pass narrow shape as
-    :func:`c4_line_stats`; rejected docs emit no row."""
+    :func:`c4_line_stats`; rejected docs (and empty pages — see the
+    stats twin's docstring) emit no row."""
     short, nopunct, js, kept = _c4_line_flags(F.col("lines"))
-    d = pages.select(
+    d = pages.where(F.col("page") != "").select(
         "doc_id",
         F.split(F.col("page"), "\n").alias("lines"),
         F.col("page"),
@@ -854,7 +861,8 @@ def c4_line_stats(pages: DataFrame) -> DataFrame:
         "n_js long, n_kept long, has_lorem boolean, has_brace boolean, "
         "keep_doc boolean"
     )
-    src = pages.select(
+    # empty pages emit no row, matching the expression twin + oracle
+    src = pages.where(F.col("page") != "").select(
         F.col("doc_id").cast("long").alias("doc_id"), "page"
     )
     return src.mapInPandas(lambda it: _c4_kernel(it, False), schema)
@@ -868,7 +876,7 @@ def c4_clean(pages: DataFrame) -> DataFrame:
         "n_js long, n_kept long, has_lorem boolean, has_brace boolean, "
         "keep_doc boolean, c4_text string"
     )
-    src = pages.select(
+    src = pages.where(F.col("page") != "").select(
         F.col("doc_id").cast("long").alias("doc_id"), "page"
     )
     out = src.mapInPandas(lambda it: _c4_kernel(it, True), schema)

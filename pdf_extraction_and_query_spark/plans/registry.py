@@ -5395,7 +5395,7 @@ _C4_LINES_SQL = f"""
            (CASE WHEN trim(line) = '' THEN 0
                  ELSE len(regexp_split_to_array(trim(line), '{C.WS_SPLIT_RE}'))
             END < {C.C4_MIN_LINE_WORDS}) AS short,
-           (NOT regexp_matches(line, '[.!?"]$')) AS nopunct,
+           (NOT regexp_matches(line, '{C.C4_TERMINAL_RE}')) AS nopunct,
            contains(lower(line), 'javascript') AS js
     FROM li),
   fk AS (

@@ -129,3 +129,30 @@ def test_kernel_bit_equality_with_expression_twin(docs):
     ca = TX.c4_clean(pages).orderBy("doc_id").collect()
     cb = TX.c4_clean_expr(pages).orderBy("doc_id").collect()
     assert [r.asDict() for r in ca] == [r.asDict() for r in cb]
+
+
+def test_empty_doc_emits_no_rows(spark):
+    """Round-4 ADVICE.md: an empty-text doc off the lorem/brace cadences
+    yields page='' — the oracle's range(0, 0) unnest omits it, so the
+    Spark side (kernel AND expression twin, stats AND clean) must too,
+    not count split('', '\\n') as one phantom line.  A doc ON the lorem
+    cadence still surfaces (its page is the trailer line alone)."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                # empty, off both cadences -> no row
+            (2, "   "),             # whitespace-only -> no row
+            (C.C4_LOREM_EVERY, ""), # empty but lorem trailer -> 1 line
+            (3, "alpha beta gamma delta epsilon zeta"),  # normal doc
+        ],
+        "doc_id long, text string",
+    )
+    pages = TX.c4_pages(docs)
+    for stats in (TX.c4_line_stats(pages), TX.c4_line_stats_expr(pages)):
+        rows = {r.doc_id: r for r in stats.collect()}
+        assert 1 not in rows and 2 not in rows
+        assert rows[C.C4_LOREM_EVERY].n_lines == 1
+        assert rows[C.C4_LOREM_EVERY].has_lorem
+        assert rows[3].n_lines == 1
+    for clean in (TX.c4_clean(pages), TX.c4_clean_expr(pages)):
+        ids = {r.doc_id for r in clean.collect()}
+        assert 1 not in ids and 2 not in ids
