@@ -45,14 +45,22 @@ from .util import fan_out
 DEFAULT_BATCH = 64
 
 
-def _stub_scored(docs: DataFrame) -> DataFrame:
+def _stub_scored(
+    docs: DataFrame, prepared: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang, n_tokens, score_e6) under the frozen-random-weight
     linear stub — contract arithmetic (`contract.CLS_*`), cross-engine
     exact.  Weights stay non-negative through the mean; the symmetric
     score shifts by -CLS_W after the division (see contract.py)."""
     from .repetition import _words
 
-    w = fan_out(docs).select("doc_id", "lang", _words(F.col("text")).alias("words"))
+    w = (
+        prepared.select("doc_id", "lang", "words")
+        if prepared is not None
+        else fan_out(docs).select(
+            "doc_id", "lang", _words(F.col("text")).alias("words")
+        )
+    )
     t = w.select("doc_id", "lang", F.explode("words").alias("token"))
     w_raw = (
         F.conv(
@@ -116,16 +124,19 @@ def quality_classify(
     spec=None,
     thresh_e6: int = C.CLS_THRESH_E6,
     batch_size: int = DEFAULT_BATCH,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, score_e6, label) — the model-scored quality
     filter.  ``spec`` defaults to ``$SPARK_GRAFT_CLASSIFIER`` then
     ``"stub"`` (the deterministic hashed-linear scorer, oracle-paired via
     the ``quality_classify`` gate query); label = 'keep' iff
-    ``score_e6 >= thresh_e6``."""
+    ``score_e6 >= thresh_e6``.  ``prepared``: optional shared
+    ``(doc_id, lang, words)`` tokenized projection (stub path only — the
+    model path scores raw text; see textstats.lm_fluency)."""
     if spec is None:
         spec = os.environ.get("SPARK_GRAFT_CLASSIFIER", "stub")
     scored = (
-        _stub_scored(docs)
+        _stub_scored(docs, prepared)
         if spec == "stub"
         else _model_scored(docs, spec, batch_size)
     )

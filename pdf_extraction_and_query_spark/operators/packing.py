@@ -371,22 +371,35 @@ def curate_corpus_v2(docs: DataFrame) -> DataFrame:
     bucket join INNER (token-less docs are unscoreable and drop, the
     fluency rule); the exact-dedup keeper window runs LAST over survivors.
     Scale: two more doc_id-keyed joins against per-doc aggregates — the
-    shuffles carry scalar signal columns, never text.  The plan reads the
-    documents source once per signal family (5 pruned scans of a 3-column
-    table): deliberate — each pass is narrow and embarrassingly parallel,
-    whereas sharing one exploded token stream across signals would require
-    materializing a corpus-token-sized intermediate (PLANS.md #11 applies
-    to re-deriving the SAME aggregate; these are four different ones)."""
+    shuffles carry scalar signal columns, never text.
+
+    Source-scan sharing (PLANS.md #44, round-4 verdict ask): the four
+    word-keyed signal families (base heuristics, lm_fluency bigrams,
+    classifier stub, CCNet per-language model) all consume ONE
+    materialized ``(doc_id, lang, text, words)`` projection —
+    localCheckpointed so every downstream branch reads the persisted
+    blocks instead of independently re-scanning + re-tokenizing the
+    documents source (multi-consumer recompute, PLANS.md #11).  Only
+    dup_passage_stats keeps its own scan: its shingle keying tokenizes
+    differently (k-gram stream, not words) and shares nothing.  Plan
+    check: tests/test_plan_shapes.py pins the documents-source scan
+    count at <= 2 (was 5)."""
     from .classifier import quality_classify
-    from .repetition import dup_passage_stats
+    from .repetition import _words, dup_passage_stats
     from .dedup import _norm
     from .textstats import ccnet_buckets, lm_fluency
+    from .util import fan_out
 
+    shared = (
+        fan_out(docs)
+        .select("doc_id", "lang", "text", _words(F.col("text")).alias("words"))
+        .localCheckpoint(eager=False)
+    )
     t = F.col("text")
     words = F.size(F.split(F.trim(t), C.WS_SPLIT_RE))
     stops = F.regexp_count(t, F.lit(C.QUALITY_STOPWORD_RE))
     base = (
-        docs.select(
+        shared.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "lang",
             words.cast("long").alias("n_words"),
@@ -397,11 +410,11 @@ def curate_corpus_v2(docs: DataFrame) -> DataFrame:
         .where(F.col("_q") & F.col("_s"))
     )
     cov = dup_passage_stats(docs).select("doc_id", "coverage_e6")
-    flu = lm_fluency(docs).select("doc_id", "fluency_e6")
-    cls = quality_classify(docs, spec="stub").select(
+    flu = lm_fluency(docs, prepared=shared).select("doc_id", "fluency_e6")
+    cls = quality_classify(docs, spec="stub", prepared=shared).select(
         "doc_id", F.col("score_e6").alias("cls_score_e6"), "label"
     )
-    cc = ccnet_buckets(docs).select("doc_id", "bucket")
+    cc = ccnet_buckets(docs, prepared=shared).select("doc_id", "bucket")
     j = (
         base.join(cov, "doc_id", "left")
         .withColumn(

@@ -182,15 +182,22 @@ def _stats_from_passages(p: DataFrame) -> DataFrame:
 
 def _passages(docs: DataFrame, k: int) -> DataFrame:
     """Merged duplicated word intervals per doc: (doc_id, nw, start_word,
-    end_word, n_shingles)."""
+    end_word, n_shingles).
+
+    The cross-doc evidence (gram document-frequency >= 2) is derived
+    STRUCTURALLY from one shingle stream: dense_rank over doc_id within
+    the gram partition, then max-rank over the same partition ==
+    count_distinct(doc_id) — two Window ops sharing ONE gram exchange.
+    The previous groupBy(gram) + self-join form planned the stream twice
+    (two source scans, two gram shuffles of the full occurrence stream —
+    the multi-consumer recompute trap, PLANS.md #11/#44); a hot gram
+    skews one partition identically under either shape."""
     sh = _shingle_occurrences(docs, k)
-    dup = (
-        sh.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("dfc"))
-        .where(F.col("dfc") >= 2)
-        .select("gram")
-    )
-    occ = sh.join(dup, "gram").select("doc_id", "nw", "start_w")
+    gw = Window.partitionBy("gram")
+    ranked = sh.withColumn(
+        "_dr", F.dense_rank().over(gw.orderBy("doc_id"))
+    ).withColumn("_dfc", F.max("_dr").over(gw))
+    occ = ranked.where(F.col("_dfc") >= 2).select("doc_id", "nw", "start_w")
     return _merge_islands(occ, k)
 
 

@@ -244,7 +244,7 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_fluency(docs: DataFrame) -> DataFrame:
+def lm_fluency(docs: DataFrame, prepared: DataFrame | None = None) -> DataFrame:
     """Corpus-trained bigram LM fluency score — the KenLM-style perplexity
     filter's exact-arithmetic analog: rare token transitions score low.
 
@@ -261,11 +261,21 @@ def lm_fluency(docs: DataFrame) -> DataFrame:
     combine (a hot bigram moves one partial per map task); the left-token
     totals derive from the already-aggregated bigram table (vocab-sized,
     broadcast); scoring re-joins the stream to the counts on (w1, w2) and
-    the per-doc mean is a doc_id hash-agg."""
+    the per-doc mean is a doc_id hash-agg.
+
+    ``prepared`` (optional): an already-tokenized ``(doc_id, words)``
+    frame carrying the :func:`~..operators.repetition._words` contract —
+    the multi-signal curation plans materialize ONE such projection and
+    feed every word-keyed signal from it instead of re-scanning the
+    documents source per signal (PLANS.md #44)."""
     from .repetition import _words
     from .util import fan_out
 
-    w = fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
+    w = (
+        prepared.select("doc_id", "words")
+        if prepared is not None
+        else fan_out(docs).select("doc_id", _words(F.col("text")).alias("words"))
+    )
     bi = (
         w.where(F.size("words") >= 2)
         .select(
@@ -292,7 +302,9 @@ def lm_fluency(docs: DataFrame) -> DataFrame:
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "fluency_e6")
 
 
-def ccnet_buckets(docs: DataFrame) -> DataFrame:
+def ccnet_buckets(
+    docs: DataFrame, prepared: DataFrame | None = None
+) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 — public
     literature): split each language's documents into head / middle / tail
     thirds by LM score, the standard pre-training quality stratification
@@ -316,17 +328,24 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     Factored as ``ccnet_score(docs, ccnet_model(docs))`` so the streaming
     maintainer (streaming/quality.py) can score new documents under a
     FROZEN model — same seam discipline as the frozen IVF centroids / PQ
-    codebook / SQ bounds."""
-    return ccnet_score(docs, ccnet_model(docs))
+    codebook / SQ bounds.
+
+    ``prepared``: optional shared ``(doc_id, lang, words)`` projection
+    (see :func:`lm_fluency`)."""
+    return ccnet_score(docs, ccnet_model(docs, prepared), prepared)
 
 
-def _ccnet_bigrams(docs: DataFrame) -> DataFrame:
+def _ccnet_bigrams(docs: DataFrame, prepared: DataFrame | None = None) -> DataFrame:
     """(doc_id, lang, w1, w2) — the per-language bigram stream."""
     from .repetition import _words
     from .util import fan_out
 
-    w = fan_out(docs).select(
-        "doc_id", "lang", _words(F.col("text")).alias("words")
+    w = (
+        prepared.select("doc_id", "lang", "words")
+        if prepared is not None
+        else fan_out(docs).select(
+            "doc_id", "lang", _words(F.col("text")).alias("words")
+        )
     )
     return (
         w.where(F.size("words") >= 2)
@@ -359,13 +378,15 @@ def _ccnet_fluency(bi: DataFrame, c2: DataFrame, c1: DataFrame) -> DataFrame:
     )
 
 
-def ccnet_model(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def ccnet_model(
+    docs: DataFrame, prepared: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the CCNet model on ``docs``: per-language bigram counts
     (c2, c1) and the per-language third cutoffs (cuts) derived from the
     training corpus's own score distribution."""
     from pyspark.sql import Window
 
-    bi = _ccnet_bigrams(docs)
+    bi = _ccnet_bigrams(docs, prepared)
     c2 = bi.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
     fl = _ccnet_fluency(bi, c2, c1)
@@ -393,14 +414,16 @@ def ccnet_model(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 
 def ccnet_score(
-    docs: DataFrame, model: tuple[DataFrame, DataFrame, DataFrame]
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, fluency_e6, bucket) of ``docs`` under ``model`` —
     per-document pure given the model, so scoring distributes over any
     corpus split (the streaming maintainer's equality).  A doc in a
     language absent from the model drops (no cutoffs exist for it)."""
     c2, c1, cuts = model
-    fl = _ccnet_fluency(_ccnet_bigrams(docs), c2, c1)
+    fl = _ccnet_fluency(_ccnet_bigrams(docs, prepared), c2, c1)
     return fl.join(F.broadcast(cuts), "lang").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",

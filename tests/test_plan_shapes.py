@@ -268,3 +268,45 @@ def test_exact_sample_is_take_ordered(spark):
     rows = df.collect()
     assert len(rows) == 20
     assert [r.rank for r in sorted(rows, key=lambda r: (r.sample_key, r.doc_id))] == list(range(1, 21))
+
+
+def _formatted(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_curate_v2_shares_one_tokenized_projection(spark):
+    """Round-4 verdict Next #3: the four word-keyed signal families of
+    curate_corpus_v2 feed from ONE localCheckpointed (doc_id, lang, text,
+    words) projection; only dup_passage_stats (shingle-keyed) retains a
+    source scan.  'formatted' explain lists each scan node twice (tree +
+    detail), so <= 2 occurrences == <= 1 in-plan source scan."""
+    from pdf_extraction_and_query_spark.operators.packing import (
+        curate_corpus_v2,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(curate_corpus_v2(docs))
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+    # the shared projection surfaces as RDD scans of the checkpoint
+    assert "Scan ExistingRDD" in plan
+
+
+def test_dup_passages_single_stream_single_gram_exchange(spark):
+    """The df>=2 evidence is two Window ops over ONE gram exchange of one
+    shingle stream (dense_rank + max-rank == count_distinct), not a
+    groupBy+self-join that plans the stream twice (PLANS.md #44)."""
+    from pdf_extraction_and_query_spark.operators.repetition import (
+        dup_passage_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(dup_passage_stats(docs))
+    assert plan.count("Scan parquet") <= 2  # one scan, listed twice
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly one gram-keyed exchange feeds both windows
+    assert plan.count("hashpartitioning(gram") <= 2, plan[:2000]
