@@ -24,10 +24,23 @@ kmeans/PageRank unrolled-oracle precedent in plans/registry.py).
 100-TB shape:
   * training runs over the DISTINCT-WORD aggregate (one corpus shuffle
     with map-side combine — a stopword appearing 10^11 times moves one
-    partial per map task), localCheckpointed once so the 8 rounds iterate
-    over the compact word table, never the corpus.  Per round: one skinny
-    (pair, freq) hash agg + a driver-side top-1 collect (metadata, the
-    kmeans centroid precedent) + one narrow replace.
+    partial per map task), localCheckpointed once; the corpus is read
+    EXACTLY ONCE (tests delete the source under a live loop to prove it).
+  * pair counts are DELTA-MAINTAINED (round-4 verdict Next #5): the full
+    pair explode runs once at init; each merge round then (a) takes the
+    top pair from the materialized pair-count table (TakeOrdered over a
+    pair-table-sized frame, driver gets ONE row), (b) filters the word
+    table to the words CONTAINING the merged pair (narrow contains scan,
+    no explode), (c) pair-explodes only that affected slice twice (old
+    form negative, rewritten form positive) and folds the signed delta
+    into the pair table, (d) rewrites only affected words.  Identity:
+    pc + Σ_aff(pairs(new) − pairs(old)) == Σ_w pairs(new) — bit-equal to
+    a full recount, equality-tested in tests/test_bpe.py.  Per-round work
+    is a contains-filter over the compact word table plus an explode of
+    the affected slice — NOT a full-table pair explode — so a realistic
+    ~30k-merge vocab pays 30k cheap rounds instead of 30k corpus-pair
+    recounts; word and pair tables are localCheckpointed per round
+    (lineage O(1), the CC/kmeans idiom).
   * encoding is pure whole-stage-codegen string ops — the merge chain is
     BPE_ROUNDS nested ``replace`` calls applied to the full lowercased
     text (pairs never contain whitespace, so occurrences cannot straddle
@@ -84,12 +97,95 @@ def _pair_explode(wc: DataFrame) -> DataFrame:
     )
 
 
+def _init_state(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(word table, pair-count table), both eagerly localCheckpointed —
+    the LAST moment the corpus is read; every merge round iterates over
+    these compact materialized aggregates only (tests delete the source
+    files after this call to prove it)."""
+    wc = word_counts(docs).localCheckpoint()
+    pc = (
+        _pair_explode(wc)
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .localCheckpoint()
+    )
+    return wc, pc
+
+
+def _merge_rounds(
+    wc: DataFrame, pc: DataFrame, rounds: int, start: int = 0
+) -> list[tuple[str, int]]:
+    """Delta-maintained merge loop over a prepared (wc, pc) state — see
+    the module docstring's 100-TB shape.  ``start`` is the round index of
+    the first merge (marker numbering must match the encode chain)."""
+    merges: list[tuple[str, int]] = []
+    for t in range(start, start + rounds):
+        top = (
+            pc.where(F.col("freq") > 0)
+            .orderBy(F.col("freq").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"bpe_train: corpus exhausted after {t} merges "
+                f"(needs at least one 2-symbol word per round)"
+            )
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        merges.append((pair, freq))
+        mark = F.lit(_marker(t))
+        # affected slice: only words that CONTAIN the merged pair change
+        # any adjacency; everything else keeps its counts verbatim.
+        # Checkpoints are LAZY (eager=False): the ONLY action per round is
+        # the next round's top-1 collect, which materializes the previous
+        # round's state in one cascade — still O(1) lineage, 1 job/round.
+        aff = wc.where(F.contains(F.col("sym"), F.lit(pair))).localCheckpoint(
+            eager=False
+        )
+        new_aff = aff.select(
+            F.replace(F.col("sym"), F.lit(pair), mark).alias("sym"), "cnt"
+        )
+        delta = (
+            _pair_explode(new_aff)
+            .unionByName(
+                _pair_explode(aff).select("pair", (-F.col("cnt")).alias("cnt"))
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+            .where(F.col("freq") > 0)
+            .localCheckpoint(eager=False)
+        )
+        # one narrow full-table pass (replace is a no-op off the affected
+        # slice) — cheaper than filter+union's two scans of wc
+        wc = wc.withColumn(
+            "sym", F.replace(F.col("sym"), F.lit(pair), mark)
+        ).localCheckpoint(eager=False)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame, rounds: int = C.BPE_ROUNDS
 ) -> list[tuple[str, int]]:
     """Run ``rounds`` merge rounds; return [(pair, freq)] in round order
     (the merged symbol for round t is _marker(t)).  Driver-side state is
-    metadata only — one (pair, freq) row per round."""
+    metadata only — one (pair, freq) row per round.  Pair counts are
+    delta-maintained between rounds (module docstring; bit-equal to a
+    full per-round recount, equality-tested)."""
+    wc, pc = _init_state(docs)
+    return _merge_rounds(wc, pc, rounds)
+
+
+def _bpe_train_recount(
+    docs: DataFrame, rounds: int = C.BPE_ROUNDS
+) -> list[tuple[str, int]]:
+    """The pre-delta reference loop — full pair recount every round.  Kept
+    as the semantic spec for the equality test (the brute-twin discipline:
+    PLANS.md #14); NOT the production path."""
     wc = word_counts(docs).localCheckpoint()
     merges: list[tuple[str, int]] = []
     for t in range(rounds):
@@ -102,11 +198,7 @@ def bpe_train(
             .collect()
         )
         if not top:
-            raise ValueError(
-                f"bpe_train: corpus exhausted after {t} merges "
-                f"(BPE_ROUNDS={rounds} needs at least one 2-symbol word "
-                f"per round)"
-            )
+            raise ValueError(f"corpus exhausted after {t} merges")
         pair, freq = top[0]["pair"], int(top[0]["freq"])
         merges.append((pair, freq))
         wc = wc.withColumn(
