@@ -310,3 +310,70 @@ def test_dup_passages_single_stream_single_gram_exchange(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     # exactly one gram-keyed exchange feeds both windows
     assert plan.count("hashpartitioning(gram") <= 2, plan[:2000]
+
+
+def test_pagerank_plan_depth_constant_in_rounds(spark):
+    """Round-4 verdict Next #7: per-round localCheckpoint keeps the
+    iterative plan O(1) deep — the FINAL plan of a 6-round run is the
+    same shape (same exchange count, same checkpoint-scan count) as a
+    2-round run, instead of growing linearly."""
+    from pdf_extraction_and_query_spark.operators import graphrank as G
+
+    edges = (
+        spark.createDataFrame(
+            [(f"u{i % 7}", f"u{(i * 3 + 1) % 7}", 1 + i % 3) for i in range(30)],
+            "src string, dst string, n long",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    )
+    shapes = []
+    for iters in (2, 6):
+        plan = _formatted(G.pagerank(edges, iters=iters))
+        shapes.append(
+            (plan.count("Exchange"), plan.count("Scan ExistingRDD"))
+        )
+        assert "Scan parquet" not in plan  # rounds read checkpoints only
+    assert shapes[0] == shapes[1], shapes
+
+
+def test_kcenter_every_job_is_single_stage(spark):
+    """kcenter_coreset's k rounds are each ONE narrow Arrow pass +
+    TakeOrdered(1): every Spark job in the traversal is a single stage
+    (a second stage would mean a shuffle crept in), and the job count is
+    k+1 (ev checkpoint + seed + k-1 picks)."""
+    from pdf_extraction_and_query_spark import contract as C
+    from pdf_extraction_and_query_spark.operators.kmeans import (
+        kcenter_coreset,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("kc-shape", "kcenter plan-shape pin")
+    try:
+        out = kcenter_coreset(emb, k=C.KC_K)
+    finally:
+        sc.setJobGroup("kc-shape-done", "")
+    tr = sc.statusTracker()
+    jids = tr.getJobIdsForGroup("kc-shape")
+    assert len(jids) == C.KC_K + 1, jids
+    stages = [len(tr.getJobInfo(j).stageIds) for j in jids]
+    assert all(s == 1 for s in stages), stages
+    assert len(out.collect()) == C.KC_K
+
+
+def test_crawl_corpus_single_keyed_exchange(spark):
+    """crawl_corpus = keep-latest + gate in ONE hash aggregation: exactly
+    one canonical-keyed exchange past the narrow extraction (whose
+    fan_out RoundRobin is the only other exchange), no join back to the
+    pages."""
+    from pdf_extraction_and_query_spark.plans import registry as R
+
+    plan = _formatted(
+        R.QUERIES["crawl_corpus"](spark, "/root/testdata/sf0.001")
+    )
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan[:1500]
+    assert plan.count("RoundRobinPartitioning") <= 1
+    assert "Join" not in plan
