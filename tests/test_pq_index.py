@@ -117,3 +117,49 @@ def test_encode_expansion_bit_equal_to_difference_form():
 
     assert np.array_equal(got, want)
     assert got[0].tolist() == [3] * C.PQ_M  # tie resolves to smallest code
+
+
+def test_encode_kernel_memory_bound_at_k256(spark):
+    """Round-4 verdict Next #1 'done' check: at a realistic K=256 the
+    encode kernel's peak intermediate is the (n, M, K) distance matrix —
+    NOT the old (n, M, K, SUB) broadcast-difference tensor (SUB=8x
+    larger, ~1.3 GB per 10k-row batch).  Pinned: peak traced allocation
+    for a 4096-row batch stays under 2x the (n, M, K) int64 matrix
+    (4096*8*256*8 = 64 MB -> bound 160 MB; the old tensor alone would be
+    512 MB)."""
+    import tracemalloc
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extraction_and_query_spark.operators.pq import _encode_kernel
+
+    K = 256
+    rng = np.random.default_rng(11)
+    cb = rng.integers(-(10**6), 10**6, size=(C.PQ_M, K, C.PQ_SUB)).astype(
+        np.int64
+    )
+    n = 4096
+    X = rng.integers(-(10**6), 10**6, size=(n, C.PQ_M * C.PQ_SUB)).astype(
+        np.int64
+    )
+    encode = _encode_kernel(cb)
+    body = encode.func  # the pandas_udf's wrapped python function
+    ev = pd.Series(list(X))
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    codes = body(ev)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    matrix_bytes = n * C.PQ_M * K * 8
+    assert peak < 2.5 * matrix_bytes, (peak, matrix_bytes)
+
+    # and the codes are the true argmins (spot-check against the
+    # difference form on a slice)
+    S = X[:50].reshape(50, C.PQ_M, C.PQ_SUB)
+    diff = ((S[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    want = diff.argmin(axis=2)
+    got = np.stack(codes.iloc[:50].to_numpy())
+    assert np.array_equal(got, want)
