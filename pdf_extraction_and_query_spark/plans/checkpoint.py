@@ -98,6 +98,7 @@ def run_checkpointed(
     cfg: ExtractConfig = ExtractConfig(),
     mode: str = "staged",
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    files_per_bucket: int = 1,
 ) -> RunReport:
     """Extract ``spans_df`` to ``out_dir`` (parquet partitioned by bucket),
     resuming past completed buckets recorded in ``ledger_dir``.
@@ -139,6 +140,21 @@ def run_checkpointed(
         fn = transform or (lambda df: extract_spans(df, cfg, mode=mode))
         out = fn(wave_in.drop("bucket")).withColumn(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
+        )
+        # align output partitions with the sink's bucket directories BEFORE
+        # the write: without this every upstream task writes a file into
+        # every bucket it touches (tasks x buckets small files), and the
+        # driver-side commit + the metrics re-read pay a per-file cost that
+        # is CONSTANT in cluster size — measured as the Amdahl floor that
+        # capped the spark-submit N->4N run at ~0.70.  One span-row
+        # exchange (which scales with cores) buys a (wave x
+        # files_per_bucket)-file layout; files_per_bucket salts doc_id so
+        # a whale bucket can still spread over several writer tasks.
+        fpb = max(1, int(files_per_bucket))
+        out = out.repartition(
+            len(wave) * fpb,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(fpb)),
         )
         # 1) idempotent data write. Dynamic overwrite only replaces buckets
         # PRESENT in the output — a bucket that legitimately yields zero rows

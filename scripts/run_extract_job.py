@@ -58,9 +58,14 @@ def main() -> None:
     cfg = ExtractConfig(
         max_chunk_size=args.max_chunk_size, chunk_overlap=args.chunk_overlap
     )
+    import time
+
+    src = spark.read.parquet(args.input)
+    n_docs = src.select("doc_id").distinct().count()  # reporting, untimed
+    t0 = time.monotonic()
     report = run_checkpointed(
         spark,
-        spark.read.parquet(args.input),
+        src,
         out_dir=args.output,
         ledger_dir=args.ledger,
         job_id=args.job_id,
@@ -77,6 +82,8 @@ def main() -> None:
                 "skipped_buckets": len(report.skipped_buckets),
                 "processed_buckets": len(report.processed_buckets),
                 "waves_run": report.waves_run,
+                "n_docs": n_docs,
+                "extract_wall_sec": round(time.monotonic() - t0, 2),
             }
         )
     )
