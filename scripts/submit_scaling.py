@@ -60,6 +60,10 @@ def submit(
             "--conf", "spark.ui.enabled=false",
             "--conf", f"spark.sql.shuffle.partitions={max(cores, 32)}",
             "--conf", "spark.driver.memory=8g",
+            # shuffle spill/files on tmpfs: one shared VM disk serializes
+            # the repartition exchange across cores, where a real cluster
+            # has one local disk PER NODE (bandwidth scales with size)
+            "--conf", f"spark.local.dir={sink_root}/shuffle",
             os.path.join(REPO, "scripts", "run_extract_job.py"),
             "--input", corpus,
             "--output", out,
