@@ -73,3 +73,24 @@ def test_kill_resume_roundtrip(spark, spans_df, tmp_path_factory):
     ).collect()[0]
     assert totals["spans"] == len(expected)
     assert totals["docs"] == spark.read.parquet(out_dir).select("doc_id").distinct().count()
+
+
+def test_sink_layout_one_file_per_bucket(spark, spans_df, tmp_path_factory):
+    """Round-5 sink fix: the wave output is repartition-aligned to the
+    bucket directories, so each bucket holds exactly files_per_bucket
+    parquet files — not one file per (upstream task x bucket) pair (the
+    small-files commit cost that capped the submitted N->4N run)."""
+    import glob
+    import os
+
+    base = tmp_path_factory.mktemp("ckpt_layout")
+    out_dir, ledger_dir = str(base / "out"), str(base / "ledger")
+    run_checkpointed(
+        spark, spans_df, out_dir, ledger_dir, "layout-job",
+        n_buckets=N_BUCKETS, buckets_per_wave=N_BUCKETS, cfg=CFG,
+    )
+    bucket_dirs = sorted(glob.glob(os.path.join(out_dir, "bucket=*")))
+    assert bucket_dirs  # at least one non-empty bucket
+    for d in bucket_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
