@@ -94,3 +94,42 @@ def test_sink_layout_one_file_per_bucket(spark, spans_df, tmp_path_factory):
     for d in bucket_dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_metrics_reread_is_column_pruned(spark, spans_df, tmp_path_factory):
+    """The per-wave ledger metrics re-read the just-written wave — cheap
+    at any scale only because the scan is column-pruned to (doc_id, kind)
+    plus the bucket partition filter, never the text payload.  Pin the
+    ReadSchema/PartitionFilters of the exact agg shape checkpoint.py
+    builds."""
+    import re
+
+    from pdf_extraction_and_query_spark.sources import tables
+
+    base = tmp_path_factory.mktemp("ckpt_prune")
+    out_dir, ledger_dir = str(base / "out"), str(base / "ledger")
+    run_checkpointed(
+        spark, spans_df, out_dir, ledger_dir, "prune-job",
+        n_buckets=N_BUCKETS, buckets_per_wave=N_BUCKETS, cfg=CFG,
+    )
+    agg = (
+        tables.read_table(spark, out_dir)
+        .where(F.col("bucket").isin([0, 1]))
+        .groupBy("bucket")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_out_spans"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+        )
+    )
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    rs = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "text" not in rs.replace("n_text", "") or "kind" in rs, rs
+    assert set(re.findall(r"struct<([^>]*)>", rs).pop().split(",")) <= {
+        "doc_id:string", "kind:string"
+    }, rs
+    assert "PartitionFilters: [bucket" in plan or "bucket#" in plan
